@@ -1,0 +1,4 @@
+from . import elements, quadrature, spaces, bc, assembly, interpolate  # noqa: F401
+from .spaces import FunctionSpace, VectorFunctionSpace, Function, SubSpace  # noqa: F401
+from .bc import DirichletBC, combine_bcs  # noqa: F401
+from .interpolate import project, interpolate, errornorm, norm  # noqa: F401

@@ -1,0 +1,140 @@
+# Hand-derived weak-form operators for the incompressible-flow forms.
+#
+# This is the framework's "form compiler": instead of UFL -> FFC -> C++
+# (/root/reference/flow/navier_stokes/pressure_correction.py:134-144,
+# flow/stokes.py:40-57), each bilinear/trilinear form this library needs is
+# derived once on the reference element and applied as a batched einsum
+# contraction over all cells. Constant-coefficient forms are quadrature-exact
+# via factored reference tensors; coefficient-dependent forms evaluate at
+# quadrature points and let XLA fuse the chain.
+#
+# Vector fields are [n_dofs, 2]; scalar fields [n_dofs].
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import assembly, elements, quadrature
+from .assembly import Geometry, Tab, ref_stiffness, ref_mass, ref_mixed
+from .spaces import FunctionSpace
+
+__all__ = [
+    "vector_laplacian_apply",
+    "sym_grad_apply",
+    "div_rhs",
+    "pressure_grad_rhs",
+    "convection_rhs",
+    "skew_convection_rhs",
+    "grad_div_ustar_rhs",
+    "grad_phi_rhs",
+    "ref_p1_integrals",
+]
+
+
+def vector_laplacian_apply(V: FunctionSpace, geom: Geometry, U, coeff=None):
+    """y[(i,a)] = int c grad(u_a) . grad(v_a): component-wise stiffness
+    (the full-gradient viscous term of /root/reference/flow/stokes.py:40)."""
+    return assembly.stiffness_apply(V, geom, U, coeff=coeff)
+
+
+def sym_grad_apply(V: FunctionSpace, geom: Geometry, U, mu):
+    """y = 2 mu int eps(u):eps(v) — the stress form's viscous part
+    (sigma(u, p) = 2 mu eps(u) - p I, pressure handled separately;
+    /root/reference/flow/navier_stokes/pressure_correction.py:121-126,141).
+
+    2 eps(u):eps(v) = grad(u):grad(v) + grad(u)^T : grad(v).
+    """
+    Kref = jnp.asarray(ref_stiffness(V.degree), dtype=U.dtype)
+    Uloc = V.gather(U)
+    # component-wise part: mu * C[e,k,l] Kref[k,l,i,j] U[e,j,a]
+    loc = jnp.einsum("ekl,klij,eja->eia", geom.C, Kref, Uloc)
+    # transpose part: mu * detJ G[e,a,k] G[e,b,l] Kref[k,l,j,i] U[e,j,b]
+    loc = loc + jnp.einsum(
+        "e,eak,ebl,klji,ejb->eia", geom.detJ, geom.G, geom.G, Kref, Uloc
+    )
+    return V.dof_sum(mu * loc)
+
+
+def div_rhs(V: FunctionSpace, Q: FunctionSpace, geom: Geometry, U):
+    """b[m] = int div(u) q_m  (exact; u in V=P2 vector, q in Q=P1)."""
+    Bref = jnp.asarray(ref_mixed(Q.degree, V.degree), dtype=U.dtype)
+    Uloc = V.gather(U)
+    loc = jnp.einsum("e,ebk,kmj,ejb->em", geom.detJ, geom.G, Bref, Uloc)
+    return Q.dof_sum(loc)
+
+
+def pressure_grad_rhs(V: FunctionSpace, Q: FunctionSpace, geom: Geometry, P):
+    """b[(i,a)] = int p d_a(v_i)  (exact) — the `+ p0 div(v)` part of the
+    stress form, and the Stokes B^T block."""
+    Bref = jnp.asarray(ref_mixed(Q.degree, V.degree), dtype=P.dtype)
+    Ploc = Q.gather(P)
+    loc = jnp.einsum("e,eak,kmi,em->eia", geom.detJ, geom.G, Bref, Ploc)
+    return V.dof_sum(loc)
+
+
+def convection_rhs(V: FunctionSpace, geom: Geometry, W, U, rule_degree=5):
+    """b[(i,a)] = int ((w . grad) u)_a v_i  — trilinear, quadrature-based."""
+    tab = assembly.tabulation(V, rule_degree)
+    Wq = assembly.values_at_qp(tab, V.gather(W))  # [e,q,2]
+    gradU = assembly.grads_at_qp(tab, geom, V.gather(U))  # [e,q,a,d]
+    val = jnp.einsum("eqd,eqad->eqa", Wq, gradU)
+    return assembly.integrate_rhs(V, tab, geom, val=val)
+
+
+def skew_convection_rhs(V: FunctionSpace, geom: Geometry, W, U, rule_degree=5):
+    """b[(i,a)] = int ((w . grad) v)_a u — i.e. int (w . grad(phi_i)) u_a.
+
+    Second half of the skew-symmetric convection
+    0.5*(<(u.grad)u, v> - <(u.grad)v, u>)
+    (/root/reference/flow/navier_stokes/pressure_correction.py:138)."""
+    tab = assembly.tabulation(V, rule_degree)
+    Wq = assembly.values_at_qp(tab, V.gather(W))  # [e,q,d]
+    Uq = assembly.values_at_qp(tab, V.gather(U))  # [e,q,a]
+    grad = jnp.einsum("eqd,eqa->eqad", Wq, Uq)
+    return assembly.integrate_rhs(V, tab, geom, grad=grad)
+
+
+def grad_div_ustar(V: FunctionSpace, geom: Geometry, U):
+    """Per-element constant grad(div u*) [nc, 2] for P2 u* (rotational form,
+    /root/reference/flow/navier_stokes/pressure_correction.py:322-323)."""
+    Href = jnp.asarray(elements.hessian_ref(V.degree), dtype=U.dtype)
+    Uloc = V.gather(U)
+    # d_d d_a phi_j = G[a,k] G[d,l] Href[j,k,l]
+    return jnp.einsum("eak,edl,jkl,eja->ed", geom.G, geom.G, Href, Uloc)
+
+
+def grad_div_ustar_rhs(V: FunctionSpace, Q: FunctionSpace, geom: Geometry, U):
+    """b[m] = int grad(div u*) . grad(q_m)  (exact; q in P1)."""
+    v = grad_div_ustar(V, geom, U)  # [e,2]
+    _, dphi1 = elements.tabulate(Q.degree, np.zeros((1, 2)))
+    dref = jnp.asarray(dphi1[0], dtype=U.dtype)  # [3,2] const P1 ref grads
+    # grad q_m = G[d,k] dref[m,k]; area = detJ/2
+    loc = 0.5 * jnp.einsum("e,ed,edk,mk->em", geom.detJ, v, geom.G, dref)
+    return Q.dof_sum(loc)
+
+
+def grad_phi_rhs(
+    V: FunctionSpace,
+    Q: FunctionSpace,
+    geom: Geometry,
+    phi,
+    div_part=None,
+    rule_degree=3,
+):
+    """b[(i,a)] = int grad(phi)_a v_i, phi in Q (P1), optionally plus a
+    per-element-constant extra gradient term `div_part` = mu * grad(div u*)
+    [nc,2] (rotational velocity correction,
+    /root/reference/flow/navier_stokes/pressure_correction.py:444-449)."""
+    tab = assembly.tabulation(V, rule_degree)
+    qtab = assembly.tabulation(Q, rule_degree)  # same quadrature points
+    gphi = assembly.grads_at_qp(qtab, geom, Q.gather(phi))  # [e,q,2]
+    if div_part is not None:
+        gphi = gphi + div_part[:, None, :]
+    return assembly.integrate_rhs(V, tab, geom, val=gphi)
+
+
+def ref_p1_integrals(degree):
+    """int_ref phi_i for the given degree (exact)."""
+    pts, w = quadrature.triangle_rule(degree + 1)
+    phi, _ = elements.tabulate(degree, pts)
+    return np.einsum("q,qi->i", w, phi)

@@ -1,0 +1,406 @@
+# Pressure-correction (projection) schemes for unsteady incompressible
+# Navier-Stokes:
+#
+#     rho (u' + (u.grad)u) = -grad p + mu Lap(u) + f,   div u = 0.
+#
+# API-parity rebuild of
+# /root/reference/flow/navier_stokes/pressure_correction.py (Chorin :521,
+# IPCS :555, Rotational :587; orchestrated by _step :468) with the same
+# discrete equations:
+#
+#   1. tentative velocity (:147): Newton on
+#        (ui - u0, v) = dt/rho * rhs_weak(u_theta, v, f_theta, rho, mu, p0)
+#      where rhs_weak (:30-144) uses the energy-conserving skew-symmetric
+#      convection, the stress form sigma(u,p0) = 2 mu eps(u) - p0 I, and the
+#      boundary terms -int p0 n.v ds + mu int (grad u)^T n . v ds;
+#   2. pressure Poisson (:258): grad(p).grad(q) = -alpha rho/dt div(u*) q
+#        + grad(p0).grad(q) [- mu grad(div u*).grad(q) in rotational form],
+#      Dirichlet or singular-consistent pure-Neumann (:366-432);
+#   3. velocity correction (:436): (u,v) = (u*,v) - dt/rho (grad phi, v),
+#        phi = p1 - p0 (+ mu div u* in rotational form).
+#
+# TPU-native backend: every substep is a jit-compiled composition of
+# batched-einsum assembly (fem/forms.py) and matrix-free Krylov
+# (solvers/krylov.py); Newton Jacobian-vector products come from jax.jvp of
+# the residual (replacing UFL `derivative(F1, ui)`, reference :202).
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..fem import assembly, forms
+from ..fem.assembly import geometry, tabulation, BoundaryTab
+from ..fem.spaces import FunctionSpace, Function
+from ..fem.bc import combine_bcs
+from ..fem.interpolate import eval_callable
+from ..solvers import krylov
+from ..message import Message, info
+
+__all__ = ["Chorin", "IPCS", "Rotational"]
+
+_CTX_CACHE = {}
+
+CONV_RULE = 5  # quadrature degree for the trilinear convection terms
+F_RULE = 6  # quadrature degree for external force integrals
+
+
+def _get_ctx(V: FunctionSpace, Q: FunctionSpace):
+    key = (id(V), id(Q))
+    if key not in _CTX_CACHE:
+        _CTX_CACHE[key] = _Context(V, Q)
+    return _CTX_CACHE[key]
+
+
+class _Context:
+    """Per-(V, Q) jitted substep solvers (compile once, reuse every step)."""
+
+    def __init__(self, V: FunctionSpace, Q: FunctionSpace):
+        self.V = V
+        self.Q = Q
+        mesh = V.mesh
+        self.geom = geometry(mesh)
+        self.btab = BoundaryTab(V, rule_degree=5)
+        self.btabQ = BoundaryTab(Q, rule_degree=5)
+        dtype = mesh.dtype
+
+        geom = self.geom
+        # diagonals for Jacobi preconditioning
+        self.mass_diag_V = assembly.mass_diag(V, geom)[:, None] * jnp.ones(
+            (1, 2), dtype=dtype
+        )
+        self.stiff_diag_V = assembly.stiffness_diag(V, geom)[:, None] * jnp.ones(
+            (1, 2), dtype=dtype
+        )
+        self.stiff_diag_Q = assembly.stiffness_diag(Q, geom)
+        self.ones_Q = jnp.ones(Q.n_dofs, dtype=dtype)
+
+        # jitted substep drivers
+        self._tentative_newton = jax.jit(
+            self._tentative_newton_impl, static_argnames=("theta_explicit",)
+        )
+        self._pressure_solve = jax.jit(
+            self._pressure_solve_impl, static_argnames=("neumann", "rotational")
+        )
+        self._velocity_correction = jax.jit(
+            self._velocity_correction_impl, static_argnames=("rotational",)
+        )
+
+    # ------------------------------------------------------------------
+    # rhs_weak: the momentum right-hand side in weak form (reference :30-144)
+    # ------------------------------------------------------------------
+    def rhs_weak(self, W, Fq, rho, mu, P0):
+        """Weak-form momentum RHS vector for velocity state W [ndof,2].
+
+        Fq: the body force pre-evaluated at the F_RULE quadrature points
+        [nc, nq, 2]. P0: pressure [ndofQ]."""
+        V, Q, geom = self.V, self.Q, self.geom
+        ftab = tabulation(V, F_RULE)
+        out = assembly.integrate_rhs(V, ftab, geom, val=Fq)
+        # skew-symmetric convection: -rho*0.5*(<(w.grad)w, v> - <(w.grad)v, w>)
+        out = out - rho * 0.5 * (
+            forms.convection_rhs(V, geom, W, W, rule_degree=CONV_RULE)
+            - forms.skew_convection_rhs(V, geom, W, W, rule_degree=CONV_RULE)
+        )
+        # -int sigma(w, p0) : eps(v) = -2 mu int eps(w):eps(v) + int p0 div v
+        out = out - forms.sym_grad_apply(V, geom, W, mu)
+        out = out + forms.pressure_grad_rhs(V, Q, geom, P0)
+        # boundary terms: -int p0 n.v ds + mu int (grad w)^T n . v ds
+        bt = self.btab
+        p0b = self.btabQ.values(P0)  # [nb, q]
+        val = -p0b[:, :, None] * bt.normals[:, None, :]
+        gw = bt.grads(W, geom)  # [nb, q, m, d] = d_d w_m
+        val = val + mu * jnp.einsum("bqmd,bm->bqd", gw.transpose(0, 1, 3, 2), bt.normals)
+        out = out + bt.integrate_rhs(val)
+        return out
+
+    # ------------------------------------------------------------------
+    # Substep 1: tentative velocity (reference :147-255)
+    # ------------------------------------------------------------------
+    def _residual(self, Ui, U0, Fq_expl, Fq_impl, P0, rho, mu, dt, theta_explicit):
+        """F1(ui) = (ui - u0, v) - dt/rho * [theta-weighted rhs_weak]."""
+        V, geom = self.V, self.geom
+        r = assembly.mass_apply(V, geom, Ui - U0)
+        w_ex, w_im = theta_explicit
+        if w_ex:
+            r = r - (dt / rho) * w_ex * self.rhs_weak(U0, Fq_expl, rho, mu, P0)
+        if w_im:
+            r = r - (dt / rho) * w_im * self.rhs_weak(Ui, Fq_impl, rho, mu, P0)
+        return r
+
+    def _tentative_newton_impl(
+        self, U0, Fq_expl, Fq_impl, P0, rho, mu, dt, mask, gvals, theta_explicit, tol
+    ):
+        free = 1.0 - mask
+
+        def res_bc(x):
+            r = self._residual(x, U0, Fq_expl, Fq_impl, P0, rho, mu, dt, theta_explicit)
+            return free * r + mask * (x - gvals)
+
+        # Jacobi preconditioner from the mass + viscous diagonal
+        w_im = theta_explicit[1]
+        diag = self.mass_diag_V + (dt / rho) * w_im * (2.0 * mu) * self.stiff_diag_V
+        diag = free * diag + mask
+
+        x0 = free * U0 + mask * gvals  # initial guess u0 with BCs applied (:220)
+
+        def newton_body(state):
+            x, rnorm, k = state
+            r = res_bc(x)
+
+            def Jv(v):
+                return jax.jvp(res_bc, (x,), (v,))[1]
+
+            dx, _ = krylov.bicgstab(
+                Jv, -r, M=lambda t: t / diag, rtol=1e-7, atol=0.05 * tol,
+                maxiter=400,
+            )
+            x = x + dx
+            r_new = res_bc(x)
+            rnorm = jnp.sqrt(jnp.sum(r_new * r_new))
+            return (x, rnorm, k + 1)
+
+        def newton_cond(state):
+            _, rnorm, k = state
+            return jnp.logical_and(rnorm > tol, k < 10)
+
+        r0 = res_bc(x0)
+        rnorm0 = jnp.sqrt(jnp.sum(r0 * r0))
+        x, rnorm, iters = jax.lax.while_loop(
+            newton_cond, newton_body, (x0, rnorm0, jnp.array(0))
+        )
+        return x, rnorm, iters
+
+    # ------------------------------------------------------------------
+    # Substep 2: pressure Poisson (reference :258-433)
+    # ------------------------------------------------------------------
+    def _pressure_solve_impl(
+        self, Ui, P0, alpha, rho, dt, mu, mask, gvals, tol, neumann, rotational
+    ):
+        V, Q, geom = self.V, self.Q, self.geom
+
+        def K(p):
+            return assembly.stiffness_apply(Q, geom, p)
+
+        L2 = -(alpha * rho / dt) * forms.div_rhs(V, Q, geom, Ui)
+        L2 = L2 + K(P0)
+        if rotational:
+            L2 = L2 - mu * forms.grad_div_ustar_rhs(V, Q, geom, Ui)
+
+        diag = jnp.where(self.stiff_diag_Q > 0, self.stiff_diag_Q, 1.0)
+        if neumann:
+            # singular-consistent pure-Neumann system (:366-432): CG with the
+            # constant nullspace projected (replaces BoomerAMG w/ Jacobi
+            # coarse relaxation, :414-418)
+            p1, sinfo = krylov.cg(
+                K,
+                L2,
+                M=lambda r: r / diag,
+                rtol=tol,
+                maxiter=1000,
+                nullspace=[self.ones_Q],
+            )
+        else:
+            free = 1.0 - mask
+
+            def K_bc(p):
+                return free * K(free * p) + mask * p
+
+            rhs = free * (L2 - K(mask * gvals)) + mask * gvals
+            p1, sinfo = krylov.cg(
+                K_bc, rhs, M=lambda r: r / (free * diag + mask), rtol=tol, maxiter=1000
+            )
+        return p1, sinfo.iters, sinfo.converged
+
+    # ------------------------------------------------------------------
+    # Substep 3: velocity correction (reference :436-465)
+    # ------------------------------------------------------------------
+    def _velocity_correction_impl(
+        self, Ui, P1, P0, rho, mu, dt, mask, gvals, tol, rotational
+    ):
+        V, Q, geom = self.V, self.Q, self.geom
+        phi = P1 - P0
+        div_part = None
+        if rotational:
+            div_part = mu * forms.grad_div_ustar(V, geom, Ui)
+
+        L3 = assembly.mass_apply(V, geom, Ui) - (dt / rho) * forms.grad_phi_rhs(
+            V, Q, geom, phi, div_part=div_part, rule_degree=4
+        )
+        free = 1.0 - mask
+
+        def M_bc(u):
+            y = assembly.mass_apply(V, geom, free * u)
+            return free * y + mask * u
+
+        rhs = free * (L3 - assembly.mass_apply(V, geom, mask * gvals)) + mask * gvals
+        diag = free * self.mass_diag_V + mask
+        u1, sinfo = krylov.cg(
+            M_bc, rhs, M=lambda r: r / diag, rtol=tol, maxiter=500
+        )
+        return u1, sinfo.iters, sinfo.converged
+
+
+def _eval_f_at_qp(ctx: _Context, f):
+    """Evaluate a body force (callable / tuple / Function / dict entry) at the
+    F_RULE quadrature points -> [nc, nq, 2]."""
+    geom = ctx.geom
+    ftab = tabulation(ctx.V, F_RULE)
+    if isinstance(f, Function):
+        tab_f = tabulation(f.space, F_RULE)
+        return assembly.values_at_qp(tab_f, f.space.gather(f.vector))
+    xq = geom.physical_points(ftab.ref_pts)
+    return eval_callable(f, xq)
+
+
+def _step(
+    dt,
+    u,
+    p0,
+    u_bcs,
+    p_bcs,
+    rho,
+    mu,
+    time_step_method,
+    f,
+    rotational_form=False,
+    verbose=True,
+    tol=1.0e-10,
+):
+    """One projection step; mirrors reference _step (:468-518).
+
+    u: {0: u0} or {-1: u_1, 0: u0} (dict of Functions); p0: Function;
+    f: {0: f0, 1: f1}. Returns (u1, p1) Functions.
+    """
+    dt = float(dt)
+    rho = float(rho)
+    mu = float(mu)
+    assert dt > 0.0
+    assert mu > 0.0
+
+    u0 = u[0]
+    V = u0.space
+    Q = p0.space
+    ctx = _get_ctx(V, Q)
+
+    mask_u, val_u = combine_bcs(V, u_bcs)
+    has_p_bcs = bool(p_bcs)
+    if has_p_bcs:
+        mask_p, val_p = combine_bcs(Q, p_bcs)
+    else:
+        mask_p = jnp.zeros(Q.n_dofs, dtype=V.mesh.dtype)
+        val_p = mask_p
+
+    if time_step_method == "forward euler":
+        theta = (1.0, 0.0)
+    elif time_step_method == "backward euler":
+        theta = (0.0, 1.0)
+    else:
+        assert time_step_method == "crank-nicolson"
+        theta = (0.5, 0.5)
+    alpha = 1.0
+
+    Fq0 = _eval_f_at_qp(ctx, f[0]) if theta[0] else jnp.zeros(1)
+    Fq1 = _eval_f_at_qp(ctx, f[1]) if theta[1] else jnp.zeros(1)
+    if not theta[0]:
+        Fq0 = Fq1
+    if not theta[1]:
+        Fq1 = Fq0
+
+    with Message("Computing tentative velocity"):
+        Ui, rnorm, n_newton = ctx._tentative_newton(
+            u0.vector, Fq0, Fq1, p0.vector, rho, mu, dt, mask_u, val_u,
+            theta_explicit=theta, tol=1.0e-10,
+        )
+        rnorm = float(rnorm)
+        if verbose:
+            info("newton: iters=%d, |r|=%.3e", int(n_newton), rnorm)
+        # absolute tolerance 1e-10 with error_on_nonconvergence=True
+        # (reference :228-254, :499); small slack for accumulated roundoff
+        if rnorm > 1.0e-9:
+            raise RuntimeError(
+                f"Newton solver did not converge (residual {rnorm:.3e})"
+            )
+
+    with Message("Computing pressure"):
+        P1, piters, pconv = ctx._pressure_solve(
+            Ui,
+            p0.vector,
+            alpha,
+            rho,
+            dt,
+            mu,
+            mask_p,
+            val_p,
+            tol,
+            neumann=not has_p_bcs,
+            rotational=rotational_form,
+        )
+        if verbose:
+            info("pressure cg: iters=%d", int(piters))
+        if not bool(pconv):
+            raise RuntimeError("Pressure Poisson solve did not converge")
+
+    with Message("Computing velocity correction"):
+        U1, citers, cconv = ctx._velocity_correction(
+            Ui,
+            P1,
+            p0.vector,
+            rho,
+            mu,
+            dt,
+            mask_u,
+            val_u,
+            tol,
+            rotational=rotational_form,
+        )
+        if verbose:
+            info("mass cg: iters=%d", int(citers))
+        if not bool(cconv):
+            raise RuntimeError("Velocity correction solve did not converge")
+
+    return Function(V, U1), Function(Q, P1)
+
+
+class Chorin:
+    """Non-incremental scheme (discards p0; reference :521-552)."""
+
+    order = {"velocity": 1.0, "pressure": 0.5}
+
+    def step(self, dt, u, p0, u_bcs, p_bcs, rho, mu, f, verbose=True, tol=1.0e-10):
+        zero_p = Function(p0.space)
+        return _step(
+            dt, u, zero_p, u_bcs, p_bcs, rho, mu, "backward euler", f,
+            verbose=verbose, tol=tol,
+        )
+
+
+class IPCS:
+    """Incremental pressure-correction scheme (reference :555-584)."""
+
+    order = {"velocity": 2.0, "pressure": 1.0}
+
+    def __init__(self, time_step_method="backward euler"):
+        self.time_step_method = time_step_method
+
+    def step(self, dt, u, p0, u_bcs, p_bcs, rho, mu, f, verbose=True, tol=1.0e-10):
+        return _step(
+            dt, u, p0, u_bcs, p_bcs, rho, mu, self.time_step_method, f,
+            verbose=verbose, tol=tol,
+        )
+
+
+class Rotational:
+    """Incremental scheme in rotational form (reference :587-617)."""
+
+    order = {"velocity": 2.0, "pressure": 1.5}
+
+    def __init__(self, time_step_method="backward euler"):
+        self.time_step_method = time_step_method
+
+    def step(self, dt, u, p0, u_bcs, p_bcs, rho, mu, f, verbose=True, tol=1.0e-10):
+        return _step(
+            dt, u, p0, u_bcs, p_bcs, rho, mu, self.time_step_method, f,
+            rotational_form=True, verbose=verbose, tol=tol,
+        )
