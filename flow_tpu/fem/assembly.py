@@ -83,27 +83,29 @@ class Geometry:
         )
 
 
-_GEOM_CACHE = {}
-
-
 def geometry(mesh) -> Geometry:
-    key = id(mesh)
-    if key not in _GEOM_CACHE:
-        _GEOM_CACHE[key] = Geometry(mesh)
-    return _GEOM_CACHE[key]
+    # cached on the mesh itself (id()-keyed dicts break after GC reuses ids)
+    if not hasattr(mesh, "_geom_cache"):
+        mesh._geom_cache = Geometry(mesh)
+    return mesh._geom_cache
 
 
 class Tab:
-    """Static tabulation of a basis at a quadrature rule (compile-time data)."""
+    """Static tabulation of a basis at a quadrature rule.
+
+    Stored as host numpy arrays: they are compile-time constants, and numpy
+    storage makes the cache safe to build/reuse inside any jit trace (device
+    arrays created under a trace would leak tracers)."""
 
     def __init__(self, degree, rule_degree, dtype):
         pts, w = quadrature.triangle_rule(rule_degree)
         phi, dphi = elements.tabulate(degree, pts)
+        npdt = np.dtype(dtype)
         self.ref_pts = pts
-        self.w = jnp.asarray(w, dtype=dtype)
-        self.phi = jnp.asarray(phi, dtype=dtype)
-        self.dphi = jnp.asarray(dphi, dtype=dtype)
-        self.hess = jnp.asarray(elements.hessian_ref(degree), dtype=dtype)
+        self.w = np.asarray(w, dtype=npdt)
+        self.phi = np.asarray(phi, dtype=npdt)
+        self.dphi = np.asarray(dphi, dtype=npdt)
+        self.hess = np.asarray(elements.hessian_ref(degree), dtype=npdt)
         self.nq = len(w)
         self.nl = phi.shape[1]
 

@@ -39,6 +39,15 @@ class DirichletBC:
 
 def _eval_value(value, x, ncomp):
     n = len(x)
+    if isinstance(value, (tuple, list)) and any(callable(v) for v in value):
+        assert len(value) == ncomp
+        cols = [
+            np.asarray(v(x), dtype=np.float64).reshape(n)
+            if callable(v)
+            else np.full(n, float(v))
+            for v in value
+        ]
+        return np.stack(cols, axis=1)
     if callable(value) and not np.isscalar(value):
         v = np.asarray(value(x), dtype=np.float64)
         if ncomp == 1:

@@ -40,17 +40,17 @@ from ..message import Message, info
 
 __all__ = ["Chorin", "IPCS", "Rotational"]
 
-_CTX_CACHE = {}
-
 CONV_RULE = 5  # quadrature degree for the trilinear convection terms
 F_RULE = 6  # quadrature degree for external force integrals
 
 
 def _get_ctx(V: FunctionSpace, Q: FunctionSpace):
-    key = (id(V), id(Q))
-    if key not in _CTX_CACHE:
-        _CTX_CACHE[key] = _Context(V, Q)
-    return _CTX_CACHE[key]
+    # cached on the velocity space (id()-keyed dicts break after GC)
+    ctx = getattr(V, "_ns_ctx", None)
+    if ctx is None or ctx.Q is not Q:
+        ctx = _Context(V, Q)
+        V._ns_ctx = ctx
+    return ctx
 
 
 class _Context:

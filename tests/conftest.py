@@ -3,7 +3,7 @@
 # float64 enabled (the reference's tolerances, 1e-10..1e-13, need it).
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,4 +12,7 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The environment pins JAX_PLATFORMS=axon (the TPU tunnel); override via
+# config, which takes precedence after import.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
