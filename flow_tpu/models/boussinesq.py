@@ -1,0 +1,229 @@
+# Coupled Navier-Stokes + heat (Boussinesq) driver.
+#
+# Rebuilds the application loop of /root/reference/tests/test_boussinesq.py:
+# 100-367 as a reusable model: rectangle-with-hole water tank, heater ramp on
+# the inner (hole) boundary (:172-176), Banach fixed-point iteration over the
+# velocity/temperature coupling (:202-289), exception-driven dt backoff
+# (:254-264, the numerical failure-recovery pattern of SURVEY.md §5.3), and
+# the smooth Banach-step-based dt controller (:320-363).
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..mesh import rectangle_with_hole_mesh
+from ..fem.spaces import VectorFunctionSpace, FunctionSpace, Function
+from ..fem.bc import DirichletBC
+from ..fem.interpolate import project, norm
+from .. import navier_stokes, heat, parabolic, materials
+from ..message import Message, info, begin, end
+
+__all__ = ["compute_boussinesq"]
+
+X0, X1 = 0.0, 0.1
+Y0, Y1 = 0.0, 0.2
+CX, CY, R = 0.05, 0.05, 0.02
+MESH_EPS = 1.0e-9
+
+
+def _hot(x):
+    # the interior (hole) boundary (reference HotBoundary, :35-42)
+    return (
+        (x[:, 0] > X0 + MESH_EPS)
+        & (x[:, 0] < X1 - MESH_EPS)
+        & (x[:, 1] > Y0 + MESH_EPS)
+        & (x[:, 1] < Y1 - MESH_EPS)
+    )
+
+
+def _cool(x):
+    return (
+        (x[:, 0] < X0 + MESH_EPS)
+        | (x[:, 0] > X1 - MESH_EPS)
+        | (x[:, 1] < Y0 + MESH_EPS)
+        | (x[:, 1] > Y1 - MESH_EPS)
+    )
+
+
+def compute_boussinesq(
+    target_time,
+    lcar,
+    supg=False,
+    dt0=1.0e-2,
+    dt_max=1.0,
+    verbose=False,
+    writer=None,
+):
+    """Run the coupled simulation to `target_time`; returns (u1, p1, theta1)."""
+    mesh = rectangle_with_hole_mesh(X0, X1, Y0, Y1, cx=CX, cy=CY, r=R, lcar=lcar)
+
+    room_temp = 293.0
+    max_heater_temp = 320.0
+    g_const = -9.81
+
+    rho = materials.water.density
+    mu = float(materials.water.dynamic_viscosity(room_temp))
+    cp = materials.water.specific_heat_capacity
+    kappa = materials.water.thermal_conductivity
+
+    V = VectorFunctionSpace(mesh, 2)
+    P = FunctionSpace(mesh, 1)
+    Q = FunctionSpace(mesh, 2)  # temperature space, P2 (reference :130)
+
+    theta0 = project(room_temp, Q).rename("temperature")
+    u0 = project((0.0, 0.0), V).rename("velocity")
+    rho_room = float(rho(room_temp))
+    p0 = project(lambda x: rho_room * g_const * x[..., 1], P).rename("pressure")
+
+    u_bcs = [DirichletBC(V, (0.0, 0.0), "on_boundary")]
+    p_bcs = []
+    hot_dofs = _hot
+    cool_dofs = _cool
+
+    t = 0.0
+    dt = dt0
+    u1, p1, theta1 = u0, p0, theta0
+
+    while t < target_time + 1.0e-14:
+        begin("Time step %e -> %e..." % (t, t + dt))
+        # heater ramp room -> max over 30 s (reference :172-176)
+        t1 = 30.0
+        heater_temp = room_temp + min(1.0, t / t1) * (max_heater_temp - room_temp)
+
+        u_prev = u0.copy()
+        theta_prev = theta0.copy()
+        is_banach_converged = False
+        banach_tol = 1.0e-1
+        max_banach_steps = 10
+        target_banach_steps = 5
+        banach_step = 0
+        failed = False
+        while not is_banach_converged:
+            banach_step += 1
+            if banach_step > max_banach_steps:
+                info(
+                    "Banach solver failed to converge. Decrease time step "
+                    "from %e to %e and try again." % (dt, 0.25 * dt)
+                )
+                dt *= 0.25
+                failed = True
+                end()
+                break
+            begin("Banach step %d:" % banach_step)
+
+            with Message("Computing heat..."):
+                heat_bcs = [
+                    DirichletBC(Q, heater_temp, hot_dofs),
+                    DirichletBC(Q, room_temp, cool_dofs),
+                ]
+                # all coefficients at room temperature (reference :219-227)
+                op = heat.Heat(
+                    Q,
+                    u_prev,
+                    float(kappa(room_temp)),
+                    float(rho(room_temp)),
+                    float(cp(room_temp)),
+                    heat_bcs,
+                    0.0,
+                    supg_stabilization=supg,
+                )
+                theta1 = parabolic.ImplicitEuler(op).step(theta0, t, dt)
+
+            begin("Computing flux and pressure...")
+            stepper = navier_stokes.Rotational()
+            # Boussinesq buoyancy: f = rho(theta_prev) * g (reference :247-250)
+            rho_theta = rho_of_theta(theta_prev, rho)
+            try:
+                u1, p1 = stepper.step(
+                    dt,
+                    {0: u0},
+                    p0,
+                    u_bcs,
+                    p_bcs,
+                    float(rho(room_temp)),
+                    mu,
+                    f={
+                        0: buoyancy(rho_theta, g_const),
+                        1: buoyancy(rho_theta, g_const),
+                    },
+                    verbose=False,
+                    tol=1.0e-10,
+                )
+            except RuntimeError:
+                info(
+                    "Navier-Stokes solver failed to converge. Decrease time "
+                    "step from %e to %e and try again." % (dt, 0.5 * dt)
+                )
+                dt *= 0.5
+                failed = True
+                end()
+                end()
+                end()
+                break
+            end()
+
+            u_diff_norm = float(
+                jnp.max(jnp.sum(jnp.abs(u1.vector - u_prev.vector), axis=1))
+            )
+            theta_diff_norm = float(jnp.max(jnp.abs(theta1.vector - theta_prev.vector)))
+            info("Banach residuals:")
+            info("   ||u - u_prev||         = %e" % u_diff_norm)
+            info("   ||theta - theta_prev|| = %e" % theta_diff_norm)
+
+            is_banach_converged = (
+                u_diff_norm < banach_tol and theta_diff_norm < banach_tol
+            )
+            u_prev = u1.copy()
+            theta_prev = theta1.copy()
+            end()
+
+        if failed:
+            continue
+
+        theta0, u0, p0 = theta1, u1, p1
+        if writer is not None:
+            writer.write(theta0, t)
+            writer.write(u0, t)
+            writer.write(p0, t)
+        end()
+
+        begin("Step size adaptation...")
+        # Banach-step-count-based smooth controller (reference :343-363)
+        target_dt = dt * target_banach_steps / banach_step
+        info("current dt: %e" % dt)
+        info("target dt:  %e" % target_dt)
+        alpha = 0.5
+        dt = min(dt_max, dt * min(2.0, 1.0 + alpha * (target_dt - dt) / dt))
+        info("next dt:    %e" % dt)
+        t += dt
+        end()
+
+    return u1, p1, theta1
+
+
+def rho_of_theta(theta: Function, rho_fn):
+    """Temperature-dependent density as a FE Function on theta's space."""
+    vals = jnp.asarray(
+        np.asarray(rho_fn(np.asarray(theta.vector))), dtype=theta.vector.dtype
+    )
+    return Function(theta.space, vals)
+
+
+def buoyancy(rho_theta: Function, g_const):
+    """f = rho(theta) * (0, g) as a callable evaluated at quadrature points."""
+    space = rho_theta.space
+
+    def f(x):
+        # x: [nc, nq, 2] physical quadrature points of the force rule; the
+        # density field is evaluated through its own basis at those points
+        from ..fem import assembly
+
+        # evaluate rho(theta) at V's force-rule quadrature points
+        from ..navier_stokes.pressure_correction import F_RULE
+
+        tab = assembly.tabulation(space, F_RULE)
+        vals = assembly.values_at_qp(tab, space.gather(rho_theta.vector))
+        zeros = jnp.zeros_like(vals)
+        return jnp.stack([zeros, vals * g_const], axis=-1)
+
+    return f

@@ -1,0 +1,230 @@
+# Karman vortex street: flow past a cylinder — the framework's flagship
+# workload (the north-star benchmark of BASELINE.md).
+#
+# Rebuilds the application driver of
+# /root/reference/tests/test_karman_vortex_street.py:56-289 as a reusable
+# model: geometry (rectangle with slightly off-center circular obstacle,
+# :35-45), parabolic in/outflow with an outlet pressure pin (:128-203),
+# Stokes bootstrap (:171-179), Rotational time stepping with smooth CFL-style
+# dt adaptation (:219-287) — plus what the reference lacks: drag/lift force
+# probes on the cylinder and a Strouhal-number estimate (required by the
+# BASELINE.json north-star metric).
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..mesh import rectangle_with_hole_mesh, refine_uniform
+from ..fem.spaces import VectorFunctionSpace, FunctionSpace, Function
+from ..fem.bc import DirichletBC
+from ..fem.assembly import geometry, BoundaryTab
+from ..fem.interpolate import norm
+from .. import stokes as stokes_mod
+from .. import navier_stokes
+from ..message import Message, info
+
+__all__ = ["KarmanProblem", "run_karman"]
+
+X0, X1 = 0.0, 0.6
+Y0, Y1 = -0.07, 0.07
+OBSTACLE_DIAMETER = 0.04
+OBSTACLE_CENTER = (0.1, 0.01)
+ENTRANCE_VELOCITY = 0.01
+MESH_EPS = 1.0e-12
+
+
+class KarmanProblem:
+    def __init__(self, lcar=0.1, n_refine=0, mu=0.002, rho=None, dtype=None):
+        cx, cy = OBSTACLE_CENTER
+        r = 0.5 * OBSTACLE_DIAMETER
+        mesh = rectangle_with_hole_mesh(
+            X0, X1, Y0, Y1, cx=cx, cy=cy, r=r, lcar=lcar, dtype=dtype
+        )
+
+        def snap(p):
+            th = np.arctan2(p[:, 1] - cy, p[:, 0] - cx)
+            d = np.linalg.norm(p - [cx, cy], axis=1)
+            on_circ = np.abs(d - r) < 0.3 * r
+            out = p.copy()
+            out[on_circ] = np.stack(
+                [cx + r * np.cos(th[on_circ]), cy + r * np.sin(th[on_circ])], 1
+            )
+            return out
+
+        for _ in range(n_refine):
+            mesh = refine_uniform(mesh, snap_boundary=snap)
+
+        self.mesh = mesh
+        self.mu = mu
+        from .. import materials
+
+        self.rho = rho if rho is not None else float(
+            materials.water.density(T=293.0)
+        )
+        self.V = VectorFunctionSpace(mesh, 2)
+        self.Q = FunctionSpace(mesh, 1)
+        self.WP = stokes_mod.TaylorHood.__new__(stokes_mod.TaylorHood)
+        self.WP.mesh = mesh
+        self.WP.V = self.V
+        self.WP.Q = self.Q
+
+        # boundary predicates (reference :70-97)
+        left = lambda x: x[:, 0] < X0 + MESH_EPS
+        right = lambda x: x[:, 0] > X1 - MESH_EPS
+        lower = lambda x: x[:, 1] < Y0 + MESH_EPS
+        upper = lambda x: x[:, 1] > Y1 - MESH_EPS
+        obstacle = lambda x: (
+            (x[:, 0] > X0 + MESH_EPS)
+            & (x[:, 0] < X1 - MESH_EPS)
+            & (x[:, 1] > Y0 + MESH_EPS)
+            & (x[:, 1] < Y1 - MESH_EPS)
+        )
+
+        # parabolic in/outflow (reference :128-137)
+        def profile(x):
+            return (
+                ENTRANCE_VELOCITY
+                * (Y1 - x[:, 1])
+                * (x[:, 1] - Y0)
+                / (0.5 * (Y1 - Y0)) ** 2
+            )
+
+        V = self.V
+        self.u_bcs = [
+            DirichletBC(V, (0.0, 0.0), upper),
+            DirichletBC(V, (0.0, 0.0), lower),
+            DirichletBC(V, (0.0, 0.0), obstacle),
+            DirichletBC(V.sub(0), profile, left),
+            DirichletBC(V.sub(0), profile, right),
+        ]
+        # outlet pressure pin for the projection steps (reference :201-203)
+        self.p_bcs = [DirichletBC(self.Q, 0.0, right)]
+
+        # probe machinery: obstacle facets of the boundary tabulations
+        self.btabV = BoundaryTab(self.V, rule_degree=4)
+        self.btabQ = BoundaryTab(self.Q, rule_degree=4)
+        mids = self.btabV.x_np.mean(axis=1)  # [nb, 2] facet qp centroid
+        self.obstacle_facets = jnp.asarray(
+            np.asarray(obstacle(mids), dtype=np.float64), dtype=mesh.dtype
+        )
+
+        self.reynolds = ENTRANCE_VELOCITY * OBSTACLE_DIAMETER * self.rho / mu
+
+    def stokes_bootstrap(self, tol=1.0e-13, max_iter=10000):
+        """Initial (u0, p0) from steady Stokes (reference :171-179)."""
+        u0, p0 = stokes_mod.solve(
+            self.WP,
+            self.u_bcs,  # p_bcs NOT pinned in the bootstrap, as in reference
+            self.mu,
+            f=(0.0, 0.0),
+            verbose=False,
+            tol=tol,
+            max_iter=max_iter,
+        )
+        return u0, p0
+
+    def forces(self, u: Function, p: Function):
+        """Drag and lift: F = oint_cyl [ -p I + mu (grad u + grad u^T) ] n ds
+        with n the body-outward normal (= minus the fluid-domain facet
+        normal). Returns (F_x, F_y) as floats. (New capability beyond the
+        reference — needed for the drag/lift/Strouhal north-star metric.)"""
+        geom = geometry(self.mesh)
+        bt = self.btabV
+        gu = bt.grads(u.vector, geom)  # [nb, q, m, d]
+        pb = self.btabQ.values(p.vector)  # [nb, q]
+        n = -bt.normals  # body-outward [nb, 2]
+        sig = self.mu * (gu + gu.transpose(0, 1, 3, 2))  # [nb,q,i,j]
+        tvec = jnp.einsum("bqij,bj->bqi", sig, n) - pb[:, :, None] * n[:, None, :]
+        F = jnp.einsum("bqi,bq,b->i", tvec, bt.wl, self.obstacle_facets)
+        return float(F[0]), float(F[1])
+
+    def drag_lift_coefficients(self, u, p):
+        fx, fy = self.forces(u, p)
+        scale = 0.5 * self.rho * ENTRANCE_VELOCITY**2 * OBSTACLE_DIAMETER
+        return fx / scale, fy / scale
+
+
+def run_karman(
+    num_steps=2,
+    lcar=0.1,
+    n_refine=0,
+    mu=0.002,
+    dt0=1.0e-5,
+    dt_max=1.0,
+    collect_forces=False,
+    verbose=False,
+    writer=None,
+):
+    """Time-stepping driver mirroring reference test_karman (:56-289):
+    Stokes bootstrap -> Rotational steps with smooth CFL dt adaptation.
+
+    Returns a dict with final state and time series (t, dt, forces)."""
+    problem = KarmanProblem(lcar=lcar, n_refine=n_refine, mu=mu)
+    if verbose:
+        info("Reynolds number:  %e", problem.reynolds)
+
+    with Message("Stokes bootstrap"):
+        u0, p0 = problem.stokes_bootstrap()
+
+    stepper = navier_stokes.Rotational()
+    rho = problem.rho
+    dt = dt0
+    t = 0.0
+    times, dts, forces = [], [], []
+
+    for k in range(num_steps):
+        u1, p1 = stepper.step(
+            dt,
+            {0: u0},
+            p0,
+            problem.u_bcs,
+            problem.p_bcs,
+            rho,
+            problem.mu,
+            f={0: (0.0, 0.0), 1: (0.0, 0.0)},
+            verbose=False,
+            tol=1.0e-10,
+        )
+        u0, p0 = u1, p1
+        t += dt
+        if collect_forces:
+            forces.append(problem.forces(u0, p0))
+        times.append(t)
+        dts.append(dt)
+        if writer is not None:
+            writer.write(u0.rename("velocity"), t)
+            writer.write(p0.rename("pressure"), t)
+
+        # smooth CFL-style step-size adaptation (reference :261-287)
+        umag = jnp.sqrt(jnp.sum(u0.vector**2, axis=1))
+        unorm = float(jnp.max(umag))
+        target_dt = 1.0 * problem.mesh.hmax / max(unorm, 1e-30)
+        alpha = 0.5
+        dt = min(dt_max, dt * min(2.0, 1.0 + alpha * (target_dt - dt) / dt))
+        if verbose:
+            info("step %d: t=%.4e dt->%.4e |u|_inf=%.4e", k + 1, t, dt, unorm)
+
+    return {
+        "problem": problem,
+        "u": u0,
+        "p": p0,
+        "t": np.array(times),
+        "dt": np.array(dts),
+        "forces": np.array(forces) if forces else None,
+    }
+
+
+def strouhal_number(t, lift, min_periods=3):
+    """Estimate the Strouhal number St = f d / U from a lift time series
+    (uniformly resampled + dominant FFT frequency)."""
+    t = np.asarray(t, dtype=float)
+    lift = np.asarray(lift, dtype=float)
+    tu = np.linspace(t[0], t[-1], 4 * len(t))
+    lu = np.interp(tu, t, lift - lift.mean())
+    freqs = np.fft.rfftfreq(len(tu), d=tu[1] - tu[0])
+    amp = np.abs(np.fft.rfft(lu))
+    amp[0] = 0.0
+    f = freqs[int(np.argmax(amp))]
+    if f * (t[-1] - t[0]) < min_periods:
+        return None  # series too short to resolve shedding
+    return f * OBSTACLE_DIAMETER / ENTRANCE_VELOCITY

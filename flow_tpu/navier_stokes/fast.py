@@ -1,0 +1,213 @@
+# The performance path: one fully-fused, jit-compiled projection step and a
+# lax.scan time loop with on-device adaptive dt — zero host synchronization
+# per step.
+#
+# This is where the TPU-native design departs hardest from the reference: in
+# FEniCS each substep crosses Python -> FFC-JIT C++ -> PETSc and back
+# (SURVEY.md §3.1 "process/device boundaries"); here the *entire* time step —
+# Newton on the tentative velocity, pressure Poisson, velocity correction,
+# CFL dt controller, force probes — is a single XLA program. Host code only
+# sees the final state and per-step telemetry arrays.
+#
+# Same discrete equations as pressure_correction._step (they share the
+# _Context assembly code); tolerances/iteration caps are configurable because
+# the benchmark path runs f32 (SURVEY.md §7 hard part #4).
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..fem import assembly, forms
+from ..fem.spaces import FunctionSpace
+from ..fem.bc import combine_bcs
+from ..solvers import krylov
+from .pressure_correction import _Context, _get_ctx
+
+__all__ = ["FastStepper"]
+
+
+class StepStats(NamedTuple):
+    newton_iters: jnp.ndarray
+    newton_res: jnp.ndarray
+    pressure_iters: jnp.ndarray
+    correction_iters: jnp.ndarray
+
+
+class FastStepper:
+    """Compiled projection stepper bound to (spaces, BCs, material constants).
+
+    step(U, P, dt)        -> (U1, P1, stats)        [one jitted call]
+    run(U, P, dt0, n)     -> (U, P, dt, telemetry)  [lax.scan over n steps,
+                              CFL-adaptive dt computed on device]
+    """
+
+    def __init__(
+        self,
+        V: FunctionSpace,
+        Q: FunctionSpace,
+        u_bcs,
+        p_bcs,
+        rho,
+        mu,
+        time_step_method="backward euler",
+        rotational_form=True,
+        newton_tol=1.0e-10,
+        newton_maxiter=10,
+        linear_rtol=1.0e-7,
+        pressure_rtol=1.0e-10,
+        pressure_maxiter=1000,
+        pressure_precond=None,
+        correction_rtol=1.0e-10,
+        cfl_target=1.0,
+        dt_max=1.0,
+        forces_probe=None,
+    ):
+        self.V, self.Q = V, Q
+        self.ctx = _get_ctx(V, Q)
+        self.rho = float(rho)
+        self.mu = float(mu)
+        self.rotational = rotational_form
+        if time_step_method == "forward euler":
+            self.theta = (1.0, 0.0)
+        elif time_step_method == "backward euler":
+            self.theta = (0.0, 1.0)
+        else:
+            assert time_step_method == "crank-nicolson"
+            self.theta = (0.5, 0.5)
+
+        self.mask_u, self.val_u = combine_bcs(V, u_bcs)
+        self.has_p_bcs = bool(p_bcs)
+        if self.has_p_bcs:
+            self.mask_p, self.val_p = combine_bcs(Q, p_bcs)
+        else:
+            self.mask_p = jnp.zeros(Q.n_dofs, dtype=V.mesh.dtype)
+            self.val_p = self.mask_p
+
+        self.newton_tol = newton_tol
+        self.newton_maxiter = newton_maxiter
+        self.linear_rtol = linear_rtol
+        self.pressure_rtol = pressure_rtol
+        self.pressure_maxiter = pressure_maxiter
+        self.pressure_precond = pressure_precond  # callable r -> z or None
+        self.correction_rtol = correction_rtol
+        self.cfl_target = cfl_target
+        self.dt_max = dt_max
+        self.hmax = V.mesh.hmax
+        self.forces_probe = forces_probe  # callable (U, P) -> array or None
+
+        ftab = assembly.tabulation(V, 6)
+        nq = ftab.nq
+        self._zero_f = jnp.zeros(
+            (V.mesh.n_cells, nq, 2), dtype=V.mesh.dtype
+        )
+
+        self.step = jax.jit(self._step_impl)
+        self.run = jax.jit(self._run_impl, static_argnames=("n_steps",))
+
+    # -- one projection step (all substeps fused into one XLA program) ------
+    def _step_impl(self, U, P, dt, Fq=None):
+        ctx = self.ctx
+        rho, mu = self.rho, self.mu
+        Fq = self._zero_f if Fq is None else Fq
+        free_u = 1.0 - self.mask_u
+
+        # substep 1: tentative velocity (Newton, jvp-based Jacobian)
+        def res_bc(x):
+            r = ctx._residual(x, U, Fq, Fq, P, rho, mu, dt, self.theta)
+            return free_u * r + self.mask_u * (x - self.val_u)
+
+        w_im = self.theta[1]
+        diag = ctx.mass_diag_V + (dt / rho) * w_im * (2.0 * mu) * ctx.stiff_diag_V
+        diag = free_u * diag + self.mask_u
+        x0 = free_u * U + self.mask_u * self.val_u
+
+        def newton_body(state):
+            x, rnorm, k = state
+            r = res_bc(x)
+
+            def Jv(v):
+                return jax.jvp(res_bc, (x,), (v,))[1]
+
+            dx, _ = krylov.bicgstab(
+                Jv,
+                -r,
+                M=lambda t: t / diag,
+                rtol=self.linear_rtol,
+                atol=0.05 * self.newton_tol,
+                maxiter=300,
+            )
+            x = x + dx
+            rn = res_bc(x)
+            return (x, jnp.sqrt(jnp.sum(rn * rn)), k + 1)
+
+        def newton_cond(state):
+            _, rnorm, k = state
+            return jnp.logical_and(rnorm > self.newton_tol, k < self.newton_maxiter)
+
+        r0 = res_bc(x0)
+        Ui, nres, niters = jax.lax.while_loop(
+            newton_cond, newton_body, (x0, jnp.sqrt(jnp.sum(r0 * r0)), jnp.array(0))
+        )
+
+        # substep 2: pressure Poisson
+        P1, piters, _ = ctx._pressure_solve_impl(
+            Ui,
+            P,
+            1.0,
+            rho,
+            dt,
+            mu,
+            self.mask_p,
+            self.val_p,
+            self.pressure_rtol,
+            neumann=not self.has_p_bcs,
+            rotational=self.rotational,
+        )
+
+        # substep 3: velocity correction
+        U1, citers, _ = ctx._velocity_correction_impl(
+            Ui,
+            P1,
+            P,
+            rho,
+            mu,
+            dt,
+            self.mask_u,
+            self.val_u,
+            self.correction_rtol,
+            rotational=self.rotational,
+        )
+        return U1, P1, StepStats(niters, nres, piters, citers)
+
+    # -- scan loop with on-device CFL dt controller --------------------------
+    def _run_impl(self, U, P, dt0, n_steps, Fq=None):
+        def body(carry, _):
+            U, P, dt, t = carry
+            U1, P1, stats = self._step_impl(U, P, dt, Fq)
+            t = t + dt
+            # smooth CFL-style controller (mirrors the host-side logic of
+            # /root/reference/tests/test_karman_vortex_street.py:261-287,
+            # computed on device)
+            umax = jnp.sqrt(jnp.max(jnp.sum(U1 * U1, axis=1)))
+            target_dt = self.cfl_target * self.hmax / jnp.maximum(umax, 1e-30)
+            dt_new = jnp.minimum(
+                self.dt_max,
+                dt * jnp.minimum(2.0, 1.0 + 0.5 * (target_dt - dt) / dt),
+            )
+            out = {
+                "t": t,
+                "dt": dt,
+                "newton_iters": stats.newton_iters,
+                "pressure_iters": stats.pressure_iters,
+            }
+            if self.forces_probe is not None:
+                out["forces"] = self.forces_probe(U1, P1)
+            return (U1, P1, dt_new, t), out
+
+        (U, P, dt, t), telemetry = jax.lax.scan(
+            body, (U, P, dt0, jnp.asarray(0.0, dtype=U.dtype)), None, length=n_steps
+        )
+        return U, P, dt, telemetry

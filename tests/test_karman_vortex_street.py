@@ -1,0 +1,31 @@
+# Karman vortex street smoke test — end-to-end pipeline check mirroring
+# /root/reference/tests/test_karman_vortex_street.py:56 (num_steps=2 in CI;
+# scaled up by bench.py / __main__ for real runs).
+import numpy as np
+
+from flow_tpu.models import karman
+
+
+def test_karman(num_steps=2, lcar=0.02):
+    out = karman.run_karman(
+        num_steps=num_steps, lcar=lcar, collect_forces=True, verbose=False
+    )
+    # Reynolds number as in the reference (:206-208): Re = u d rho / mu
+    assert abs(out["problem"].reynolds - 0.01 * 0.04 * out["problem"].rho / 0.002) < 1e-9
+    # state stays finite and nonzero
+    u = np.asarray(out["u"].vector)
+    assert np.isfinite(u).all()
+    assert np.abs(u).max() > 1e-4  # inflow is active
+    # forces on the cylinder are finite; drag positive (flow pushes the
+    # cylinder downstream)
+    f = out["forces"]
+    assert np.isfinite(f).all()
+    assert f[-1][0] > 0.0
+
+
+def test_strouhal_estimator_synthetic():
+    # pure-sine lift at f=2 Hz -> St = f d / U = 2 * 0.04 / 0.01 = 8
+    t = np.linspace(0.0, 5.0, 400)
+    lift = np.sin(2 * np.pi * 2.0 * t)
+    st = karman.strouhal_number(t, lift)
+    assert abs(st - 8.0) < 0.2
