@@ -57,25 +57,24 @@ class Mesh:
         cells[flip] = cells[flip][:, [0, 2, 1]]
 
         # --- edge topology -------------------------------------------------
-        # local edge k is opposite local vertex k: (k+1)%3, (k+2)%3
+        # local edge k is opposite local vertex k: (k+1)%3, (k+2)%3.
+        # Built by the native meshkit engine when available (C++, ctypes —
+        # the DOLFIN-mesh-runtime replacement, native/meshkit.cpp), with a
+        # bit-identical numpy fallback.
+        from . import native
+
+        nc = len(cells)
+        edges, cell_edges, bnd_edge_ids = native.build_edges(cells)
+
+        # find (cell, local) for each boundary edge (exactly one occurrence)
+        flat = cell_edges.ravel()
+        order = np.argsort(flat, kind="stable")
+        occurrence = order[np.searchsorted(flat[order], bnd_edge_ids)]
+        boundary_cells = (occurrence // 3).astype(np.int32)
+        boundary_local = (occurrence % 3).astype(np.int32)
         e_all = np.concatenate(
             [cells[:, [1, 2]], cells[:, [2, 0]], cells[:, [0, 1]]], axis=0
-        )  # [3*nc, 2]; row layout: k-major — rows [k*nc:(k+1)*nc] are local edge k
-        e_sorted = np.sort(e_all, axis=1)
-        edges, inverse, counts = np.unique(
-            e_sorted, axis=0, return_inverse=True, return_counts=True
         )
-        nc = len(cells)
-        cell_edges = inverse.reshape(3, nc).T.astype(np.int32)  # [nc, 3]
-
-        # boundary edges appear in exactly one cell
-        bnd_edge_ids = np.where(counts == 1)[0].astype(np.int32)
-        # find (cell, local) for each boundary edge
-        # inverse[k*nc + c] == edge id of local edge k of cell c
-        order = np.argsort(inverse, kind="stable")
-        first_occurrence = order[np.searchsorted(inverse[order], bnd_edge_ids)]
-        boundary_cells = (first_occurrence % nc).astype(np.int32)
-        boundary_local = (first_occurrence // nc).astype(np.int32)
 
         # outward normals: edge k (opposite vertex k) of a CCW triangle has
         # outward normal = rotate (v_{k+2} - v_{k+1}) by -90deg

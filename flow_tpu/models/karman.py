@@ -51,8 +51,10 @@ class KarmanProblem:
             )
             return out
 
+        self.mesh_hierarchy = [mesh]
         for _ in range(n_refine):
             mesh = refine_uniform(mesh, snap_boundary=snap)
+            self.mesh_hierarchy.append(mesh)
 
         self.mesh = mesh
         self.mu = mu

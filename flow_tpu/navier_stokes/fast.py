@@ -55,6 +55,7 @@ class FastStepper:
         time_step_method="backward euler",
         rotational_form=True,
         newton_tol=1.0e-10,
+        newton_rtol=0.0,
         newton_maxiter=10,
         linear_rtol=1.0e-7,
         pressure_rtol=1.0e-10,
@@ -87,6 +88,7 @@ class FastStepper:
             self.val_p = self.mask_p
 
         self.newton_tol = newton_tol
+        self.newton_rtol = newton_rtol
         self.newton_maxiter = newton_maxiter
         self.linear_rtol = linear_rtol
         self.pressure_rtol = pressure_rtol
@@ -143,29 +145,37 @@ class FastStepper:
             rn = res_bc(x)
             return (x, jnp.sqrt(jnp.sum(rn * rn)), k + 1)
 
+        r0 = res_bc(x0)
+        rnorm0 = jnp.sqrt(jnp.sum(r0 * r0))
+        # absolute (reference semantics, :228-254) OR relative (the f32
+        # benchmark path, where dt/rho scales the residual below f32 noise)
+        newton_target = jnp.maximum(self.newton_tol, self.newton_rtol * rnorm0)
+
         def newton_cond(state):
             _, rnorm, k = state
-            return jnp.logical_and(rnorm > self.newton_tol, k < self.newton_maxiter)
+            return jnp.logical_and(rnorm > newton_target, k < self.newton_maxiter)
 
-        r0 = res_bc(x0)
         Ui, nres, niters = jax.lax.while_loop(
-            newton_cond, newton_body, (x0, jnp.sqrt(jnp.sum(r0 * r0)), jnp.array(0))
+            newton_cond, newton_body, (x0, rnorm0, jnp.array(0))
         )
 
-        # substep 2: pressure Poisson
-        P1, piters, _ = ctx._pressure_solve_impl(
-            Ui,
-            P,
-            1.0,
-            rho,
-            dt,
-            mu,
-            self.mask_p,
-            self.val_p,
-            self.pressure_rtol,
-            neumann=not self.has_p_bcs,
-            rotational=self.rotational,
-        )
+        # substep 2: pressure Poisson (optionally GMG-preconditioned)
+        if self.pressure_precond is None:
+            P1, piters, _ = ctx._pressure_solve_impl(
+                Ui,
+                P,
+                1.0,
+                rho,
+                dt,
+                mu,
+                self.mask_p,
+                self.val_p,
+                self.pressure_rtol,
+                neumann=not self.has_p_bcs,
+                rotational=self.rotational,
+            )
+        else:
+            P1, piters = self._pressure_solve_mg(Ui, P, dt)
 
         # substep 3: velocity correction
         U1, citers, _ = ctx._velocity_correction_impl(
@@ -181,6 +191,52 @@ class FastStepper:
             rotational=self.rotational,
         )
         return U1, P1, StepStats(niters, nres, piters, citers)
+
+    def _pressure_solve_mg(self, Ui, P, dt):
+        """Pressure Poisson with a user-supplied (e.g. multigrid) SPD
+        preconditioner — the hot solve of the benchmark path."""
+        ctx = self.ctx
+        V, Q, geom = self.V, self.Q, ctx.geom
+
+        mask, gvals = self.mask_p, self.val_p
+
+        L2 = -(self.rho / dt) * forms.div_rhs(V, Q, geom, Ui)
+        if self.rotational:
+            L2 = L2 - self.mu * forms.grad_div_ustar_rhs(V, Q, geom, Ui)
+
+        if not self.has_p_bcs:
+
+            def K(p):
+                return assembly.stiffness_apply(Q, geom, p)
+
+            L2 = L2 + K(P)
+            p1, sinfo = krylov.cg(
+                K,
+                L2,
+                M=self.pressure_precond,
+                rtol=self.pressure_rtol,
+                maxiter=self.pressure_maxiter,
+                nullspace=[ctx.ones_Q],
+            )
+        else:
+            free = 1.0 - mask
+
+            def K_bc(p):
+                return free * assembly.stiffness_apply(Q, geom, free * p) + mask * p
+
+            def K_raw(p):
+                return assembly.stiffness_apply(Q, geom, p)
+
+            L2 = L2 + K_raw(P)
+            rhs = free * (L2 - K_raw(mask * gvals)) + mask * gvals
+            p1, sinfo = krylov.cg(
+                K_bc,
+                rhs,
+                M=self.pressure_precond,
+                rtol=self.pressure_rtol,
+                maxiter=self.pressure_maxiter,
+            )
+        return p1, sinfo.iters
 
     # -- scan loop with on-device CFL dt controller --------------------------
     def _run_impl(self, U, P, dt0, n_steps, Fq=None):

@@ -147,7 +147,8 @@ def bicgstab(
         x = x + alpha * phat + omega * shat
         r = s_vec - omega * t
         rnorm_new = jnp.sqrt(_dot(r, r))
-        stall = (jnp.abs(rho_new) < 1e-300) | (jnp.abs(omega) < 1e-300)
+        tiny = jnp.finfo(jnp.result_type(r)).tiny
+        stall = (jnp.abs(rho_new) < tiny) | (jnp.abs(omega) < tiny)
         return (x, r, rho_new, alpha, omega, v, p, rnorm_new, k + 1, stall)
 
     x, r, rho, alpha, omega, v, p, rnorm, k, stall = lax.while_loop(
@@ -159,7 +160,9 @@ def bicgstab(
 
 
 def _nz(x):
-    return jnp.where(x == 0, jnp.asarray(1e-300, dtype=x.dtype), x)
+    # guard divisions; finfo.tiny stays representable in f32 (1e-300 doesn't)
+    tiny = jnp.finfo(jnp.result_type(x)).tiny
+    return jnp.where(x == 0, jnp.asarray(tiny, dtype=x.dtype), x)
 
 
 def minres(

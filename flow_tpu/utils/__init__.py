@@ -1,0 +1,2 @@
+from .config import SolverConfig, SchemeConfig, BenchmarkConfig  # noqa: F401
+from .expression import Expression  # noqa: F401

@@ -1,0 +1,53 @@
+# Typed, frozen solver/scheme configuration.
+#
+# Replaces the reference's loose config surface — per-call
+# solver_parameters dicts and global PETScOptions.set
+# (/root/reference/flow/navier_stokes/pressure_correction.py:228-254,
+# 327-338, 415-418, 452-464; SURVEY.md §5.6) — with frozen dataclasses that
+# are hashable, printable, and usable as jit-static arguments.
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+
+__all__ = ["SolverConfig", "SchemeConfig", "BenchmarkConfig"]
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """Krylov solve configuration (one per linear system kind)."""
+
+    method: str = "cg"  # cg | bicgstab | minres | gmres
+    rtol: float = 1.0e-10
+    atol: float = 0.0
+    maxiter: int = 1000
+    preconditioner: str = "jacobi"  # jacobi | chebyshev | mg | none
+    error_on_nonconvergence: bool = True
+    monitor_convergence: bool = False
+
+    def as_dict(self):
+        return asdict(self)
+
+
+@dataclass(frozen=True)
+class SchemeConfig:
+    """Projection-scheme configuration."""
+
+    time_step_method: str = "backward euler"
+    rotational_form: bool = False
+    newton_tol: float = 1.0e-10
+    newton_rtol: float = 0.0
+    newton_maxiter: int = 10
+    convection_quadrature_degree: int = 5
+    force_quadrature_degree: int = 6
+
+
+@dataclass(frozen=True)
+class BenchmarkConfig:
+    """f32 performance-path settings (SURVEY.md §7 hard part #4)."""
+
+    newton_rtol: float = 1.0e-3
+    newton_maxiter: int = 3
+    linear_rtol: float = 1.0e-4
+    pressure_rtol: float = 1.0e-4
+    mg_smoother_degree: int = 3
+    cfl_target: float = 1.0
