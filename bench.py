@@ -19,6 +19,17 @@ import numpy as np
 def main():
     import jax
 
+    # persistent compilation cache: the scan program is large and the axon
+    # remote compiler slow; cache hits cut bench startup from ~15min to secs
+    cache_dir = os.environ.get(
+        "JAX_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".jax_cache")
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     # f32 performance path on whatever the default platform provides
     # (TPU under the driver; CPU works too, just slower)
     import jax.numpy as jnp

