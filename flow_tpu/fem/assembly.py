@@ -47,39 +47,56 @@ __all__ = [
 
 
 class Geometry:
-    """Per-element affine geometry: detJ [nc], G = J^{-T} [nc,2,2]."""
+    """Per-element affine geometry: detJ [nc], G = J^{-T} [nc,dim,dim].
+
+    grad_phys[d] = G[d,k] grad_ref[k];  C = detJ * G^T G is the exact
+    stiffness geometric factor. Works for 2-D triangles and 3-D tets."""
 
     def __init__(self, mesh):
         p = mesh.points
         c = mesh.cells
-        d0 = p[c[:, 1]] - p[c[:, 0]]  # [nc,2]
-        d1 = p[c[:, 2]] - p[c[:, 0]]
-        detJ = d0[:, 0] * d1[:, 1] - d0[:, 1] * d1[:, 0]  # > 0 (CCW)
-        # J = [[d0x, d1x], [d0y, d1y]];  J^{-T} = 1/det * [[d1y, -d1x], [-d0y, d0x]]^T
-        # J^{-1} = 1/det [[ d1y, -d1x], [-d0y, d0x]]
-        # J^{-T} = 1/det [[ d1y, -d0y], [-d1x, d0x]]
-        inv = jnp.stack(
-            [
-                jnp.stack([d1[:, 1], -d0[:, 1]], axis=-1),
-                jnp.stack([-d1[:, 0], d0[:, 0]], axis=-1),
-            ],
-            axis=-2,
-        ) / detJ[:, None, None]
+        dim = getattr(mesh, "dim", 2)
+        self.dim = dim
+        # edge vectors J columns: dvec[:, :, k] = p_{k+1} - p_0
+        dvecs = jnp.stack(
+            [p[c[:, k + 1]] - p[c[:, 0]] for k in range(dim)], axis=-1
+        )  # [nc, dim(space), dim(ref)]
+        if dim == 2:
+            d0 = dvecs[:, :, 0]
+            d1 = dvecs[:, :, 1]
+            detJ = d0[:, 0] * d1[:, 1] - d0[:, 1] * d1[:, 0]  # > 0 (CCW)
+            inv = jnp.stack(
+                [
+                    jnp.stack([d1[:, 1], -d0[:, 1]], axis=-1),
+                    jnp.stack([-d1[:, 0], d0[:, 0]], axis=-1),
+                ],
+                axis=-2,
+            ) / detJ[:, None, None]
+        else:
+            d0 = dvecs[:, :, 0]
+            d1 = dvecs[:, :, 1]
+            d2 = dvecs[:, :, 2]
+            c0 = jnp.cross(d1, d2)
+            c1 = jnp.cross(d2, d0)
+            c2 = jnp.cross(d0, d1)
+            detJ = jnp.einsum("ed,ed->e", d0, c0)
+            # J^{-T} columns are the cross products / det
+            inv = jnp.stack([c0, c1, c2], axis=-1) / detJ[:, None, None]
         self.detJ = detJ
         self.G = inv  # grad_phys[d] = G[d,k] grad_ref[k]
-        # C[e,k,l] = detJ * (G^T G)[k,l] — the stiffness geometric factor
         self.C = jnp.einsum("edk,edl->ekl", inv, inv) * detJ[:, None, None]
         self.cell_x0 = p[c[:, 0]]
-        self.cell_d0 = d0
-        self.cell_d1 = d1
+        self.dvecs = dvecs
+        # 2-D compatibility aliases
+        if dim == 2:
+            self.cell_d0 = dvecs[:, :, 0]
+            self.cell_d1 = dvecs[:, :, 1]
 
     def physical_points(self, ref_pts):
-        """Map reference points [nq,2] to physical [nc,nq,2]."""
+        """Map reference points [nq,dim] to physical [nc,nq,dim]."""
         r = jnp.asarray(ref_pts, dtype=self.cell_x0.dtype)
-        return (
-            self.cell_x0[:, None, :]
-            + r[None, :, 0, None] * self.cell_d0[:, None, :]
-            + r[None, :, 1, None] * self.cell_d1[:, None, :]
+        return self.cell_x0[:, None, :] + jnp.einsum(
+            "qk,edk->eqd", r, self.dvecs
         )
 
 
@@ -97,55 +114,61 @@ class Tab:
     storage makes the cache safe to build/reuse inside any jit trace (device
     arrays created under a trace would leak tracers)."""
 
-    def __init__(self, degree, rule_degree, dtype):
-        pts, w = quadrature.triangle_rule(rule_degree)
-        phi, dphi = elements.tabulate(degree, pts)
+    def __init__(self, degree, rule_degree, dtype, dim=2):
+        pts, w = quadrature.simplex_rule(rule_degree, dim)
+        phi, dphi = elements.tabulate(degree, pts, dim=dim)
         npdt = np.dtype(dtype)
         self.ref_pts = pts
         self.w = np.asarray(w, dtype=npdt)
         self.phi = np.asarray(phi, dtype=npdt)
         self.dphi = np.asarray(dphi, dtype=npdt)
-        self.hess = np.asarray(elements.hessian_ref(degree), dtype=npdt)
+        self.hess = np.asarray(elements.hessian_ref(degree, dim), dtype=npdt)
         self.nq = len(w)
         self.nl = phi.shape[1]
 
 
 @lru_cache(maxsize=None)
-def _tab_cached(degree, rule_degree, dtype_name):
-    return Tab(degree, rule_degree, jnp.dtype(dtype_name))
+def _tab_cached(degree, rule_degree, dtype_name, dim):
+    return Tab(degree, rule_degree, jnp.dtype(dtype_name), dim=dim)
+
+
+def _dim(space):
+    return getattr(space.mesh, "dim", 2)
 
 
 def tabulation(space: FunctionSpace, rule_degree) -> Tab:
-    return _tab_cached(space.degree, rule_degree, jnp.dtype(space.mesh.dtype).name)
+    return _tab_cached(
+        space.degree, rule_degree, jnp.dtype(space.mesh.dtype).name, _dim(space)
+    )
 
 
 # ---------------------------------------------------------------------------
 # Exact reference tensors (small numpy, computed once)
 # ---------------------------------------------------------------------------
 @lru_cache(maxsize=None)
-def ref_mass(degree):
+def ref_mass(degree, dim=2):
     """Mref[i,j] = int_ref phi_i phi_j (exact)."""
-    pts, w = quadrature.triangle_rule(2 * degree)
-    phi, _ = elements.tabulate(degree, pts)
+    pts, w = quadrature.simplex_rule(2 * degree, dim)
+    phi, _ = elements.tabulate(degree, pts, dim=dim)
     return np.einsum("q,qi,qj->ij", w, phi, phi)
 
 
 @lru_cache(maxsize=None)
-def ref_stiffness(degree):
+def ref_stiffness(degree, dim=2):
     """Kref[k,l,i,j] = int_ref d_k phi_i d_l phi_j (exact)."""
-    pts, w = quadrature.triangle_rule(max(1, 2 * (degree - 1)))
-    _, dphi = elements.tabulate(degree, pts)
+    pts, w = quadrature.simplex_rule(max(1, 2 * (degree - 1)), dim)
+    _, dphi = elements.tabulate(degree, pts, dim=dim)
     return np.einsum("q,qik,qjl->klij", w, dphi, dphi)
 
 
 @lru_cache(maxsize=None)
-def ref_mixed(deg_test, deg_trial):
+def ref_mixed(deg_test, deg_trial, dim=2):
     """Bref[k,i,j] = int_ref phi^test_i d_k phi^trial_j (exact).
 
     Used for div/grad coupling between velocity (P2) and pressure (P1)."""
-    pts, w = quadrature.triangle_rule(deg_test + deg_trial)
-    phi_t, _ = elements.tabulate(deg_test, pts)
-    _, dphi_u = elements.tabulate(deg_trial, pts)
+    pts, w = quadrature.simplex_rule(deg_test + deg_trial, dim)
+    phi_t, _ = elements.tabulate(deg_test, pts, dim=dim)
+    _, dphi_u = elements.tabulate(deg_trial, pts, dim=dim)
     return np.einsum("q,qi,qjk->kij", w, phi_t, dphi_u)
 
 
@@ -193,7 +216,7 @@ def integrate_rhs(space, tab: Tab, geom: Geometry, val=None, grad=None):
 # ---------------------------------------------------------------------------
 def mass_apply(space: FunctionSpace, geom: Geometry, U, coeff=None):
     """y = M U with M_ij = int c phi_i phi_j (c constant or per-cell [nc])."""
-    Mref = jnp.asarray(ref_mass(space.degree), dtype=U.dtype)
+    Mref = jnp.asarray(ref_mass(space.degree, _dim(space)), dtype=U.dtype)
     Uloc = space.gather(U)
     scale = geom.detJ if coeff is None else geom.detJ * coeff
     if U.ndim == 1:
@@ -205,7 +228,7 @@ def mass_apply(space: FunctionSpace, geom: Geometry, U, coeff=None):
 
 def stiffness_apply(space: FunctionSpace, geom: Geometry, U, coeff=None):
     """y = K U with K_ij = int c grad(phi_i).grad(phi_j)."""
-    Kref = jnp.asarray(ref_stiffness(space.degree), dtype=U.dtype)
+    Kref = jnp.asarray(ref_stiffness(space.degree, _dim(space)), dtype=U.dtype)
     Uloc = space.gather(U)
     C = geom.C if coeff is None else geom.C * coeff[:, None, None]
     if U.ndim == 1:
@@ -216,14 +239,14 @@ def stiffness_apply(space: FunctionSpace, geom: Geometry, U, coeff=None):
 
 
 def mass_diag(space, geom, coeff=None):
-    Mref = jnp.asarray(np.diag(ref_mass(space.degree)), dtype=geom.detJ.dtype)
+    Mref = jnp.asarray(np.diag(ref_mass(space.degree, _dim(space))), dtype=geom.detJ.dtype)
     scale = geom.detJ if coeff is None else geom.detJ * coeff
     loc = Mref[None, :] * scale[:, None]
     return space.dof_sum(loc)
 
 
 def stiffness_diag(space, geom, coeff=None):
-    Kd = np.einsum("klii->kli", ref_stiffness(space.degree))
+    Kd = np.einsum("klii->kli", ref_stiffness(space.degree, _dim(space)))
     Kd = jnp.asarray(Kd, dtype=geom.detJ.dtype)
     C = geom.C if coeff is None else geom.C * coeff[:, None, None]
     loc = jnp.einsum("ekl,kli->ei", C, Kd)
@@ -237,8 +260,8 @@ def lumped_mass_diag(space, geom):
     (/root/reference/flow/heat.py:39-45): rows/cols of edge-midpoint dofs are
     zero — an intentionally singular M-matrix-friendly lumping.
     """
-    pts, w = quadrature.triangle_rule(quadrature.VERTEX)
-    phi, _ = elements.tabulate(space.degree, pts)
+    pts, w = quadrature.simplex_rule(quadrature.VERTEX, _dim(space))
+    phi, _ = elements.tabulate(space.degree, pts, dim=_dim(space))
     d = np.einsum("q,qi,qi->i", w, phi, phi)
     loc = jnp.asarray(d, dtype=geom.detJ.dtype)[None, :] * geom.detJ[:, None]
     return space.dof_sum(loc)
@@ -246,13 +269,13 @@ def lumped_mass_diag(space, geom):
 
 def mass_local(space, geom, coeff=None):
     """Explicit element mass matrices [nc, nl, nl] (for small direct solves)."""
-    Mref = jnp.asarray(ref_mass(space.degree), dtype=geom.detJ.dtype)
+    Mref = jnp.asarray(ref_mass(space.degree, _dim(space)), dtype=geom.detJ.dtype)
     scale = geom.detJ if coeff is None else geom.detJ * coeff
     return Mref[None] * scale[:, None, None]
 
 
 def stiffness_local(space, geom, coeff=None):
-    Kref = jnp.asarray(ref_stiffness(space.degree), dtype=geom.detJ.dtype)
+    Kref = jnp.asarray(ref_stiffness(space.degree, _dim(space)), dtype=geom.detJ.dtype)
     C = geom.C if coeff is None else geom.C * coeff[:, None, None]
     return jnp.einsum("ekl,klij->eij", C, Kref)
 

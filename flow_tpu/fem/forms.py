@@ -44,7 +44,7 @@ def sym_grad_apply(V: FunctionSpace, geom: Geometry, U, mu):
 
     2 eps(u):eps(v) = grad(u):grad(v) + grad(u)^T : grad(v).
     """
-    Kref = jnp.asarray(ref_stiffness(V.degree), dtype=U.dtype)
+    Kref = jnp.asarray(ref_stiffness(V.degree, assembly._dim(V)), dtype=U.dtype)
     Uloc = V.gather(U)
     # component-wise part: mu * C[e,k,l] Kref[k,l,i,j] U[e,j,a]
     loc = jnp.einsum("ekl,klij,eja->eia", geom.C, Kref, Uloc)
@@ -57,7 +57,7 @@ def sym_grad_apply(V: FunctionSpace, geom: Geometry, U, mu):
 
 def div_rhs(V: FunctionSpace, Q: FunctionSpace, geom: Geometry, U):
     """b[m] = int div(u) q_m  (exact; u in V=P2 vector, q in Q=P1)."""
-    Bref = jnp.asarray(ref_mixed(Q.degree, V.degree), dtype=U.dtype)
+    Bref = jnp.asarray(ref_mixed(Q.degree, V.degree, assembly._dim(V)), dtype=U.dtype)
     Uloc = V.gather(U)
     loc = jnp.einsum("e,ebk,kmj,ejb->em", geom.detJ, geom.G, Bref, Uloc)
     return Q.dof_sum(loc)
@@ -66,7 +66,7 @@ def div_rhs(V: FunctionSpace, Q: FunctionSpace, geom: Geometry, U):
 def pressure_grad_rhs(V: FunctionSpace, Q: FunctionSpace, geom: Geometry, P):
     """b[(i,a)] = int p d_a(v_i)  (exact) — the `+ p0 div(v)` part of the
     stress form, and the Stokes B^T block."""
-    Bref = jnp.asarray(ref_mixed(Q.degree, V.degree), dtype=P.dtype)
+    Bref = jnp.asarray(ref_mixed(Q.degree, V.degree, assembly._dim(V)), dtype=P.dtype)
     Ploc = Q.gather(P)
     loc = jnp.einsum("e,eak,kmi,em->eia", geom.detJ, geom.G, Bref, Ploc)
     return V.dof_sum(loc)
@@ -97,7 +97,7 @@ def skew_convection_rhs(V: FunctionSpace, geom: Geometry, W, U, rule_degree=5):
 def grad_div_ustar(V: FunctionSpace, geom: Geometry, U):
     """Per-element constant grad(div u*) [nc, 2] for P2 u* (rotational form,
     /root/reference/flow/navier_stokes/pressure_correction.py:322-323)."""
-    Href = jnp.asarray(elements.hessian_ref(V.degree), dtype=U.dtype)
+    Href = jnp.asarray(elements.hessian_ref(V.degree, assembly._dim(V)), dtype=U.dtype)
     Uloc = V.gather(U)
     # d_d d_a phi_j = G[a,k] G[d,l] Href[j,k,l]
     return jnp.einsum("eak,edl,jkl,eja->ed", geom.G, geom.G, Href, Uloc)
@@ -105,11 +105,13 @@ def grad_div_ustar(V: FunctionSpace, geom: Geometry, U):
 
 def grad_div_ustar_rhs(V: FunctionSpace, Q: FunctionSpace, geom: Geometry, U):
     """b[m] = int grad(div u*) . grad(q_m)  (exact; q in P1)."""
-    v = grad_div_ustar(V, geom, U)  # [e,2]
-    _, dphi1 = elements.tabulate(Q.degree, np.zeros((1, 2)))
+    dim = assembly._dim(V)
+    v = grad_div_ustar(V, geom, U)  # [e,dim]
+    _, dphi1 = elements.tabulate(Q.degree, np.zeros((1, dim)), dim=dim)
     dref = jnp.asarray(dphi1[0], dtype=U.dtype)  # [3,2] const P1 ref grads
-    # grad q_m = G[d,k] dref[m,k]; area = detJ/2
-    loc = 0.5 * jnp.einsum("e,ed,edk,mk->em", geom.detJ, v, geom.G, dref)
+    # grad q_m = G[d,k] dref[m,k]; simplex volume = detJ / dim!
+    volfac = 0.5 if dim == 2 else (1.0 / 6.0)
+    loc = volfac * jnp.einsum("e,ed,edk,mk->em", geom.detJ, v, geom.G, dref)
     return Q.dof_sum(loc)
 
 
@@ -133,8 +135,8 @@ def grad_phi_rhs(
     return assembly.integrate_rhs(V, tab, geom, val=gphi)
 
 
-def ref_p1_integrals(degree):
+def ref_p1_integrals(degree, dim=2):
     """int_ref phi_i for the given degree (exact)."""
-    pts, w = quadrature.triangle_rule(degree + 1)
-    phi, _ = elements.tabulate(degree, pts)
+    pts, w = quadrature.simplex_rule(degree + 1, dim)
+    phi, _ = elements.tabulate(degree, pts, dim=dim)
     return np.einsum("q,qi->i", w, phi)

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["triangle_rule", "edge_rule", "VERTEX"]
+__all__ = ["triangle_rule", "edge_rule", "tet_rule", "simplex_rule", "VERTEX"]
 
 VERTEX = "vertex"
 
@@ -77,3 +77,52 @@ def edge_rule(degree):
     n = max(1, (degree + 2) // 2)
     x, w = np.polynomial.legendre.leggauss(n)
     return 0.5 * (x + 1.0), 0.5 * w
+
+
+def tet_rule(degree):
+    """Quadrature on the reference tetrahedron {x,y,z>=0, x+y+z<=1}.
+
+    degree='vertex': 4-point vertex rule (mass lumping, the 3-D analog of
+    the reference's vertex quadrature, /root/reference/flow/heat.py:39-45).
+    Otherwise a conical-product Gauss-Jacobi rule — exact for polynomials of
+    `degree` by construction (collapsed-coordinate map with Jacobi(2,0) and
+    Jacobi(1,0) weights absorbing the Duffy Jacobian). Weights sum to 1/6.
+    """
+    if degree == VERTEX:
+        pts = np.array(
+            [[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+        )
+        w = np.full(4, 1.0 / 24.0)
+        return pts, w
+
+    from scipy.special import roots_jacobi
+
+    n = max(1, (degree + 2) // 2)
+    # 1-D rules on [0,1]: Legendre, Jacobi(1,0), Jacobi(2,0)
+    x0, w0 = np.polynomial.legendre.leggauss(n)
+    x0 = 0.5 * (x0 + 1.0)
+    w0 = 0.5 * w0
+    x1, w1 = roots_jacobi(n, 1.0, 0.0)
+    x1 = 0.5 * (x1 + 1.0)
+    w1 = w1 / 2.0**2  # weight function (1-x)^1 on [-1,1] -> [0,1] scaling
+    x2, w2 = roots_jacobi(n, 2.0, 0.0)
+    x2 = 0.5 * (x2 + 1.0)
+    w2 = w2 / 2.0**3
+
+    pts = []
+    wts = []
+    for i in range(n):
+        for j in range(n):
+            for k in range(n):
+                a, b, c = x2[i], x1[j], x0[k]
+                # Duffy map: x = a, y = b(1-a), z = c(1-a)(1-b)
+                x = a
+                y = b * (1.0 - a)
+                z = c * (1.0 - a) * (1.0 - b)
+                pts.append((x, y, z))
+                wts.append(w2[i] * w1[j] * w0[k])
+    return np.array(pts), np.array(wts)
+
+
+def simplex_rule(degree, dim):
+    return triangle_rule(degree) if dim == 2 else tet_rule(degree)

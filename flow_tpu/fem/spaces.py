@@ -30,6 +30,7 @@ class FunctionSpace:
         self.degree = degree
         self.n_components = n_components
 
+        self.dim = getattr(mesh, "dim", 2)
         if degree == 1:
             cell_dofs = mesh.cells_np.copy()
             n_dofs = mesh.n_points
@@ -46,7 +47,7 @@ class FunctionSpace:
             dof_points = np.concatenate([mesh.points_np, mid], axis=0)
 
         self.n_dofs = int(n_dofs)
-        self.n_local = elements.n_local_dofs(degree)
+        self.n_local = elements.n_local_dofs(degree, self.dim)
         self.cell_dofs_np = cell_dofs.astype(np.int32)
         self.cell_dofs = jnp.asarray(self.cell_dofs_np)
         self.dof_points_np = dof_points
@@ -73,8 +74,11 @@ class FunctionSpace:
 
         # boundary dof flags (host-side)
         bnd_vertex = np.zeros(mesh.n_points, dtype=bool)
-        be = mesh.edges_np[mesh.boundary_edges_np]
-        bnd_vertex[be.ravel()] = True
+        if self.dim == 2:
+            be = mesh.edges_np[mesh.boundary_edges_np]
+            bnd_vertex[be.ravel()] = True
+        else:
+            bnd_vertex[mesh.boundary_faces_np.ravel()] = True
         if degree == 1:
             self._on_boundary = bnd_vertex
         else:

@@ -78,8 +78,9 @@ class Heat:
         # ---- M: vertex-quadrature mass --------------------------------------
         from .fem import quadrature
 
-        vpts, vw = quadrature.triangle_rule(quadrature.VERTEX)
-        vphi, _ = elements.tabulate(deg, vpts)
+        dim = getattr(mesh, "dim", 2)
+        vpts, vw = quadrature.simplex_rule(quadrature.VERTEX, dim)
+        vphi, _ = elements.tabulate(deg, vpts, dim=dim)
         Mref_v = np.einsum("q,qi,qj->ij", vw, vphi, vphi)
         M_loc = jnp.asarray(Mref_v, dtype=mesh.dtype)[None] * geom.detJ[:, None, None]
 
@@ -109,7 +110,10 @@ class Heat:
             # M += int u tau (b.grad v)
             M_loc = M_loc + jnp.einsum("eq,ql,eqi->eil", wd, tab.phi, tbg)
             # Laplacian of basis: tr(G Href_l G^T) per element [nc, nl]
-            Href = jnp.asarray(elements.hessian_ref(deg), dtype=mesh.dtype)
+            Href = jnp.asarray(
+                elements.hessian_ref(deg, getattr(mesh, "dim", 2)),
+                dtype=mesh.dtype,
+            )
             lap = jnp.einsum("eak,lkm,eam->el", geom.G, Href, geom.G)
             # A += int (kappa/(rho cp) lap(u) - b.grad u) tau (b.grad v)
             A_loc = A_loc + jnp.einsum(

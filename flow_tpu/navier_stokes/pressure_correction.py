@@ -60,18 +60,29 @@ class _Context:
         self.V = V
         self.Q = Q
         mesh = V.mesh
+        self.dim = getattr(mesh, "dim", 2)
         self.geom = geometry(mesh)
-        self.btab = BoundaryTab(V, rule_degree=5)
-        self.btabQ = BoundaryTab(Q, rule_degree=5)
+        if self.dim == 2:
+            self.btab = BoundaryTab(V, rule_degree=5)
+            self.btabQ = BoundaryTab(Q, rule_degree=5)
+        else:
+            # 3-D: facet (ds) integrals not tabulated yet — valid when the
+            # velocity has Dirichlet BCs on the whole boundary (the boundary
+            # terms then only touch constrained rows, which are masked out);
+            # that covers the 3-D Boussinesq cavity target of BASELINE
+            # config 5. Open-boundary 3-D problems need face tabulation.
+            self.btab = None
+            self.btabQ = None
         dtype = mesh.dtype
 
         geom = self.geom
+        ncomp = V.n_components
         # diagonals for Jacobi preconditioning
         self.mass_diag_V = assembly.mass_diag(V, geom)[:, None] * jnp.ones(
-            (1, 2), dtype=dtype
+            (1, ncomp), dtype=dtype
         )
         self.stiff_diag_V = assembly.stiffness_diag(V, geom)[:, None] * jnp.ones(
-            (1, 2), dtype=dtype
+            (1, ncomp), dtype=dtype
         )
         self.stiff_diag_Q = assembly.stiffness_diag(Q, geom)
         self.ones_Q = jnp.ones(Q.n_dofs, dtype=dtype)
@@ -107,12 +118,15 @@ class _Context:
         out = out - forms.sym_grad_apply(V, geom, W, mu)
         out = out + forms.pressure_grad_rhs(V, Q, geom, P0)
         # boundary terms: -int p0 n.v ds + mu int (grad w)^T n . v ds
-        bt = self.btab
-        p0b = self.btabQ.values(P0)  # [nb, q]
-        val = -p0b[:, :, None] * bt.normals[:, None, :]
-        gw = bt.grads(W, geom)  # [nb, q, m, d] = d_d w_m
-        val = val + mu * jnp.einsum("bqmd,bm->bqd", gw.transpose(0, 1, 3, 2), bt.normals)
-        out = out + bt.integrate_rhs(val)
+        if self.btab is not None:
+            bt = self.btab
+            p0b = self.btabQ.values(P0)  # [nb, q]
+            val = -p0b[:, :, None] * bt.normals[:, None, :]
+            gw = bt.grads(W, geom)  # [nb, q, m, d] = d_d w_m
+            val = val + mu * jnp.einsum(
+                "bqmd,bm->bqd", gw.transpose(0, 1, 3, 2), bt.normals
+            )
+            out = out + bt.integrate_rhs(val)
         return out
 
     # ------------------------------------------------------------------

@@ -23,9 +23,15 @@ __all__ = ["supg", "supg_tau"]
 def supg_tau(mesh, conv_at_qp, diffusion, element_degree):
     """tau at quadrature points.
 
-    conv_at_qp: [nc, nq, 2] convection evaluated at the quadrature points.
-    Returns [nc, nq].
+    conv_at_qp: [nc, nq, dim] convection evaluated at the quadrature points.
+    Returns [nc, nq]. The 2-D branch reproduces the reference's edge-cross
+    formula bit-for-bit; the 3-D branch (new capability — the reference's C++
+    is triangle-only, stabilization.py:84) uses the equivalent general form
+    of the directed diameter, h = 2 ||b|| / sum_i |b . grad(psi_i)| over the
+    P1 vertex basis functions.
     """
+    if getattr(mesh, "dim", 2) == 3:
+        return _supg_tau_3d(mesh, conv_at_qp, diffusion, element_degree)
     p = mesh.points
     c = mesh.cells
     # the three edges (i<j vertex pairs, matching the C++ double loop)
@@ -53,6 +59,32 @@ def supg_tau(mesh, conv_at_qp, diffusion, element_degree):
     xi_taylor = 1.0 / 3.0 - pe**2 / 45.0 + 2.0 / 945.0 * pe**4
     xi = jnp.where(pe > 1.0e-5, xi_full, xi_taylor)
 
+    tau = h * h / (4.0 * eps * element_degree) * xi
+    return jnp.where(bnorm < 1.0e-10, 0.0, tau)
+
+
+def _supg_tau_3d(mesh, conv_at_qp, diffusion, element_degree):
+    from .fem.assembly import geometry
+
+    geom = geometry(mesh)
+    # P1 reference gradients: dlam [4, 3]; grad psi_i = G dlam_i
+    dlam = jnp.asarray(
+        np.concatenate([-np.ones((1, 3)), np.eye(3)], axis=0),
+        dtype=mesh.dtype,
+    )
+    gpsi = jnp.einsum("edk,ik->eid", geom.G, dlam)  # [nc, 4, 3]
+    b = conv_at_qp  # [nc, nq, 3]
+    bnorm = jnp.sqrt(jnp.sum(b * b, axis=-1))
+    s = jnp.sum(jnp.abs(jnp.einsum("eqd,eid->eqi", b, gpsi)), axis=-1)
+    s = jnp.where(s == 0, 1.0, s)
+    h = 2.0 * bnorm / s
+
+    eps = diffusion
+    pe = 0.5 * bnorm * h / (element_degree * eps)
+    pe_safe = jnp.where(pe > 1.0e-5, pe, 1.0)
+    xi_full = (1.0 / jnp.tanh(pe_safe) - 1.0 / pe_safe) / pe_safe
+    xi_taylor = 1.0 / 3.0 - pe**2 / 45.0 + 2.0 / 945.0 * pe**4
+    xi = jnp.where(pe > 1.0e-5, xi_full, xi_taylor)
     tau = h * h / (4.0 * eps * element_degree) * xi
     return jnp.where(bnorm < 1.0e-10, 0.0, tau)
 

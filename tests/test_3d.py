@@ -1,0 +1,153 @@
+# 3-D (tetrahedral) capability tests — new capability beyond the 2-D-only
+# reference (BASELINE config 5: 3-D Boussinesq cavity). Same verification
+# discipline: quadrature exactness, kernel-vs-dense unit tests, MMS
+# convergence order, and the machine-precision hydrostatic invariant.
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from math import factorial
+
+import flow_tpu
+from flow_tpu.mesh3d import box_mesh, refine_uniform_tet, TetMesh
+from flow_tpu import FunctionSpace, VectorFunctionSpace, DirichletBC, Function, project, norm
+from flow_tpu.fem import assembly, quadrature, elements, forms
+from flow_tpu.fem.assembly import geometry, tabulation
+from flow_tpu.solvers import krylov
+
+
+def test_tet_rule_exactness():
+    # int_tet x^a y^b z^c = a! b! c! / (a+b+c+3)!
+    for degree in [1, 2, 3, 4, 5]:
+        pts, w = quadrature.tet_rule(degree)
+        assert abs(w.sum() - 1.0 / 6.0) < 1e-14
+        for a in range(degree + 1):
+            for b in range(degree + 1 - a):
+                for c in range(degree + 1 - a - b):
+                    exact = (
+                        factorial(a) * factorial(b) * factorial(c)
+                        / factorial(a + b + c + 3)
+                    )
+                    got = np.sum(
+                        w * pts[:, 0] ** a * pts[:, 1] ** b * pts[:, 2] ** c
+                    )
+                    assert abs(got - exact) < 1e-14, (degree, a, b, c)
+
+
+def test_box_mesh_volume_and_boundary():
+    mesh = box_mesh((0, 0, 0), (1, 2, 3), 3, 4, 5)
+    assert abs(mesh.cell_volumes().sum() - 6.0) < 1e-12
+    assert (mesh.cell_volumes() > 0).all()
+    # boundary faces area: 2*(1*2 + 1*3 + 2*3) = 22
+    p = mesh.points_np
+    f = mesh.boundary_faces_np
+    d1 = p[f[:, 1]] - p[f[:, 0]]
+    d2 = p[f[:, 2]] - p[f[:, 0]]
+    area = 0.5 * np.linalg.norm(np.cross(d1, d2), axis=1).sum()
+    assert abs(area - 22.0) < 1e-12
+
+
+@pytest.mark.parametrize("degree", [1, 2])
+def test_mass_stiffness_3d_vs_dense(degree):
+    mesh = box_mesh((0, 0, 0), (1, 1, 1), 2, 2, 2)
+    S = FunctionSpace(mesh, degree)
+    geom = geometry(mesh)
+    pts, w = quadrature.tet_rule(6)
+    phi, dphi = elements.tabulate(degree, pts, dim=3)
+    p = mesh.points_np
+    c = mesh.cells_np
+    n = S.n_dofs
+    M = np.zeros((n, n))
+    K = np.zeros((n, n))
+    for e in range(mesh.n_cells):
+        x = p[c[e]]
+        J = np.stack([x[1] - x[0], x[2] - x[0], x[3] - x[0]], axis=1)
+        detJ = np.linalg.det(J)
+        Ginv = np.linalg.inv(J).T
+        g = dphi @ Ginv.T
+        dofs = S.cell_dofs_np[e]
+        M[np.ix_(dofs, dofs)] += np.einsum("q,qi,qj->ij", w, phi, phi) * detJ
+        K[np.ix_(dofs, dofs)] += np.einsum("q,qid,qjd->ij", w, g, g) * detJ
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(n))
+    np.testing.assert_allclose(
+        np.asarray(assembly.mass_apply(S, geom, x)), M @ np.asarray(x),
+        rtol=1e-11, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(assembly.stiffness_apply(S, geom, x)), K @ np.asarray(x),
+        rtol=1e-11, atol=1e-12,
+    )
+
+
+def test_poisson_3d_convergence():
+    exact = lambda x: (
+        jnp.sin(jnp.pi * x[..., 0])
+        * jnp.sin(jnp.pi * x[..., 1])
+        * jnp.sin(jnp.pi * x[..., 2])
+    )
+    f = lambda x: 3 * jnp.pi**2 * exact(x)
+    errs = []
+    for n in [4, 8]:
+        mesh = box_mesh((0, 0, 0), (1, 1, 1), n, n, n)
+        S = FunctionSpace(mesh, 1)
+        geom = geometry(mesh)
+        tab = tabulation(S, 4)
+        xq = geom.physical_points(tab.ref_pts)
+        b = assembly.integrate_rhs(S, tab, geom, val=f(xq))
+        from flow_tpu.fem.bc import combine_bcs
+
+        mask, _ = combine_bcs(S, [DirichletBC(S, 0.0)])
+        free = 1.0 - mask
+
+        def K_bc(x):
+            return free * assembly.stiffness_apply(S, geom, free * x) + mask * x
+
+        diag = free * assembly.stiffness_diag(S, geom) + mask
+        x, info = krylov.cg(K_bc, free * b, M=lambda r: r / diag, rtol=1e-11, maxiter=3000)
+        assert bool(info.converged)
+        errs.append(flow_tpu.errornorm(exact, Function(S, x), rule_degree=4))
+    order = np.log(errs[0] / errs[1]) / np.log(2.0)
+    assert order > 1.8, (errs, order)
+
+
+def test_refine_uniform_tet():
+    mesh = box_mesh((0, 0, 0), (1, 1, 1), 2, 2, 2)
+    fine = refine_uniform_tet(mesh)
+    assert fine.n_cells == 8 * mesh.n_cells
+    assert abs(fine.cell_volumes().sum() - 1.0) < 1e-12
+    assert (fine.cell_volumes() > 0).all()
+
+
+def test_sealed_box_3d_hydrostatic():
+    # the 3-D analog of test_sealed_box: exact hydrostatic balance stays at
+    # rest to machine precision through one IPCS step
+    mesh = box_mesh((0, 0, 0), (1, 1, 1), 4, 4, 4)
+    V = VectorFunctionSpace(mesh, 2, n_components=3)
+    Q = FunctionSpace(mesh, 1)
+    g = -9.81
+    u0 = project((0.0, 0.0, 0.0), V)
+    p0 = project(lambda x: g * x[..., 2], Q)
+    u_bcs = [DirichletBC(V, (0.0, 0.0, 0.0), "on_boundary")]
+    u1, p1 = flow_tpu.navier_stokes.IPCS().step(
+        1.0e-2, {0: u0}, p0, u_bcs, [], 998.0, 1.0e-3,
+        f={0: (0.0, 0.0, g), 1: (0.0, 0.0, g)}, verbose=False,
+    )
+    assert norm(u1.vector, "linf") < 1e-12
+
+
+def test_heat_3d_smoke():
+    from flow_tpu.heat import Heat
+    from flow_tpu import parabolic
+
+    mesh = box_mesh((0, 0, 0), (1, 1, 1), 3, 3, 3)
+    Q = FunctionSpace(mesh, 2)
+    conv = project((0.1, 0.0, -0.1), VectorFunctionSpace(mesh, 2, n_components=3))
+    bcs = [DirichletBC(Q, 300.0, "on_boundary")]
+    op = Heat(Q, conv, 0.6, 1000.0, 4200.0, bcs, 0.0, supg_stabilization=True)
+    theta0 = project(293.0, Q)
+    theta1 = parabolic.ImplicitEuler(op).step(theta0, 0.0, 10.0)
+    v = np.asarray(theta1.vector)
+    assert np.isfinite(v).all()
+    # P2 solutions overshoot the 300 K boundary value slightly (no discrete
+    # maximum principle for quadratic elements); require boundedness only
+    assert v.min() > 292.0 and v.max() < 310.0
