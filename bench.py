@@ -29,6 +29,10 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+    # TPU MXU defaults f32 einsums to bf16 passes; the Newton residual then
+    # stalls around 1e-3 relative and hits its iteration cap. Full-f32
+    # matmuls restore contraction (verified: CPU-f32 converges in 1-2 iters)
+    jax.config.update("jax_default_matmul_precision", "highest")
 
     # f32 performance path on whatever the default platform provides
     # (TPU under the driver; CPU works too, just slower)

@@ -202,7 +202,13 @@ def rectangle_mesh(p0, p1, nx, ny, diagonal="right", dtype=None):
                 else:
                     # diagonal from (i, j) to (i+1, j+1)
                     cells += [[v00, v10, v11], [v00, v11, v01]]
-    return Mesh(pts, np.array(cells, dtype=np.int32), dtype=dtype)
+    mesh = Mesh(pts, np.array(cells, dtype=np.int32), dtype=dtype)
+    if diagonal in ("left", "right"):
+        # uniform-diagonal grids have a translation-invariant interior
+        # stencil — the structured fast path (ops/structured.py) applies
+        mesh.grid_shape = (nx + 1, ny + 1)
+        mesh.grid_spacing = ((x1 - x0) / nx, (y1 - y0) / ny)
+    return mesh
 
 
 def unit_square_mesh(n, diagonal="right", dtype=None):

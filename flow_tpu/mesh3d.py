@@ -156,7 +156,16 @@ def box_mesh(p0, p1, nx, ny, nz, dtype=None):
         axis=1,
     )  # [ncube, 8]
     cells = np.concatenate([corners[:, list(t)] for t in _KUHN], axis=0)
-    return TetMesh(pts, cells, dtype=dtype)
+    mesh = TetMesh(pts, cells, dtype=dtype)
+    # structured-grid metadata: lexicographic (i, j, k) vertex layout —
+    # unlocks the stencil/convolution fast path (ops/structured.py)
+    mesh.grid_shape = (nx + 1, ny + 1, nz + 1)
+    mesh.grid_spacing = (
+        (x1 - x0) / nx,
+        (y1 - y0) / ny,
+        (z1 - z0) / nz,
+    )
+    return mesh
 
 
 def refine_uniform_tet(mesh: TetMesh):
