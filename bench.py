@@ -56,11 +56,13 @@ def main():
         prob.rho,
         prob.mu,
         rotational_form=True,
-        # f32 benchmark tolerances (physics-accuracy checked in the f64 suite)
+        # f32 benchmark tolerances (physics-accuracy checked in the f64
+        # suite). Inexact Newton: a loose inner solve with one extra outer
+        # iteration costs ~3x fewer momentum applies than tight inner solves
         newton_tol=0.0,
         newton_rtol=1.0e-3,
-        newton_maxiter=3,
-        linear_rtol=1.0e-4,
+        newton_maxiter=4,
+        linear_rtol=3.0e-2,
         pressure_rtol=1.0e-4,
         pressure_maxiter=600,
         correction_rtol=1.0e-5,

@@ -28,5 +28,10 @@ from . import heat  # noqa: F401
 from . import stabilization  # noqa: F401
 from . import materials  # noqa: F401
 from . import parabolic  # noqa: F401
+from . import io  # noqa: F401
+from . import utils  # noqa: F401
+from . import native  # noqa: F401
+from . import mesh3d  # noqa: F401
+from .mesh3d import TetMesh, box_mesh, refine_uniform_tet  # noqa: F401
 
 __version__ = "0.1.0"

@@ -63,9 +63,8 @@ class AB2TR:
     # -- spatial operator: momentum rhs (no pressure) -------------------------
     def _rhs_mom(self, U):
         V, geom = self.V, self.geom
-        out = -self.rho * 0.5 * (
-            forms.convection_rhs(V, geom, U, U, rule_degree=5)
-            - forms.skew_convection_rhs(V, geom, U, U, rule_degree=5)
+        out = -self.rho * forms.skew_convection_combined_rhs(
+            V, geom, U, rule_degree=5
         )
         out = out - forms.sym_grad_apply(V, geom, U, self.mu)
         if self._f_q is not None:

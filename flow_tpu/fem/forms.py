@@ -25,6 +25,7 @@ __all__ = [
     "pressure_grad_rhs",
     "convection_rhs",
     "skew_convection_rhs",
+    "skew_convection_combined_rhs",
     "grad_div_ustar_rhs",
     "grad_phi_rhs",
     "ref_p1_integrals",
@@ -92,6 +93,18 @@ def skew_convection_rhs(V: FunctionSpace, geom: Geometry, W, U, rule_degree=5):
     Uq = assembly.values_at_qp(tab, V.gather(U))  # [e,q,a]
     grad = jnp.einsum("eqd,eqa->eqad", Wq, Uq)
     return assembly.integrate_rhs(V, tab, geom, grad=grad)
+
+
+def skew_convection_combined_rhs(V: FunctionSpace, geom: Geometry, W, rule_degree=5):
+    """b = 0.5 * ( <(w.grad)w, v> - <(w.grad)v, w> ) in ONE quadrature pass
+    (shared W evaluations; the hot term of the momentum residual)."""
+    tab = assembly.tabulation(V, rule_degree)
+    Wloc = V.gather(W)
+    Wq = assembly.values_at_qp(tab, Wloc)  # [e,q,d]
+    gradW = assembly.grads_at_qp(tab, geom, Wloc)  # [e,q,a,d]
+    val = 0.5 * jnp.einsum("eqd,eqad->eqa", Wq, gradW)
+    grad = -0.5 * jnp.einsum("eqd,eqa->eqad", Wq, Wq)
+    return assembly.integrate_rhs(V, tab, geom, val=val, grad=grad)
 
 
 def grad_div_ustar(V: FunctionSpace, geom: Geometry, U):

@@ -1,1 +1,1 @@
-from . import karman, boussinesq, boussinesq3d  # noqa: F401
+from . import karman, boussinesq, boussinesq3d, cavity3d  # noqa: F401

@@ -283,17 +283,30 @@ def run_karman_fast(
         u0, p0 = problem.stokes_bootstrap(tol=1.0e-6, max_iter=2000)
         U, P = u0.vector, p0.vector
 
-    dt0 = jnp.asarray(dt0, dtype=U.dtype)
-    U, P, dt, tel = stepper.run(U, P, dt0, n_steps=num_steps)
+    # chunked execution: one compiled scan program of `chunk` steps, reused
+    # for arbitrarily long runs (scan length is a static shape)
+    chunk = min(num_steps, 100)
+    n_chunks, rem = divmod(num_steps, chunk)
+    dt = jnp.asarray(dt0, dtype=U.dtype)
+    tels = []
+    for _ in range(n_chunks):
+        U, P, dt, tel = stepper.run(U, P, dt, n_steps=chunk)
+        tels.append({k: np.asarray(v) for k, v in tel.items()})
+    if rem:
+        U, P, dt, tel = stepper.run(U, P, dt, n_steps=rem)
+        tels.append({k: np.asarray(v) for k, v in tel.items()})
+    telemetry = {
+        k: np.concatenate([t[k] for t in tels]) for k in tels[0]
+    }
     return {
         "problem": problem,
         "stepper": stepper,
         "u": Function(problem.V, U).rename("velocity"),
         "p": Function(problem.Q, P).rename("pressure"),
         "dt": float(dt),
-        "t": np.asarray(tel["t"]),
-        "forces": np.asarray(tel["forces"]),
-        "telemetry": {k: np.asarray(v) for k, v in tel.items()},
+        "t": telemetry["t"],
+        "forces": telemetry["forces"],
+        "telemetry": telemetry,
     }
 
 

@@ -32,6 +32,7 @@ __all__ = ["FastStepper"]
 class StepStats(NamedTuple):
     newton_iters: jnp.ndarray
     newton_res: jnp.ndarray
+    linear_iters: jnp.ndarray  # total BiCGStab iterations across Newton
     pressure_iters: jnp.ndarray
     correction_iters: jnp.ndarray
 
@@ -103,7 +104,7 @@ class FastStepper:
         ftab = assembly.tabulation(V, 6)
         nq = ftab.nq
         self._zero_f = jnp.zeros(
-            (V.mesh.n_cells, nq, 2), dtype=V.mesh.dtype
+            (V.mesh.n_cells, nq, V.n_components), dtype=V.mesh.dtype
         )
 
         self.step = jax.jit(self._step_impl)
@@ -127,13 +128,13 @@ class FastStepper:
         x0 = free_u * U + self.mask_u * self.val_u
 
         def newton_body(state):
-            x, rnorm, k = state
+            x, rnorm, k, lin = state
             r = res_bc(x)
 
             def Jv(v):
                 return jax.jvp(res_bc, (x,), (v,))[1]
 
-            dx, _ = krylov.bicgstab(
+            dx, sinfo = krylov.bicgstab(
                 Jv,
                 -r,
                 M=lambda t: t / diag,
@@ -143,7 +144,7 @@ class FastStepper:
             )
             x = x + dx
             rn = res_bc(x)
-            return (x, jnp.sqrt(jnp.sum(rn * rn)), k + 1)
+            return (x, jnp.sqrt(jnp.sum(rn * rn)), k + 1, lin + sinfo.iters)
 
         r0 = res_bc(x0)
         rnorm0 = jnp.sqrt(jnp.sum(r0 * r0))
@@ -152,11 +153,11 @@ class FastStepper:
         newton_target = jnp.maximum(self.newton_tol, self.newton_rtol * rnorm0)
 
         def newton_cond(state):
-            _, rnorm, k = state
+            _, rnorm, k, _ = state
             return jnp.logical_and(rnorm > newton_target, k < self.newton_maxiter)
 
-        Ui, nres, niters = jax.lax.while_loop(
-            newton_cond, newton_body, (x0, rnorm0, jnp.array(0))
+        Ui, nres, niters, lin_iters = jax.lax.while_loop(
+            newton_cond, newton_body, (x0, rnorm0, jnp.array(0), jnp.array(0))
         )
 
         # substep 2: pressure Poisson (optionally GMG-preconditioned)
@@ -190,7 +191,7 @@ class FastStepper:
             self.correction_rtol,
             rotational=self.rotational,
         )
-        return U1, P1, StepStats(niters, nres, piters, citers)
+        return U1, P1, StepStats(niters, nres, lin_iters, piters, citers)
 
     def _pressure_solve_mg(self, Ui, P, dt):
         """Pressure Poisson with a user-supplied (e.g. multigrid) SPD
@@ -257,7 +258,9 @@ class FastStepper:
                 "t": t,
                 "dt": dt,
                 "newton_iters": stats.newton_iters,
+                "linear_iters": stats.linear_iters,
                 "pressure_iters": stats.pressure_iters,
+                "correction_iters": stats.correction_iters,
             }
             if self.forces_probe is not None:
                 out["forces"] = self.forces_probe(U1, P1)

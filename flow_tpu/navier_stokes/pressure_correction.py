@@ -89,7 +89,8 @@ class _Context:
 
         # jitted substep drivers
         self._tentative_newton = jax.jit(
-            self._tentative_newton_impl, static_argnames=("theta_explicit",)
+            self._tentative_newton_impl,
+            static_argnames=("theta_explicit", "maxiter"),
         )
         self._pressure_solve = jax.jit(
             self._pressure_solve_impl, static_argnames=("neumann", "rotational")
@@ -110,9 +111,8 @@ class _Context:
         ftab = tabulation(V, F_RULE)
         out = assembly.integrate_rhs(V, ftab, geom, val=Fq)
         # skew-symmetric convection: -rho*0.5*(<(w.grad)w, v> - <(w.grad)v, w>)
-        out = out - rho * 0.5 * (
-            forms.convection_rhs(V, geom, W, W, rule_degree=CONV_RULE)
-            - forms.skew_convection_rhs(V, geom, W, W, rule_degree=CONV_RULE)
+        out = out - rho * forms.skew_convection_combined_rhs(
+            V, geom, W, rule_degree=CONV_RULE
         )
         # -int sigma(w, p0) : eps(v) = -2 mu int eps(w):eps(v) + int p0 div v
         out = out - forms.sym_grad_apply(V, geom, W, mu)
@@ -144,7 +144,8 @@ class _Context:
         return r
 
     def _tentative_newton_impl(
-        self, U0, Fq_expl, Fq_impl, P0, rho, mu, dt, mask, gvals, theta_explicit, tol
+        self, U0, Fq_expl, Fq_impl, P0, rho, mu, dt, mask, gvals, theta_explicit,
+        tol, maxiter=10,
     ):
         free = 1.0 - mask
 
@@ -177,7 +178,7 @@ class _Context:
 
         def newton_cond(state):
             _, rnorm, k = state
-            return jnp.logical_and(rnorm > tol, k < 10)
+            return jnp.logical_and(rnorm > tol, k < maxiter)
 
         r0 = res_bc(x0)
         rnorm0 = jnp.sqrt(jnp.sum(r0 * r0))
@@ -281,12 +282,20 @@ def _step(
     rotational_form=False,
     verbose=True,
     tol=1.0e-10,
+    scheme_config=None,
 ):
     """One projection step; mirrors reference _step (:468-518).
 
     u: {0: u0} or {-1: u_1, 0: u0} (dict of Functions); p0: Function;
     f: {0: f0, 1: f1}. Returns (u1, p1) Functions.
+
+    scheme_config: optional utils.config.SchemeConfig overriding the Newton
+    tolerances/iteration cap (the typed replacement for the reference's
+    solver_parameters dicts, :228-254).
     """
+    from ..utils.config import SchemeConfig
+
+    cfg = scheme_config or SchemeConfig()
     dt = float(dt)
     rho = float(rho)
     mu = float(mu)
@@ -325,14 +334,15 @@ def _step(
     with Message("Computing tentative velocity"):
         Ui, rnorm, n_newton = ctx._tentative_newton(
             u0.vector, Fq0, Fq1, p0.vector, rho, mu, dt, mask_u, val_u,
-            theta_explicit=theta, tol=1.0e-10,
+            theta_explicit=theta, tol=cfg.newton_tol,
+            maxiter=cfg.newton_maxiter,
         )
         rnorm = float(rnorm)
         if verbose:
             info("newton: iters=%d, |r|=%.3e", int(n_newton), rnorm)
-        # absolute tolerance 1e-10 with error_on_nonconvergence=True
-        # (reference :228-254, :499); small slack for accumulated roundoff
-        if rnorm > 1.0e-9:
+        # absolute tolerance (1e-10 default) with error_on_nonconvergence
+        # semantics (reference :228-254, :499); small roundoff slack
+        if rnorm > 10.0 * cfg.newton_tol:
             raise RuntimeError(
                 f"Newton solver did not converge (residual {rnorm:.3e})"
             )
@@ -382,11 +392,14 @@ class Chorin:
 
     order = {"velocity": 1.0, "pressure": 0.5}
 
+    def __init__(self, scheme_config=None):
+        self.scheme_config = scheme_config
+
     def step(self, dt, u, p0, u_bcs, p_bcs, rho, mu, f, verbose=True, tol=1.0e-10):
         zero_p = Function(p0.space)
         return _step(
             dt, u, zero_p, u_bcs, p_bcs, rho, mu, "backward euler", f,
-            verbose=verbose, tol=tol,
+            verbose=verbose, tol=tol, scheme_config=self.scheme_config,
         )
 
 
@@ -395,13 +408,14 @@ class IPCS:
 
     order = {"velocity": 2.0, "pressure": 1.0}
 
-    def __init__(self, time_step_method="backward euler"):
+    def __init__(self, time_step_method="backward euler", scheme_config=None):
         self.time_step_method = time_step_method
+        self.scheme_config = scheme_config
 
     def step(self, dt, u, p0, u_bcs, p_bcs, rho, mu, f, verbose=True, tol=1.0e-10):
         return _step(
             dt, u, p0, u_bcs, p_bcs, rho, mu, self.time_step_method, f,
-            verbose=verbose, tol=tol,
+            verbose=verbose, tol=tol, scheme_config=self.scheme_config,
         )
 
 
@@ -410,11 +424,13 @@ class Rotational:
 
     order = {"velocity": 2.0, "pressure": 1.5}
 
-    def __init__(self, time_step_method="backward euler"):
+    def __init__(self, time_step_method="backward euler", scheme_config=None):
         self.time_step_method = time_step_method
+        self.scheme_config = scheme_config
 
     def step(self, dt, u, p0, u_bcs, p_bcs, rho, mu, f, verbose=True, tol=1.0e-10):
         return _step(
             dt, u, p0, u_bcs, p_bcs, rho, mu, self.time_step_method, f,
             rotational_form=True, verbose=verbose, tol=tol,
+            scheme_config=self.scheme_config,
         )

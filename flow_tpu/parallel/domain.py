@@ -217,9 +217,8 @@ class ShardedProjection:
         # ---- momentum rhs (the weak form of pressure_correction.rhs_weak,
         # partial over this device's cells + 1/ndev of the boundary terms)
         def rhs_weak_partial(W, P0):
-            out = -rho * 0.5 * (
-                forms.convection_rhs(Vl, gl, W, W, rule_degree=5)
-                - forms.skew_convection_rhs(Vl, gl, W, W, rule_degree=5)
+            out = -rho * forms.skew_convection_combined_rhs(
+                Vl, gl, W, rule_degree=5
             )
             out = out - forms.sym_grad_apply(Vl, gl, W, mu)
             out = out + forms.pressure_grad_rhs(Vl, Ql, gl, P0)

@@ -177,3 +177,19 @@ def test_cg_poisson_convergence():
         errs.append(flow_tpu.errornorm(exact, Function(S, x)))
     order = np.log(errs[0] / errs[1]) / np.log(2.0)
     assert order > 1.9
+
+
+def test_skew_convection_combined_matches_separate():
+    mesh = unit_square_mesh(5, diagonal="crossed")
+    V = VectorFunctionSpace(mesh, 2)
+    geom = geometry(mesh)
+    rng = np.random.default_rng(7)
+    W = jnp.asarray(rng.standard_normal((V.n_dofs, 2)))
+    combined = forms.skew_convection_combined_rhs(V, geom, W, rule_degree=5)
+    separate = 0.5 * (
+        forms.convection_rhs(V, geom, W, W, rule_degree=5)
+        - forms.skew_convection_rhs(V, geom, W, W, rule_degree=5)
+    )
+    np.testing.assert_allclose(
+        np.asarray(combined), np.asarray(separate), atol=1e-13
+    )
