@@ -1,2 +1,3 @@
 from .config import SolverConfig, SchemeConfig, BenchmarkConfig  # noqa: F401
 from .expression import Expression  # noqa: F401
+from .metrics import MetricsLogger  # noqa: F401

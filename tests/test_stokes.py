@@ -75,3 +75,28 @@ def test_order(problem):
     p_order = compute_numerical_order_of_convergence(hmax, p_errors)[0]
     assert u_order > 1.9
     assert p_order > 1.9
+
+
+def test_iterative_path_matches_dense(monkeypatch):
+    # force the MINRES + block-preconditioner path (normally used above
+    # DENSE_THRESHOLD) and compare against the dense-LU path
+    import flow_tpu.stokes as stokes_mod
+
+    problem = Guermond1()
+    mesh = problem.mesh_generator(8)
+    WP = TaylorHood(mesh)
+    u_sol = tuple(lambdify_x(c) for c in problem.u)
+    p_sol = lambdify_x(problem.p)
+    f = tuple(lambdify_x(c) for c in problem.f)
+    bcs = [
+        DirichletBC(WP.sub(0), u_sol, "on_boundary"),
+        DirichletBC(WP.sub(1), p_sol, "on_boundary"),
+    ]
+
+    u_d, p_d = flow_tpu.stokes.solve(WP, bcs, problem.mu, f, verbose=False, tol=1e-12)
+    monkeypatch.setattr(stokes_mod, "DENSE_THRESHOLD", 0)
+    u_i, p_i = flow_tpu.stokes.solve(
+        WP, bcs, problem.mu, f, verbose=False, tol=1e-9, max_iter=3000
+    )
+    assert abs(errornorm(u_sol, u_i) - errornorm(u_sol, u_d)) < 1e-6
+    assert abs(errornorm(p_sol, p_i) - errornorm(p_sol, p_d)) < 1e-5
