@@ -182,14 +182,10 @@ class AB2TR:
 
         z = pack(free * U_pred + mask * self.val_u, state["p"])
         for _ in range(newton_maxiter):
-            r = res(z)
+            r, Jv = jax.linearize(res, z)
             rn = float(jnp.sqrt(jnp.sum(r * r)))
             if rn < newton_tol:
                 break
-
-            def Jv(v, z=z):
-                return jax.jvp(res, (z,), (v,))[1]
-
             dz, _ = krylov.gmres(Jv, -r, M=Mprec, rtol=1e-8, maxiter=2000, restart=80)
             z = z + dz
 

@@ -54,23 +54,42 @@ class FunctionSpace:
         self.dof_points = jnp.asarray(dof_points, dtype=mesh.dtype)
 
         # ---- gather-based dof summation (the TPU-native "scatter") --------
-        # For each global dof, the (cell, local) pairs that contribute.
+        # For each global dof, the (cell, local) pairs that contribute:
         # out[d] = sum_k flat_vals[adj_idx[d, k]] * adj_mask[d, k] — pure
-        # gathers + masked add, no scatter op in the compiled graph.
+        # gathers + masked adds, no scatter op in the compiled graph.
+        # Split by valence class: P2 edge-midpoint dofs touch at most 2 cells
+        # while vertex dofs touch ~6-8, so one padded table would gather
+        # ~5x more elements than exist (gather throughput is the hot-path
+        # bound on TPU). Vertex rows and edge rows get separate tables.
         flat = self.cell_dofs_np.ravel()
         order = np.argsort(flat, kind="stable").astype(np.int32)
         counts = np.bincount(flat, minlength=n_dofs)
-        maxval = int(counts.max())
         starts = np.concatenate([[0], np.cumsum(counts)])
-        adj_idx = np.zeros((n_dofs, maxval), dtype=np.int32)
-        adj_mask = np.zeros((n_dofs, maxval), dtype=np.float64)
-        # vectorized fill
         rows = flat[order]
         pos = np.arange(len(order)) - starts[rows]
-        adj_idx[rows, pos] = order
-        adj_mask[rows, pos] = 1.0
-        self.adj_idx = jnp.asarray(adj_idx)
-        self.adj_mask = jnp.asarray(adj_mask, dtype=mesh.dtype)
+
+        def build_table(row_lo, row_hi):
+            sel = (rows >= row_lo) & (rows < row_hi)
+            nrow = row_hi - row_lo
+            if nrow == 0:
+                return (
+                    np.zeros((0, 1), dtype=np.int32),
+                    np.zeros((0, 1), dtype=np.float64),
+                )
+            mv = max(1, int(counts[row_lo:row_hi].max()))
+            idx = np.zeros((nrow, mv), dtype=np.int32)
+            msk = np.zeros((nrow, mv), dtype=np.float64)
+            idx[rows[sel] - row_lo, pos[sel]] = order[sel]
+            msk[rows[sel] - row_lo, pos[sel]] = 1.0
+            return idx, msk
+
+        n_vert = mesh.n_points if degree == 2 else n_dofs
+        vi, vm = build_table(0, n_vert)
+        ei, em = build_table(n_vert, n_dofs)
+        self._adj = [
+            (jnp.asarray(vi), jnp.asarray(vm, dtype=mesh.dtype)),
+            (jnp.asarray(ei), jnp.asarray(em, dtype=mesh.dtype)),
+        ]
 
         # boundary dof flags (host-side)
         bnd_vertex = np.zeros(mesh.n_points, dtype=bool)
@@ -94,9 +113,14 @@ class FunctionSpace:
     def dof_sum(self, local_vals):
         """Sum local contributions [n_cells, n_local(,...)] into [n_dofs(,...)]."""
         flat = local_vals.reshape((-1,) + local_vals.shape[2:])
-        g = flat[self.adj_idx]  # [n_dofs, maxval, ...]
-        mask = self.adj_mask.reshape(self.adj_mask.shape + (1,) * (g.ndim - 2))
-        return (g * mask).sum(axis=1)
+        parts = []
+        for idx, msk in self._adj:
+            if idx.shape[0] == 0:
+                continue
+            g = flat[idx]  # [nrow, maxval, ...]
+            m = msk.reshape(msk.shape + (1,) * (g.ndim - 2))
+            parts.append((g * m).sum(axis=1))
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
     # -- boundary queries -----------------------------------------------------
     def boundary_dofs(self, where="on_boundary"):

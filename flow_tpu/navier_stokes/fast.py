@@ -101,20 +101,15 @@ class FastStepper:
         self.hmax = V.mesh.hmax
         self.forces_probe = forces_probe  # callable (U, P) -> array or None
 
-        ftab = assembly.tabulation(V, 6)
-        nq = ftab.nq
-        self._zero_f = jnp.zeros(
-            (V.mesh.n_cells, nq, V.n_components), dtype=V.mesh.dtype
-        )
-
         self.step = jax.jit(self._step_impl)
         self.run = jax.jit(self._run_impl, static_argnames=("n_steps",))
 
     # -- one projection step (all substeps fused into one XLA program) ------
     def _step_impl(self, U, P, dt, Fq=None):
+        # Fq None means f == 0: the force integral is skipped entirely
+        # (saves one dof summation per residual evaluation)
         ctx = self.ctx
         rho, mu = self.rho, self.mu
-        Fq = self._zero_f if Fq is None else Fq
         free_u = 1.0 - self.mask_u
 
         # substep 1: tentative velocity (Newton, jvp-based Jacobian)
@@ -129,10 +124,9 @@ class FastStepper:
 
         def newton_body(state):
             x, rnorm, k, lin = state
-            r = res_bc(x)
-
-            def Jv(v):
-                return jax.jvp(res_bc, (x,), (v,))[1]
+            # linearize once per Newton iteration: Krylov then evaluates the
+            # tangent only (jvp would recompute the full primal every matvec)
+            r, Jv = jax.linearize(res_bc, x)
 
             dx, sinfo = krylov.bicgstab(
                 Jv,

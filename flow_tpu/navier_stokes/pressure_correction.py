@@ -108,12 +108,13 @@ class _Context:
         Fq: the body force pre-evaluated at the F_RULE quadrature points
         [nc, nq, 2]. P0: pressure [ndofQ]."""
         V, Q, geom = self.V, self.Q, self.geom
-        ftab = tabulation(V, F_RULE)
-        out = assembly.integrate_rhs(V, ftab, geom, val=Fq)
         # skew-symmetric convection: -rho*0.5*(<(w.grad)w, v> - <(w.grad)v, w>)
-        out = out - rho * forms.skew_convection_combined_rhs(
+        out = -rho * forms.skew_convection_combined_rhs(
             V, geom, W, rule_degree=CONV_RULE
         )
+        if Fq is not None:  # Fq None == identically-zero body force
+            ftab = tabulation(V, F_RULE)
+            out = out + assembly.integrate_rhs(V, ftab, geom, val=Fq)
         # -int sigma(w, p0) : eps(v) = -2 mu int eps(w):eps(v) + int p0 div v
         out = out - forms.sym_grad_apply(V, geom, W, mu)
         out = out + forms.pressure_grad_rhs(V, Q, geom, P0)
@@ -162,10 +163,8 @@ class _Context:
 
         def newton_body(state):
             x, rnorm, k = state
-            r = res_bc(x)
-
-            def Jv(v):
-                return jax.jvp(res_bc, (x,), (v,))[1]
+            # linearize once per Newton iteration (tangent-only matvecs)
+            r, Jv = jax.linearize(res_bc, x)
 
             dx, _ = krylov.bicgstab(
                 Jv, -r, M=lambda t: t / diag, rtol=1e-7, atol=0.05 * tol,

@@ -244,10 +244,7 @@ class ShardedProjection:
 
         def newton_body(state):
             x, rnorm, k = state
-            r = residual(x)
-
-            def Jv(v):
-                return jax.jvp(residual, (x,), (v,))[1]
+            r, Jv = jax.linearize(residual, x)
 
             dx, _ = krylov.bicgstab(
                 Jv, -r, M=lambda t: t / diag,
