@@ -33,5 +33,6 @@ from . import utils  # noqa: F401
 from . import native  # noqa: F401
 from . import mesh3d  # noqa: F401
 from .mesh3d import TetMesh, box_mesh, refine_uniform_tet  # noqa: F401
+from . import experimental  # noqa: F401
 
 __version__ = "0.1.0"

@@ -15,7 +15,6 @@
 #       dt' = dt * (eps / ||u_TR - u_AB2||)^(1/3)   (ab2r.py:264-273).
 from __future__ import annotations
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -25,7 +24,6 @@ from ..fem.spaces import FunctionSpace, Function
 from ..fem.bc import combine_bcs
 from ..fem.interpolate import eval_callable
 from ..solvers import krylov
-from ..message import Message, info
 
 __all__ = ["AB2TR"]
 

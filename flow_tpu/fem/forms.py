@@ -15,7 +15,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from . import assembly, elements, quadrature
-from .assembly import Geometry, Tab, ref_stiffness, ref_mass, ref_mixed
+from .assembly import Geometry, ref_stiffness, ref_mixed
 from .spaces import FunctionSpace
 
 __all__ = [

@@ -5,7 +5,6 @@
 # test_boussinesq.py:85-87; test_sealed_box.py:134-141).
 from __future__ import annotations
 
-import numpy as np
 import jax.numpy as jnp
 
 from . import assembly

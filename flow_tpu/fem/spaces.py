@@ -188,6 +188,12 @@ class Function:
     def copy(self):
         return Function(self.space, self.vector)
 
+    def assign(self, other):
+        """In-place-style value assignment (dolfin u0.assign(u1) parity;
+        rebinds the immutable dof array)."""
+        self.vector = other.vector if isinstance(other, Function) else other
+        return self
+
     def rename(self, name, _label=None):
         self._name = name
         return self

@@ -23,10 +23,17 @@ __all__ = [
     "rectangle_mesh",
     "refine_uniform",
     "rectangle_with_hole_mesh",
+    "save_mesh",
+    "load_mesh",
 ]
+
+# 2-D Mesh also carries dim for dimension-generic consumers
+
 
 
 class Mesh:
+    dim = 2
+
     """An immutable 2-D triangle mesh.
 
     Attributes (all jnp arrays unless noted):
@@ -332,3 +339,24 @@ def rectangle_with_hole_mesh(
         new = acc / np.maximum(cnt, 1)[:, None]
         pk = np.where(fixed[:, None], pk, new)
     return Mesh(pk, cells, dtype=dtype)
+
+
+def save_mesh(path, mesh):
+    """Cache a mesh to .npz (the role of the reference's .msh cache files,
+    /root/reference/tests/test_boussinesq.py:55-58)."""
+    np.savez(
+        path,
+        points=mesh.points_np,
+        cells=mesh.cells_np,
+        dim=np.asarray(getattr(mesh, "dim", 2)),
+    )
+
+
+def load_mesh(path, dtype=None):
+    """Load a mesh cached by save_mesh (2-D triangles or 3-D tets)."""
+    data = np.load(path)
+    if int(data["dim"]) == 3:
+        from .mesh3d import TetMesh
+
+        return TetMesh(data["points"], data["cells"], dtype=dtype)
+    return Mesh(data["points"], data["cells"], dtype=dtype)

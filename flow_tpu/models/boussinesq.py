@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from ..mesh import rectangle_with_hole_mesh
 from ..fem.spaces import VectorFunctionSpace, FunctionSpace, Function
 from ..fem.bc import DirichletBC
-from ..fem.interpolate import project, norm
+from ..fem.interpolate import project
 from .. import navier_stokes, heat, parabolic, materials
 from ..message import Message, info, begin, end
 

@@ -18,7 +18,6 @@ from ..mesh import rectangle_with_hole_mesh, refine_uniform
 from ..fem.spaces import VectorFunctionSpace, FunctionSpace, Function
 from ..fem.bc import DirichletBC
 from ..fem.assembly import geometry, BoundaryTab
-from ..fem.interpolate import norm
 from .. import stokes as stokes_mod
 from .. import navier_stokes
 from ..message import Message, info
@@ -65,10 +64,7 @@ class KarmanProblem:
         )
         self.V = VectorFunctionSpace(mesh, 2)
         self.Q = FunctionSpace(mesh, 1)
-        self.WP = stokes_mod.TaylorHood.__new__(stokes_mod.TaylorHood)
-        self.WP.mesh = mesh
-        self.WP.V = self.V
-        self.WP.Q = self.Q
+        self.WP = stokes_mod.TaylorHood(mesh, V=self.V, Q=self.Q)
 
         # boundary predicates (reference :70-97)
         left = lambda x: x[:, 0] < X0 + MESH_EPS
@@ -233,8 +229,6 @@ def run_karman_fast(
 
     This is the benchmark entry (bench.py) and the path for long
     vortex-shedding runs (Strouhal extraction)."""
-    import jax
-
     from ..navier_stokes.fast import FastStepper
 
     problem = KarmanProblem(lcar=lcar, n_refine=n_refine, mu=mu)

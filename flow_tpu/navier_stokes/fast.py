@@ -14,7 +14,6 @@
 # the benchmark path runs f32 (SURVEY.md §7 hard part #4).
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -24,7 +23,7 @@ from ..fem import assembly, forms
 from ..fem.spaces import FunctionSpace
 from ..fem.bc import combine_bcs
 from ..solvers import krylov
-from .pressure_correction import _Context, _get_ctx
+from .pressure_correction import _get_ctx
 
 __all__ = ["FastStepper"]
 

@@ -25,8 +25,6 @@
 # the residual (replacing UFL `derivative(F1, ui)`, reference :202).
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

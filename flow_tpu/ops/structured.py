@@ -12,10 +12,7 @@
 # tests/test_structured.py.
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
-import jax
 import jax.numpy as jnp
 from jax import lax
 

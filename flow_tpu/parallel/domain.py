@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh as JMesh, PartitionSpec as P
 
 from ..fem import assembly, forms
-from ..fem.assembly import geometry, tabulation
+from ..fem.assembly import geometry
 from ..fem.spaces import FunctionSpace
 from ..fem.bc import combine_bcs
 from ..solvers import krylov

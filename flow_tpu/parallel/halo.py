@@ -21,10 +21,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh as JMesh, PartitionSpec as P
 
-from ..fem import elements, quadrature
 from ..fem.assembly import geometry, ref_stiffness
 from ..fem.spaces import FunctionSpace
-from ..solvers import krylov
 
 __all__ = ["HaloPoisson"]
 
@@ -273,15 +271,27 @@ class HaloPoisson:
                 return x
 
         b = proj(free * b)
-        # diag of K for Jacobi: exact per-cell diagonal contraction
+        # diag of K for Jacobi: exact per-cell diagonal contraction, with the
+        # halo-shared dofs completed by the same transpose exchange the
+        # operator uses (ghost partial sums returned to their owners)
+        ndev = self.ndev
+        n_loc, hh = self.n_loc, self.h
         Kd = np.einsum("klii->kli", self.Kref)
         diag_loc = jnp.einsum("ekl,kli->ei", C, jnp.asarray(Kd, dtype=b.dtype))
-        dz = jnp.zeros(self.n_loc + 2 * self.h + 1, dtype=b.dtype)
-        diag = (dz.at[cd_ext].add(diag_loc))[: self.n_loc]
-        # complete the diagonal for halo-shared dofs via transpose exchange
-        # (reuse _halo_apply trick: apply to indicator is overkill; the
-        # Jacobi preconditioner only needs a spectrally-equivalent diagonal,
-        # and strip-interior dofs dominate — clamp to avoid zero division)
+        dz = jnp.zeros(n_loc + 2 * hh + 1, dtype=b.dtype)
+        dz = dz.at[cd_ext].add(diag_loc)
+        right_pairs = [(i, i + 1) for i in range(ndev - 1)]
+        left_pairs = [(i + 1, i) for i in range(ndev - 1)]
+        from_right = jax.lax.ppermute(dz[n_loc : n_loc + hh], AXIS, left_pairs)
+        from_left = jax.lax.ppermute(
+            dz[n_loc + hh : n_loc + 2 * hh], AXIS, right_pairs
+        )
+        dz2 = jnp.concatenate(
+            [dz[:n_loc], jnp.zeros(2 * hh + 1, dtype=b.dtype)]
+        )
+        dz2 = dz2.at[send_r].add(from_right)
+        dz2 = dz2.at[send_l].add(from_left)
+        diag = dz2[:n_loc]
         diag = jnp.where(diag > 0, diag, 1.0)
         diag = free * diag + mask + (1.0 - valid)
 

@@ -31,10 +31,10 @@ class TaylorHood:
     FunctionSpace(mesh, VectorElement('Lagrange', cell, 2) * FiniteElement(
     'Lagrange', cell, 1)) in the reference tests."""
 
-    def __init__(self, mesh):
+    def __init__(self, mesh, V=None, Q=None):
         self.mesh = mesh
-        self.V = VectorFunctionSpace(mesh, 2)
-        self.Q = FunctionSpace(mesh, 1)
+        self.V = V if V is not None else VectorFunctionSpace(mesh, 2)
+        self.Q = Q if Q is not None else FunctionSpace(mesh, 1)
 
     def sub(self, i):
         return (self.V, self.Q)[i]

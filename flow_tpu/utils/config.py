@@ -7,7 +7,7 @@
 # are hashable, printable, and usable as jit-static arguments.
 from __future__ import annotations
 
-from dataclasses import dataclass, field, asdict
+from dataclasses import dataclass, asdict
 
 __all__ = ["SolverConfig", "SchemeConfig", "BenchmarkConfig"]
 

@@ -4,8 +4,6 @@
 # instead of JIT-compiled C++.
 from __future__ import annotations
 
-import jax.numpy as jnp
-
 __all__ = ["Expression"]
 
 

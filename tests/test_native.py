@@ -47,3 +47,23 @@ def test_rcm_reduces_bandwidth():
     bw_before = np.abs(edges[:, 0] - edges[:, 1]).max()
     bw_after = np.abs(inv[edges[:, 0]] - inv[edges[:, 1]]).max()
     assert bw_after < bw_before
+
+
+def test_mesh_save_load(tmp_path):
+    import os
+    from flow_tpu.mesh import save_mesh, load_mesh
+    from flow_tpu.mesh3d import box_mesh
+
+    m2 = unit_square_mesh(5, diagonal="crossed")
+    p = os.path.join(tmp_path, "m2.npz")
+    save_mesh(p, m2)
+    r2 = load_mesh(p)
+    np.testing.assert_array_equal(r2.cells_np, m2.cells_np)
+    np.testing.assert_array_equal(r2.points_np, m2.points_np)
+
+    m3 = box_mesh((0, 0, 0), (1, 1, 1), 2, 2, 2)
+    p3 = os.path.join(tmp_path, "m3.npz")
+    save_mesh(p3, m3)
+    r3 = load_mesh(p3)
+    assert r3.dim == 3
+    np.testing.assert_array_equal(r3.cells_np, m3.cells_np)
