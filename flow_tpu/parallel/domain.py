@@ -102,6 +102,8 @@ class ShardedProjection:
         newton_maxiter=10,
         linear_rtol=1.0e-7,
         pressure_rtol=1.0e-10,
+        with_force=False,
+        force_rule=6,
     ):
         mesh = V.mesh
         dtype = mesh.dtype
@@ -174,36 +176,66 @@ class ShardedProjection:
         self.degQ = Q.degree
         self.dtype = dtype
 
+        # body-force support: Fq is per-cell quadrature values of f at the
+        # force rule, sharded along cells like the geometry
+        self.with_force = with_force
+        self.force_rule = force_rule
+        if with_force:
+            from ..fem.assembly import tabulation as _tabulation
+
+            self._nq_force = _tabulation(V, force_rule).nq
+            # reuse the cell permutation/padding of the geometry arrays
+            order, n_local = partition_cells(mesh, ndev)
+            self._force_order = order
+            self._force_pad = n_local * ndev - len(order)
+
         spec_cells = P(AXIS)
         spec_rep = P()
+        in_specs = [
+            spec_rep,  # U
+            spec_rep,  # P
+            spec_rep,  # dt
+            spec_cells,  # cd_V
+            spec_cells,  # cd_Q
+            spec_cells,  # detJ
+            spec_cells,  # G
+            spec_cells,  # C
+        ]
+        if with_force:
+            in_specs.append(spec_cells)  # Fq
         self.step = jax.jit(
             jax.shard_map(
                 self._step_local,
                 mesh=self.jmesh,
-                in_specs=(
-                    spec_rep,  # U
-                    spec_rep,  # P
-                    spec_rep,  # dt
-                    spec_cells,  # cd_V
-                    spec_cells,  # cd_Q
-                    spec_cells,  # detJ
-                    spec_cells,  # G
-                    spec_cells,  # C
-                ),
+                in_specs=tuple(in_specs),
                 out_specs=(spec_rep, spec_rep, spec_rep),
                 check_vma=False,
             )
         )
 
+    def pack_force(self, Fq_cells):
+        """Reorder+pad per-cell force quadrature values [n_cells, nq, ncomp]
+        into the sharded cell layout."""
+        a = np.asarray(Fq_cells)[self._force_order]
+        if self._force_pad:
+            a = np.concatenate(
+                [a, np.zeros((self._force_pad,) + a.shape[1:], dtype=a.dtype)]
+            )
+        return jnp.asarray(a, dtype=self.dtype)
+
     # convenience wrapper matching the single-chip call style
-    def __call__(self, U, Pv, dt):
-        return self.step(
+    def __call__(self, U, Pv, dt, Fq=None):
+        args = [
             U, Pv, jnp.asarray(dt, dtype=self.dtype),
             self.cd_V, self.cd_Q, self.detJ, self.G, self.C,
-        )
+        ]
+        if self.with_force:
+            assert Fq is not None, "constructed with with_force=True"
+            args.append(Fq)
+        return self.step(*args)
 
     # ---- per-device step (runs under shard_map) ----------------------------
-    def _step_local(self, U, Pv, dt, cd_V, cd_Q, detJ, G, C):
+    def _step_local(self, U, Pv, dt, cd_V, cd_Q, detJ, G, C, Fq=None):
         dtype = self.dtype
         Vl = _LocalSpace(self.degV, 2, self.nV, cd_V, dtype)
         Ql = _LocalSpace(self.degQ, 1, self.nQ, cd_Q, dtype)
@@ -223,6 +255,11 @@ class ShardedProjection:
             out = out - forms.sym_grad_apply(Vl, gl, W, mu)
             out = out + forms.pressure_grad_rhs(Vl, Ql, gl, P0)
             out = out + inv_ndev * self._boundary_terms(W, P0)
+            if Fq is not None:
+                ftab = forms.assembly.tabulation(Vl, self.force_rule)
+                out = out + forms.assembly.integrate_rhs(
+                    Vl, ftab, gl, val=Fq
+                )
             return out
 
         free_u = 1.0 - self.mask_u

@@ -62,3 +62,18 @@ def test_metrics_logger(tmp_path):
 
     lines = [json.loads(l) for l in open(path)]
     assert len(lines) == 2 and lines[0]["step"] == 1
+
+
+def test_expression_settable_params():
+    from flow_tpu.utils import Expression
+
+    e = Expression(lambda x, t, a: a * x[..., 0] + t, t=0.0, a=2.0)
+    pts = jnp.asarray([[1.0, 0.0], [2.0, 0.0]])
+    np.testing.assert_allclose(np.asarray(e(pts)), [2.0, 4.0])
+    e.t = 1.5
+    np.testing.assert_allclose(np.asarray(e(pts)), [3.5, 5.5])
+    # usable as BC value / interpolation source
+    mesh = unit_square_mesh(3)
+    S = FunctionSpace(mesh, 1)
+    u = flow_tpu.interpolate(e, S)
+    assert np.isfinite(np.asarray(u.vector)).all()

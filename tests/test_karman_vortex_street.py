@@ -29,3 +29,16 @@ def test_strouhal_estimator_synthetic():
     lift = np.sin(2 * np.pi * 2.0 * t)
     st = karman.strouhal_number(t, lift)
     assert abs(st - 8.0) < 0.2
+
+
+def test_karman_fast_chunked(monkeypatch):
+    # the fused fast driver with forces telemetry; exercises chunked scan
+    # execution (chunk + remainder) on a tiny mesh
+    from flow_tpu.models.karman import run_karman_fast
+    import flow_tpu.models.karman as km
+
+    out = run_karman_fast(num_steps=3, lcar=0.03, n_refine=0, use_multigrid=False)
+    assert out["t"].shape == (3,)
+    assert out["forces"].shape == (3, 2)
+    assert np.isfinite(out["forces"]).all()
+    assert out["dt"] > 0

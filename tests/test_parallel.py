@@ -3,6 +3,7 @@
 # step must agree with the single-chip path to machine precision.
 import numpy as np
 import jax
+import jax.numpy as jnp
 import pytest
 
 import flow_tpu
@@ -60,3 +61,32 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(min(8, len(jax.devices())))
+
+
+def test_sharded_step_with_body_force_matches_single_chip():
+    # hydrostatic balance through the SHARDED step: f = (0, g), p0 = g*y
+    from flow_tpu import project
+    from flow_tpu.fem.assembly import geometry, tabulation
+
+    mesh = unit_square_mesh(8, diagonal="crossed")
+    V = VectorFunctionSpace(mesh, 2)
+    Q = FunctionSpace(mesh, 1)
+    g = -9.81
+    u0 = project((0.0, 0.0), V)
+    p0 = project(lambda x: g * x[..., 1], Q)
+    u_bcs = [DirichletBC(V, (0.0, 0.0), "on_boundary")]
+
+    sp = ShardedProjection(
+        V, Q, u_bcs, [], rho=1.0, mu=1e-3,
+        devices=jax.devices()[:4], rotational_form=False, with_force=True,
+    )
+    geom = geometry(mesh)
+    tab = tabulation(V, sp.force_rule)
+    xq = geom.physical_points(tab.ref_pts)
+    Fq_cells = np.zeros(xq.shape[:2] + (2,))
+    Fq_cells[:, :, 1] = g
+    Fq = sp.pack_force(Fq_cells)
+
+    U1, P1, _ = sp(u0.vector, p0.vector, 1e-2, Fq=Fq)
+    # exact hydrostatic balance preserved at machine precision
+    assert float(jnp.abs(U1).max()) < 1e-12
