@@ -41,6 +41,11 @@ def main():
     lcar = float(os.environ.get("BENCH_LCAR", "0.02"))
     n_refine = int(os.environ.get("BENCH_REFINE", "3"))
     n_steps = int(os.environ.get("BENCH_STEPS", "20"))
+    mode = os.environ.get("BENCH_MODE", "karman")
+
+    if mode == "cavity3d":
+        _bench_cavity3d(n_steps)
+        return
 
     from flow_tpu.models.karman import KarmanProblem
     from flow_tpu.navier_stokes.fast import FastStepper
@@ -112,6 +117,53 @@ def main():
         f"newton_iters={np.asarray(tel['newton_iters']).tolist()} "
         f"pressure_iters={np.asarray(tel['pressure_iters']).tolist()} "
         f"dt_final={float(dtf):.3e}",
+        file=sys.stderr,
+    )
+
+
+def _bench_cavity3d(n_steps):
+    """Secondary workload: 3-D lid-driven cavity on the structured fast path
+    (conv-stencil operators + structured multigrid; BENCH_N grid cells/dim)."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from flow_tpu.models.cavity3d import Cavity3DProblem
+    from flow_tpu.navier_stokes.fast import FastStepper
+    from flow_tpu.solvers.structured_mg import StructuredHierarchy
+
+    n = int(os.environ.get("BENCH_N", "32"))
+    prob = Cavity3DProblem(n=n, mu=0.01)
+    n_dofs = 3 * prob.V.n_dofs + prob.Q.n_dofs
+    stepper = FastStepper(
+        prob.V, prob.Q, prob.u_bcs, prob.p_bcs, prob.rho, prob.mu,
+        rotational_form=True, newton_tol=0.0, newton_rtol=1.0e-3,
+        newton_maxiter=4, linear_rtol=3.0e-2, pressure_rtol=1.0e-4,
+        correction_rtol=1.0e-5, cfl_target=1.0, dt_max=0.1,
+    )
+    stepper.pressure_precond = StructuredHierarchy(prob.mesh).v_cycle
+    U, P = prob.V.zeros(), prob.Q.zeros()
+    dt0 = jnp.asarray(1.0e-3, dtype=U.dtype)
+    U, P, dtw, _ = stepper.run(U, P, dt0, n_steps=n_steps)
+    U.block_until_ready()
+    t0 = _time.perf_counter()
+    U, P, dtf, tel = stepper.run(U, P, dtw, n_steps=n_steps)
+    U.block_until_ready()
+    elapsed = _time.perf_counter() - t0
+    sps = n_steps / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": f"cavity3d_steps_per_sec@{n_dofs}dof",
+                "value": round(sps, 3),
+                "unit": "steps/s",
+                "vs_baseline": round(sps / 50.0, 3),
+            }
+        )
+    )
+    print(
+        f"n_dofs={n_dofs} elapsed={elapsed:.3f}s "
+        f"pressure_iters={np.asarray(tel['pressure_iters']).tolist()}",
         file=sys.stderr,
     )
 
