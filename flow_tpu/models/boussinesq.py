@@ -17,6 +17,7 @@ from ..fem.bc import DirichletBC
 from ..fem.interpolate import project
 from .. import navier_stokes, heat, parabolic, materials
 from ..message import Message, info, begin, end
+from ..utils.timestep import AdaptiveTimeController
 
 __all__ = ["compute_boussinesq"]
 
@@ -81,10 +82,11 @@ def compute_boussinesq(
     cool_dofs = _cool
 
     t = 0.0
-    dt = dt0
+    ctrl = AdaptiveTimeController(dt0, dt_max=dt_max, alpha=0.5, growth=2.0)
     u1, p1, theta1 = u0, p0, theta0
 
     while t < target_time + 1.0e-14:
+        dt = ctrl.dt
         begin("Time step %e -> %e..." % (t, t + dt))
         # heater ramp room -> max over 30 s (reference :172-176)
         t1 = 30.0
@@ -105,7 +107,7 @@ def compute_boussinesq(
                     "Banach solver failed to converge. Decrease time step "
                     "from %e to %e and try again." % (dt, 0.25 * dt)
                 )
-                dt *= 0.25
+                ctrl.backoff(0.25)
                 failed = True
                 end()
                 break
@@ -154,7 +156,7 @@ def compute_boussinesq(
                     "Navier-Stokes solver failed to converge. Decrease time "
                     "step from %e to %e and try again." % (dt, 0.5 * dt)
                 )
-                dt *= 0.5
+                ctrl.backoff(0.5)
                 failed = True
                 end()
                 end()
@@ -192,8 +194,7 @@ def compute_boussinesq(
         target_dt = dt * target_banach_steps / banach_step
         info("current dt: %e" % dt)
         info("target dt:  %e" % target_dt)
-        alpha = 0.5
-        dt = min(dt_max, dt * min(2.0, 1.0 + alpha * (target_dt - dt) / dt))
+        dt = ctrl.propose(target_dt)
         info("next dt:    %e" % dt)
         t += dt
         end()

@@ -2,3 +2,4 @@ from .config import SolverConfig, SchemeConfig, BenchmarkConfig  # noqa: F401
 from .expression import Expression  # noqa: F401
 from .metrics import MetricsLogger  # noqa: F401
 from . import plotting  # noqa: F401
+from .timestep import AdaptiveTimeController, step_with_retry  # noqa: F401
