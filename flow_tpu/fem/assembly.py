@@ -380,3 +380,105 @@ class BoundaryTab:
     def integrate_scalar(self, val):
         """sum_facets int val ds (a number). val: [nb, nq1]."""
         return jnp.einsum("bq,bq->", val, self.wl)
+
+
+class BoundaryFaceTab:
+    """3-D facet (triangle-face) tabulation — the tet analog of BoundaryTab,
+    enabling ds-integrals on TetMesh boundaries (open-boundary 3-D NS terms,
+    3-D force probes).
+
+    Same interface as BoundaryTab: phi/dphi gathered per boundary face, wl
+    (quadrature weight x 2 x face area), outward unit normals, physical
+    quadrature points.
+    """
+
+    _TET_FACES = [(1, 2, 3), (0, 2, 3), (0, 1, 3), (0, 1, 2)]
+    _REF_V = np.array(
+        [[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    )
+
+    def __init__(self, space: FunctionSpace, rule_degree=4):
+        mesh = space.mesh
+        assert getattr(mesh, "dim", 2) == 3
+        dtype = mesh.dtype
+        tpts, tw = quadrature.triangle_rule(rule_degree)  # weights sum to 1/2
+        nq = len(tw)
+
+        # reference tet coords of face k at triangle barycentric points
+        phi_k = np.empty((4, nq, space.n_local))
+        dphi_k = np.empty((4, nq, space.n_local, 3))
+        pts_k = np.empty((4, nq, 3))
+        for k, (a, b, c) in enumerate(self._TET_FACES):
+            lam_a = 1.0 - tpts[:, 0] - tpts[:, 1]
+            pts = (
+                lam_a[:, None] * self._REF_V[a]
+                + tpts[:, 0:1] * self._REF_V[b]
+                + tpts[:, 1:2] * self._REF_V[c]
+            )
+            pts_k[k] = pts
+            phi_k[k], dphi_k[k] = elements.tabulate(space.degree, pts, dim=3)
+
+        loc = mesh.boundary_local_np
+        cells = mesh.boundary_cells_np
+        self.phi = jnp.asarray(phi_k[loc], dtype=dtype)  # [nb,nq,nl]
+        self.dphi = jnp.asarray(dphi_k[loc], dtype=dtype)  # [nb,nq,nl,3]
+        self.cells = jnp.asarray(cells)
+        self.cell_dofs = space.cell_dofs[self.cells]
+        self.space = space
+        self.nq1 = nq
+
+        # geometry: face vertex coords, outward normal, area
+        p = mesh.points_np
+        f = mesh.boundary_faces_np  # sorted triples; orientation fixed below
+        d1 = p[f[:, 1]] - p[f[:, 0]]
+        d2 = p[f[:, 2]] - p[f[:, 0]]
+        cr = np.cross(d1, d2)
+        area2 = np.linalg.norm(cr, axis=1)  # = 2*area
+        n = cr / area2[:, None]
+        # orient outward: away from the cell centroid
+        cent_cell = p[mesh.cells_np[cells]].mean(axis=1)
+        cent_face = p[f].mean(axis=1)
+        flip = np.einsum("bd,bd->b", n, cent_face - cent_cell) < 0
+        n[flip] *= -1.0
+        self.normals = jnp.asarray(n, dtype=dtype)
+        self.wl = jnp.asarray(
+            tw[None, :] * (2.0 * 0.5 * area2)[:, None], dtype=dtype
+        )  # w_q * 2 * area  (tw sums to 1/2)
+
+        # physical quadrature points
+        x0 = p[mesh.cells_np[cells][:, 0]]
+        dv = np.stack(
+            [p[mesh.cells_np[cells][:, k + 1]] - x0 for k in range(3)], axis=-1
+        )
+        xq = x0[:, None, :] + np.einsum("bqk,bdk->bqd", pts_k[loc], dv)
+        self.x_np = xq
+        self.x = jnp.asarray(xq, dtype=dtype)
+
+    def gather(self, U):
+        return U[self.cell_dofs]
+
+    def values(self, U):
+        Uloc = self.gather(U)
+        if Uloc.ndim == 2:
+            return jnp.einsum("bql,bl->bq", self.phi, Uloc)
+        return jnp.einsum("bql,blm->bqm", self.phi, Uloc)
+
+    def grads(self, U, geom: Geometry):
+        Uloc = self.gather(U)
+        Gb = geom.G[self.cells]
+        if Uloc.ndim == 2:
+            return jnp.einsum("bqlk,bdk,bl->bqd", self.dphi, Gb, Uloc)
+        return jnp.einsum("bqlk,bdk,blm->bqmd", self.dphi, Gb, Uloc)
+
+    def integrate_rhs(self, val):
+        if val.ndim == 2:
+            locv = jnp.einsum("bq,bq,bqi->bi", val, self.wl, self.phi)
+        else:
+            locv = jnp.einsum("bqm,bq,bqi->bim", val, self.wl, self.phi)
+        flat_dofs = self.cell_dofs.reshape(-1)
+        flat = locv.reshape((-1,) + locv.shape[2:])
+        out = jnp.zeros((self.space.n_dofs,) + flat.shape[1:], dtype=flat.dtype)
+        return out.at[flat_dofs].add(flat)
+
+    def integrate_scalar(self, val):
+        return jnp.einsum("bq,bq->", val, self.wl)

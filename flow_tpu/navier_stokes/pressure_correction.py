@@ -64,13 +64,10 @@ class _Context:
             self.btab = BoundaryTab(V, rule_degree=5)
             self.btabQ = BoundaryTab(Q, rule_degree=5)
         else:
-            # 3-D: facet (ds) integrals not tabulated yet — valid when the
-            # velocity has Dirichlet BCs on the whole boundary (the boundary
-            # terms then only touch constrained rows, which are masked out);
-            # that covers the 3-D Boussinesq cavity target of BASELINE
-            # config 5. Open-boundary 3-D problems need face tabulation.
-            self.btab = None
-            self.btabQ = None
+            from ..fem.assembly import BoundaryFaceTab
+
+            self.btab = BoundaryFaceTab(V, rule_degree=4)
+            self.btabQ = BoundaryFaceTab(Q, rule_degree=4)
         dtype = mesh.dtype
 
         geom = self.geom

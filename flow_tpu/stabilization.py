@@ -10,14 +10,25 @@
 # branch-free (jnp.where replaces the early-exit and Taylor branches).
 #
 # Deviation from the reference: the tau > 1e3 sanity check (which throws from
-# C++, stabilization.py:132-140) is not an exception here — use
-# `supg_tau_max` on the host if you want the guard.
+# C++, stabilization.py:132-140) cannot raise inside jit — call `check_tau`
+# on the host for the same guard.
 from __future__ import annotations
 
 import numpy as np
 import jax.numpy as jnp
 
-__all__ = ["supg", "supg_tau"]
+__all__ = ["supg", "supg_tau", "check_tau"]
+
+
+def check_tau(tau, limit=1.0e3):
+    """Host-side equivalent of the reference's C++ sanity guard
+    (stabilization.py:132-140): raise if any tau exceeds `limit`."""
+    tmax = float(jnp.max(tau))
+    if tmax > limit:
+        raise RuntimeError(
+            f"SUPG tau sanity check failed: max tau = {tmax:.3e} > {limit:.0e}"
+        )
+    return tau
 
 
 def supg_tau(mesh, conv_at_qp, diffusion, element_degree):

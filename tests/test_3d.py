@@ -151,3 +151,39 @@ def test_heat_3d_smoke():
     # P2 solutions overshoot the 300 K boundary value slightly (no discrete
     # maximum principle for quadratic elements); require boundedness only
     assert v.min() > 292.0 and v.max() < 310.0
+
+
+def test_boundary_face_tab():
+    from flow_tpu.fem.assembly import BoundaryFaceTab, geometry as _geom
+
+    mesh = box_mesh((0, 0, 0), (1, 2, 3), 3, 4, 5)
+    S = FunctionSpace(mesh, 2)
+    bt = BoundaryFaceTab(S, rule_degree=4)
+
+    # surface area: 2*(1*2 + 1*3 + 2*3) = 22
+    ones = jnp.ones_like(bt.wl)
+    assert abs(float(bt.integrate_scalar(ones)) - 22.0) < 1e-12
+
+    # closed surface: oint n ds = 0
+    n_int = np.einsum(
+        "bq,bd->d", np.asarray(bt.wl), np.asarray(bt.normals)
+    )
+    np.testing.assert_allclose(n_int, 0.0, atol=1e-12)
+
+    # divergence theorem: oint x . n ds = 3 * volume = 18
+    xq = np.asarray(bt.x)
+    xdotn = np.einsum("bqd,bd->bq", xq, np.asarray(bt.normals))
+    val = float(bt.integrate_scalar(jnp.asarray(xdotn, dtype=mesh.dtype)))
+    assert abs(val - 3.0 * 6.0) < 1e-11
+
+    # FE-function trace values: interpolate f = x+y+z, check oint f ds
+    u = project(lambda x: x[..., 0] + x[..., 1] + x[..., 2], S)
+    vals = bt.values(u.vector)
+    # analytic: sum over faces of integral of (x+y+z)
+    # box [0,1]x[0,2]x[0,3]: total = 66 (computed below numerically instead)
+    got = float(bt.integrate_scalar(vals))
+    # check against midpoint-exactness: the integrand is linear per face
+    mids = xq.mean(axis=1)
+    areas = np.asarray(bt.wl).sum(axis=1)
+    approx = float((mids.sum(axis=1) * areas).sum())
+    assert abs(got - approx) < 1e-10

@@ -98,3 +98,23 @@ def test_heat_eval_solve_roundtrip():
     b_full = op.eval_alpha_M_beta_F(alpha, beta, u, 0.0)
     u3 = op.solve_alpha_M_beta_F(alpha, beta, b_full, 0.0)
     np.testing.assert_allclose(np.asarray(u3.vector), np.asarray(u), atol=1e-10)
+
+
+def test_supg_tau_guard():
+    # the host-side equivalent of the reference's C++ tau > 1e3 throw
+    import jax.numpy as jnp
+
+    from flow_tpu.mesh import Mesh
+
+    # a huge convection-dominated cell: tau -> h/(2|b|) = 5e3 > 1e3
+    mesh = Mesh(
+        1.0e4 * np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]]),
+        np.array([[0, 1, 2]]),
+    )
+    tau = stabilization.supg_tau(mesh, jnp.array([[[1.0, 0.0]]]), 1e-6, 1)
+    with pytest.raises(RuntimeError, match="tau"):
+        stabilization.check_tau(tau)
+    # a benign tau passes through unchanged
+    mesh2 = Mesh(np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]]), np.array([[0, 1, 2]]))
+    ok = stabilization.supg_tau(mesh2, jnp.array([[[1.0, 0.0]]]), 0.01, 1)
+    assert stabilization.check_tau(ok) is ok
