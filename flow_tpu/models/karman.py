@@ -218,6 +218,8 @@ def run_karman_fast(
     n_refine=2,
     mu=0.002,
     dt0=1.0e-4,
+    dt_max=1.0,
+    cfl_target=1.0,
     use_multigrid=True,
     newton_rtol=1.0e-3,
     pressure_rtol=1.0e-4,
@@ -258,8 +260,8 @@ def run_karman_fast(
         linear_rtol=1.0e-4,
         pressure_rtol=pressure_rtol,
         correction_rtol=1.0e-5,
-        cfl_target=1.0,
-        dt_max=1.0,
+        cfl_target=cfl_target,
+        dt_max=dt_max,
         forces_probe=forces_probe,
     )
     if use_multigrid and n_refine > 0:
@@ -292,6 +294,9 @@ def run_karman_fast(
     telemetry = {
         k: np.concatenate([t[k] for t in tels]) for k in tels[0]
     }
+    # the scan's time carry restarts at 0 in each chunk call; reconstruct
+    # the global time axis from the per-step dt series
+    telemetry["t"] = np.cumsum(telemetry["dt"])
     return {
         "problem": problem,
         "stepper": stepper,

@@ -23,6 +23,7 @@ def main():
 
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     n_refine = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    dt_max = float(sys.argv[3]) if len(sys.argv) > 3 else 0.04
 
     from flow_tpu.models import karman
 
@@ -32,6 +33,7 @@ def main():
         lcar=0.02,
         n_refine=n_refine,
         dt0=1.0e-4,
+        dt_max=dt_max,
     )
     elapsed = time.time() - t0
 
