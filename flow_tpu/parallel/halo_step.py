@@ -1,0 +1,666 @@
+# Dof-partitioned halo-exchange execution of the FULL Navier-Stokes
+# projection step — the scalable distributed path, extending the
+# pressure-only solver (parallel/halo.py) to every operator in the step.
+#
+# Layout per device (strip decomposition over a 1-D ring):
+#   [ owned dofs (padded to max strip size) | ghost-left | ghost-right | 0 ]
+# Every operator application is: one forward ppermute pair (boundary values
+# -> neighbor ghosts), local batched-einsum assembly over owned cells into
+# the extended vector, one transpose ppermute pair (ghost partial sums ->
+# owners). Krylov dots are scalar psums. Communication per matvec is
+# O(strip boundary) = O(sqrt n) — contrast parallel/domain.py's replicated
+# O(n) psum. Boundary (ds) facets are partitioned by their owning cell.
+#
+# The form kernels are the same fem/forms.py einsums, reached through
+# duck-typed extended-layout spaces. Agreement with the single-chip path is
+# verified in tests/test_halo_step.py.
+from __future__ import annotations
+
+from types import SimpleNamespace
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh as JMesh, PartitionSpec as P
+
+from ..fem import assembly, forms
+from ..fem.assembly import geometry
+from ..fem.spaces import FunctionSpace
+from ..fem.bc import combine_bcs
+from ..solvers import krylov
+
+__all__ = ["HaloSpace", "HaloProjection"]
+
+AXIS = "x"
+
+
+def _ring_pairs(ndev):
+    return (
+        [(i, i + 1) for i in range(ndev - 1)],
+        [(i + 1, i) for i in range(ndev - 1)],
+    )
+
+
+class HaloSpace:
+    """Partitioned layout of one FunctionSpace over a 1-D device ring:
+    ownership, renumbering, halo/send tables, extended cell-dof maps."""
+
+    def __init__(self, space: FunctionSpace, dev_of_cell, cell_order, ndev):
+        self.space = space
+        self.ndev = ndev
+        n = space.n_dofs
+        cd = space.cell_dofs_np
+        nl = cd.shape[1]
+        nc = cd.shape[0]
+        c_per = -(-nc // ndev)
+        self.c_loc = c_per
+
+        owner = np.full(n, ndev, dtype=np.int64)
+        for k in range(nl):
+            np.minimum.at(owner, cd[:, k], dev_of_cell)
+        assert owner.max() < ndev
+        self.owner = owner
+
+        perm = np.lexsort((np.arange(n), owner))  # new slot -> old dof
+        newid = np.empty(n, dtype=np.int64)
+        newid[perm] = np.arange(n)
+        own_counts = np.bincount(owner, minlength=ndev)
+        own_starts = np.concatenate([[0], np.cumsum(own_counts)])
+        n_loc = int(own_counts.max())
+        self.perm = perm
+        self.newid = newid
+        self.own_counts = own_counts
+        self.own_starts = own_starts
+        self.n_loc = n_loc
+
+        halo_from_left = [[] for _ in range(ndev)]
+        halo_from_right = [[] for _ in range(ndev)]
+        for d in range(ndev):
+            cells_d = np.where(dev_of_cell == d)[0]
+            touched = np.unique(cd[cells_d].ravel())
+            for t in touched:
+                o = owner[t]
+                if o == d - 1:
+                    halo_from_left[d].append(int(t))
+                elif o == d + 1:
+                    halo_from_right[d].append(int(t))
+                else:
+                    assert o == d, "strip decomposition violated"
+        h = max(
+            [1]
+            + [len(v) for v in halo_from_left]
+            + [len(v) for v in halo_from_right]
+        )
+        self.h = h
+        self.dummy = n_loc + 2 * h
+        self.n_ext = n_loc + 2 * h + 1
+
+        # send tables: device d sends send_r[d] (its local slots) to d+1,
+        # arriving as d+1's ghost-left in the same order; similarly send_l.
+        send_r = np.full((ndev, h), self.dummy, dtype=np.int32)
+        send_l = np.full((ndev, h), self.dummy, dtype=np.int32)
+        for d in range(ndev):
+            if d + 1 < ndev:
+                for i, g in enumerate(halo_from_left[d + 1]):
+                    send_r[d, i] = newid[g] - own_starts[d]
+            if d - 1 >= 0:
+                for i, g in enumerate(halo_from_right[d - 1]):
+                    send_l[d, i] = newid[g] - own_starts[d]
+        self.send_r_np = send_r
+        self.send_l_np = send_l
+
+        ext_of = [dict() for _ in range(ndev)]
+        for d in range(ndev):
+            for i, g in enumerate(halo_from_left[d]):
+                ext_of[d][g] = n_loc + i
+            for i, g in enumerate(halo_from_right[d]):
+                ext_of[d][g] = n_loc + h + i
+        self.ext_of = ext_of
+
+        cell_dofs_ext = np.full((ndev, c_per, nl), self.dummy, dtype=np.int32)
+        for d in range(ndev):
+            cells_d = cell_order[d * c_per : (d + 1) * c_per]
+            for j, c in enumerate(cells_d):
+                for k in range(nl):
+                    cell_dofs_ext[d, j, k] = self.ext_index(d, cd[c, k])
+        self.cell_dofs_ext_np = cell_dofs_ext
+
+        valid = np.zeros((ndev, n_loc))
+        for d in range(ndev):
+            valid[d, : own_counts[d]] = 1.0
+        self.valid_np = valid
+
+    def ext_index(self, d, g):
+        """Extended-local index of global dof g on device d."""
+        if self.owner[g] == d:
+            return int(self.newid[g] - self.own_starts[d])
+        return self.ext_of[d].get(int(g), self.dummy)
+
+    def to_partitioned(self, x_global):
+        x = np.asarray(x_global)
+        tail = x.shape[1:]
+        xp = np.zeros((self.ndev * self.n_loc,) + tail, dtype=x.dtype)
+        xs = x[self.perm]
+        for d in range(self.ndev):
+            cnt = self.own_counts[d]
+            xp[d * self.n_loc : d * self.n_loc + cnt] = xs[
+                self.own_starts[d] : self.own_starts[d + 1]
+            ]
+        return jnp.asarray(xp)
+
+    def from_partitioned(self, xp):
+        xp = np.asarray(xp)
+        tail = xp.shape[1:]
+        out_sorted = np.zeros((self.space.n_dofs,) + tail, dtype=xp.dtype)
+        for d in range(self.ndev):
+            cnt = self.own_counts[d]
+            out_sorted[self.own_starts[d] : self.own_starts[d + 1]] = xp[
+                d * self.n_loc : d * self.n_loc + cnt
+            ]
+        out = np.zeros_like(out_sorted)
+        out[self.perm] = out_sorted
+        return jnp.asarray(out)
+
+
+class _ExtLocalSpace:
+    """Duck-typed FunctionSpace over the per-device extended layout. dof_sum
+    returns extended vectors — the caller applies the transpose exchange once
+    per operator application."""
+
+    def __init__(self, degree, n_components, n_ext, cell_dofs_ext, dtype):
+        self.degree = degree
+        self.n_components = n_components
+        self.n_ext = n_ext
+        self.cell_dofs = cell_dofs_ext
+        self.mesh = SimpleNamespace(dtype=dtype)
+
+    def gather(self, U_ext):
+        return U_ext[self.cell_dofs]
+
+    def dof_sum(self, loc):
+        out = jnp.zeros((self.n_ext,) + loc.shape[2:], dtype=loc.dtype)
+        return out.at[self.cell_dofs].add(loc)
+
+
+class HaloProjection:
+    """Full projection step over dof-partitioned state with ppermute halo
+    exchange. step(U_part, P_part, dt) -> (U1_part, P1_part); use
+    .Vh/.Qh to_partitioned/from_partitioned at the edges."""
+
+    def __init__(
+        self,
+        V: FunctionSpace,
+        Q: FunctionSpace,
+        u_bcs,
+        p_bcs,
+        rho,
+        mu,
+        devices=None,
+        time_step_method="backward euler",
+        rotational_form=True,
+        newton_tol=1.0e-10,
+        newton_maxiter=10,
+        linear_rtol=1.0e-7,
+        pressure_rtol=1.0e-10,
+    ):
+        mesh = V.mesh
+        dtype = mesh.dtype
+        self.dtype = dtype
+        devices = devices if devices is not None else jax.devices()
+        ndev = len(devices)
+        self.ndev = ndev
+        self.jmesh = JMesh(np.array(devices), (AXIS,))
+
+        cent = mesh.points_np[mesh.cells_np].mean(axis=1)
+        cell_order = np.argsort(cent[:, 0], kind="stable")
+        nc = mesh.n_cells
+        c_per = -(-nc // ndev)
+        dev_of_cell = np.empty(nc, dtype=np.int64)
+        for d in range(ndev):
+            dev_of_cell[cell_order[d * c_per : (d + 1) * c_per]] = d
+
+        self.Vh = HaloSpace(V, dev_of_cell, cell_order, ndev)
+        self.Qh = HaloSpace(Q, dev_of_cell, cell_order, ndev)
+
+        geomg = geometry(mesh)
+        ntot = c_per * ndev
+        pad = ntot - nc
+
+        def pad_cells(a, fill=0.0):
+            a = np.asarray(a)[cell_order]
+            if pad:
+                a = np.concatenate(
+                    [a, np.full((pad,) + a.shape[1:], fill, dtype=a.dtype)]
+                )
+            return jnp.asarray(a, dtype=dtype)
+
+        self.detJ = pad_cells(np.asarray(geomg.detJ))
+        self.G = pad_cells(np.asarray(geomg.G))
+        self.C = pad_cells(np.asarray(geomg.C))
+
+        mask_u, val_u = combine_bcs(V, u_bcs)
+        self.mask_u = jnp.asarray(
+            self.Vh.to_partitioned(np.asarray(mask_u)), dtype=dtype
+        )
+        self.val_u = jnp.asarray(
+            self.Vh.to_partitioned(np.asarray(val_u)), dtype=dtype
+        )
+        self.has_p_bcs = bool(p_bcs)
+        if self.has_p_bcs:
+            mask_p, val_p = combine_bcs(Q, p_bcs)
+            self.mask_p = jnp.asarray(
+                self.Qh.to_partitioned(np.asarray(mask_p)), dtype=dtype
+            )
+            self.val_p = jnp.asarray(
+                self.Qh.to_partitioned(np.asarray(val_p)), dtype=dtype
+            )
+        else:
+            self.mask_p = jnp.zeros(ndev * self.Qh.n_loc, dtype=dtype)
+            self.val_p = self.mask_p
+        self.valid_V = jnp.asarray(self.Vh.valid_np.reshape(-1), dtype=dtype)
+        self.valid_Q = jnp.asarray(self.Qh.valid_np.reshape(-1), dtype=dtype)
+
+        ncomp = V.n_components
+        md = np.asarray(assembly.mass_diag(V, geomg))
+        sd = np.asarray(assembly.stiffness_diag(V, geomg))
+        self.mass_diag_V = jnp.asarray(
+            self.Vh.to_partitioned(np.repeat(md[:, None], ncomp, 1)), dtype=dtype
+        )
+        self.stiff_diag_V = jnp.asarray(
+            self.Vh.to_partitioned(np.repeat(sd[:, None], ncomp, 1)), dtype=dtype
+        )
+        self.stiff_diag_Q = jnp.asarray(
+            self.Qh.to_partitioned(np.asarray(assembly.stiffness_diag(Q, geomg))),
+            dtype=dtype,
+        )
+
+        self.send_r_V = jnp.asarray(self.Vh.send_r_np.reshape(-1))
+        self.send_l_V = jnp.asarray(self.Vh.send_l_np.reshape(-1))
+        self.send_r_Q = jnp.asarray(self.Qh.send_r_np.reshape(-1))
+        self.send_l_Q = jnp.asarray(self.Qh.send_l_np.reshape(-1))
+        self.cd_V = jnp.asarray(self.Vh.cell_dofs_ext_np.reshape(ntot, -1))
+        self.cd_Q = jnp.asarray(self.Qh.cell_dofs_ext_np.reshape(ntot, -1))
+
+        self._build_boundary(V, Q, mesh, dev_of_cell, geomg)
+
+        self.rho = float(rho)
+        self.mu = float(mu)
+        self.rotational = rotational_form
+        if time_step_method == "forward euler":
+            self.theta = (1.0, 0.0)
+        elif time_step_method == "backward euler":
+            self.theta = (0.0, 1.0)
+        else:
+            assert time_step_method == "crank-nicolson"
+            self.theta = (0.5, 0.5)
+        self.newton_tol = newton_tol
+        self.newton_maxiter = newton_maxiter
+        self.linear_rtol = linear_rtol
+        self.pressure_rtol = pressure_rtol
+        self.degV, self.degQ = V.degree, Q.degree
+        self.ncomp = ncomp
+
+        spec_c = P(AXIS)
+        spec_r = P()
+        # sharded args: everything except dt
+        n_cell_args = 6  # cd_V cd_Q detJ G C + (boundary bundle below)
+        in_specs = tuple(
+            [spec_c, spec_c, spec_r]
+            + [spec_c] * 18
+            + ([spec_c] * 8 if self._nb_loc else [])
+        )
+        self._step = jax.jit(
+            jax.shard_map(
+                self._step_local,
+                mesh=self.jmesh,
+                in_specs=in_specs,
+                out_specs=(spec_c, spec_c),
+                check_vma=False,
+            )
+        )
+
+    # ---- boundary facets, partitioned by owning cell -----------------------
+    def _build_boundary(self, V, Q, mesh, dev_of_cell, geomg):
+        from ..fem.assembly import BoundaryTab
+
+        btV = BoundaryTab(V, rule_degree=5)
+        btQ = BoundaryTab(Q, rule_degree=5)
+        ndev = self.ndev
+        cells_b = np.asarray(mesh.boundary_cells_np, dtype=np.int64)
+        dev_b = dev_of_cell[cells_b]
+        nb_loc = (
+            int(np.bincount(dev_b, minlength=ndev).max()) if len(cells_b) else 0
+        )
+        self._nb_loc = nb_loc
+        if nb_loc == 0:
+            return
+        nq1 = btV.nq1
+        nlV, nlQ = V.n_local, Q.n_local
+        dim = 2
+
+        phiV = np.zeros((ndev, nb_loc, nq1, nlV))
+        dphiV = np.zeros((ndev, nb_loc, nq1, nlV, dim))
+        phiQ = np.zeros((ndev, nb_loc, nq1, nlQ))
+        wl = np.zeros((ndev, nb_loc, nq1))
+        normals = np.zeros((ndev, nb_loc, dim))
+        Gb = np.zeros((ndev, nb_loc, dim, dim))
+        cdV_b = np.full((ndev, nb_loc, nlV), self.Vh.dummy, dtype=np.int32)
+        cdQ_b = np.full((ndev, nb_loc, nlQ), self.Qh.dummy, dtype=np.int32)
+
+        Gg = np.asarray(geomg.G)
+        cdV_np, cdQ_np = V.cell_dofs_np, Q.cell_dofs_np
+        fill = np.zeros(ndev, dtype=np.int64)
+        for b, c in enumerate(cells_b):
+            d = dev_b[b]
+            j = fill[d]
+            fill[d] += 1
+            phiV[d, j] = np.asarray(btV.phi)[b]
+            dphiV[d, j] = np.asarray(btV.dphi)[b]
+            phiQ[d, j] = np.asarray(btQ.phi)[b]
+            wl[d, j] = np.asarray(btV.wl)[b]
+            normals[d, j] = np.asarray(btV.normals)[b]
+            Gb[d, j] = Gg[c]
+            for k in range(nlV):
+                cdV_b[d, j, k] = self.Vh.ext_index(d, cdV_np[c, k])
+            for k in range(nlQ):
+                cdQ_b[d, j, k] = self.Qh.ext_index(d, cdQ_np[c, k])
+
+        def fl(a):
+            return jnp.asarray(
+                a.reshape((ndev * nb_loc,) + a.shape[2:]), dtype=self.dtype
+            )
+
+        self.b_phiV = fl(phiV)
+        self.b_dphiV = fl(dphiV)
+        self.b_phiQ = fl(phiQ)
+        self.b_wl = fl(wl)
+        self.b_normals = fl(normals)
+        self.b_Gb = fl(Gb)
+        self.b_cdV = jnp.asarray(cdV_b.reshape(ndev * nb_loc, -1))
+        self.b_cdQ = jnp.asarray(cdQ_b.reshape(ndev * nb_loc, -1))
+
+    # ---- public entry ---------------------------------------------------------
+    def step(self, U_part, P_part, dt):
+        args = [
+            U_part,
+            P_part,
+            jnp.asarray(dt, dtype=self.dtype),
+            self.cd_V,
+            self.cd_Q,
+            self.detJ,
+            self.G,
+            self.C,
+            self.mask_u,
+            self.val_u,
+            self.mask_p,
+            self.val_p,
+            self.valid_V,
+            self.valid_Q,
+            self.send_r_V,
+            self.send_l_V,
+            self.send_r_Q,
+            self.send_l_Q,
+            self.mass_diag_V,
+            self.stiff_diag_V,
+            self.stiff_diag_Q,
+        ]
+        if self._nb_loc:
+            args += [
+                self.b_cdV,
+                self.b_cdQ,
+                self.b_phiV,
+                self.b_dphiV,
+                self.b_phiQ,
+                self.b_wl,
+                self.b_normals,
+                self.b_Gb,
+            ]
+        return self._step(*args)
+
+    # ---- per-device exchange helpers -------------------------------------------
+    def _fwd(self, x_own, send_r, send_l, h):
+        right, left = _ring_pairs(self.ndev)
+        tail = x_own.shape[1:]
+        xz = jnp.concatenate(
+            [x_own, jnp.zeros((2 * h + 1,) + tail, dtype=x_own.dtype)]
+        )
+        gl = jax.lax.ppermute(xz[send_r], AXIS, right)
+        gr = jax.lax.ppermute(xz[send_l], AXIS, left)
+        return jnp.concatenate(
+            [x_own, gl, gr, jnp.zeros((1,) + tail, dtype=x_own.dtype)]
+        )
+
+    def _bwd(self, y_ext, send_r, send_l, n_loc, h):
+        right, left = _ring_pairs(self.ndev)
+        from_right = jax.lax.ppermute(y_ext[n_loc : n_loc + h], AXIS, left)
+        from_left = jax.lax.ppermute(
+            y_ext[n_loc + h : n_loc + 2 * h], AXIS, right
+        )
+        tail = y_ext.shape[1:]
+        yz = jnp.concatenate(
+            [y_ext[:n_loc], jnp.zeros((2 * h + 1,) + tail, dtype=y_ext.dtype)]
+        )
+        yz = yz.at[send_r].add(from_right)
+        yz = yz.at[send_l].add(from_left)
+        return yz[:n_loc]
+
+    # ---- the step --------------------------------------------------------------
+    def _step_local(
+        self,
+        U,
+        Pv,
+        dt,
+        cd_V,
+        cd_Q,
+        detJ,
+        G,
+        C,
+        mask_u,
+        val_u,
+        mask_p,
+        val_p,
+        valid_V,
+        valid_Q,
+        send_r_V,
+        send_l_V,
+        send_r_Q,
+        send_l_Q,
+        mass_diag_V,
+        stiff_diag_V,
+        stiff_diag_Q,
+        b_cdV=None,
+        b_cdQ=None,
+        b_phiV=None,
+        b_dphiV=None,
+        b_phiQ=None,
+        b_wl=None,
+        b_normals=None,
+        b_Gb=None,
+    ):
+        dtype = self.dtype
+        Vh, Qh = self.Vh, self.Qh
+        Vl = _ExtLocalSpace(self.degV, self.ncomp, Vh.n_ext, cd_V, dtype)
+        Ql = _ExtLocalSpace(self.degQ, 1, Qh.n_ext, cd_Q, dtype)
+        gm = SimpleNamespace(detJ=detJ, G=G, C=C, dim=2)
+        rho, mu = self.rho, self.mu
+        nV, hV = Vh.n_loc, Vh.h
+        nQ, hQ = Qh.n_loc, Qh.h
+
+        def psum(x):
+            return jax.lax.psum(x, AXIS)
+
+        def fwd_V(x):
+            return self._fwd(x, send_r_V, send_l_V, hV)
+
+        def bwd_V(y):
+            return self._bwd(y, send_r_V, send_l_V, nV, hV)
+
+        def fwd_Q(x):
+            return self._fwd(x, send_r_Q, send_l_Q, hQ)
+
+        def bwd_Q(y):
+            return self._bwd(y, send_r_Q, send_l_Q, nQ, hQ)
+
+        def dot(a, b):
+            return psum(jnp.sum(a * b))
+
+        # ---- boundary (ds) terms: facets owned by this device --------------
+        def boundary_terms_ext(W_ext, P_ext):
+            if b_cdV is None:
+                return jnp.zeros((Vh.n_ext, self.ncomp), dtype=dtype)
+            wloc = W_ext[b_cdV]  # [nb, nlV, m]
+            ploc = P_ext[b_cdQ]  # [nb, nlQ]
+            pq = jnp.einsum("bql,bl->bq", b_phiQ, ploc)
+            gw = jnp.einsum("bqlk,bdk,blm->bqmd", b_dphiV, b_Gb, wloc)
+            val = -pq[:, :, None] * b_normals[:, None, :]
+            val = val + mu * jnp.einsum(
+                "bqmd,bm->bqd", gw.transpose(0, 1, 3, 2), b_normals
+            )
+            loc = jnp.einsum("bqm,bq,bqi->bim", val, b_wl, b_phiV)
+            out = jnp.zeros((Vh.n_ext, self.ncomp), dtype=dtype)
+            return out.at[b_cdV].add(loc)
+
+        # ---- momentum residual ------------------------------------------------
+        free_u = (1.0 - mask_u) * valid_V[:, None]
+
+        def rhs_weak_ext(W_ext, P_ext):
+            out = -rho * forms.skew_convection_combined_rhs(
+                Vl, gm, W_ext, rule_degree=5
+            )
+            out = out - forms.sym_grad_apply(Vl, gm, W_ext, mu)
+            out = out + forms.pressure_grad_rhs(Vl, Ql, gm, P_ext)
+            out = out + boundary_terms_ext(W_ext, P_ext)
+            return out
+
+        U_ext0 = fwd_V(U)
+        P_ext0 = fwd_Q(Pv)
+
+        def residual(x):
+            x_ext = fwd_V(x)
+            r_ext = assembly.mass_apply(Vl, gm, x_ext - U_ext0)
+            w_ex, w_im = self.theta
+            if w_ex:
+                r_ext = r_ext - (dt / rho) * w_ex * rhs_weak_ext(U_ext0, P_ext0)
+            if w_im:
+                r_ext = r_ext - (dt / rho) * w_im * rhs_weak_ext(x_ext, P_ext0)
+            r = bwd_V(r_ext)
+            return free_u * r + mask_u * (x - val_u)
+
+        w_im = self.theta[1]
+        diag = mass_diag_V + (dt / rho) * w_im * (2.0 * mu) * stiff_diag_V
+        diag = free_u * diag + mask_u + (1.0 - valid_V)[:, None]
+        x0 = free_u * U + mask_u * val_u
+
+        def newton_body(state):
+            x, rnorm, k = state
+            r, Jv = jax.linearize(residual, x)
+            dx, _ = krylov.bicgstab(
+                Jv, -r, M=lambda t: t / diag,
+                rtol=self.linear_rtol, atol=0.05 * self.newton_tol, maxiter=300,
+                dot=dot,  # psum inner products: SPMD-identical loop decisions
+            )
+            x = x + dx
+            rn = residual(x)
+            return (x, jnp.sqrt(dot(rn, rn)), k + 1)
+
+        def newton_cond(state):
+            _, rnorm, k = state
+            return jnp.logical_and(rnorm > self.newton_tol, k < self.newton_maxiter)
+
+        r0 = residual(x0)
+        Ui, _, _ = jax.lax.while_loop(
+            newton_cond, newton_body, (x0, jnp.sqrt(dot(r0, r0)), jnp.array(0))
+        )
+
+        # ---- pressure Poisson ----------------------------------------------
+        def K_own(p):
+            p_ext = fwd_Q(p)
+            return bwd_Q(assembly.stiffness_apply(Ql, gm, p_ext))
+
+        Ui_ext = fwd_V(Ui)
+        L2_ext = -(rho / dt) * forms.div_rhs(Vl, Ql, gm, Ui_ext)
+        if self.rotational:
+            L2_ext = L2_ext - mu * forms.grad_div_ustar_rhs(Vl, Ql, gm, Ui_ext)
+        L2 = bwd_Q(L2_ext) + K_own(Pv)
+
+        diag_Q = jnp.where(stiff_diag_Q > 0, stiff_diag_Q, 1.0)
+        diag_Q = diag_Q + (1.0 - valid_Q)
+        if not self.has_p_bcs:
+            nglobal = psum(jnp.sum(valid_Q))
+
+            def proj(x):
+                return (x - psum(jnp.sum(x * valid_Q)) / nglobal) * valid_Q
+
+            P1 = _dist_cg(
+                K_own, proj(L2), diag_Q, dot, self.pressure_rtol, 1000, proj
+            )
+        else:
+            free_p = (1.0 - mask_p) * valid_Q
+
+            def K_bc(p):
+                return free_p * K_own(free_p * p) + mask_p * p
+
+            rhs = free_p * (L2 - K_own(mask_p * val_p)) + mask_p * val_p
+            dq = free_p * diag_Q + mask_p + (1.0 - valid_Q)
+            P1 = _dist_cg(K_bc, rhs, dq, dot, self.pressure_rtol, 1000, None)
+
+        # ---- velocity correction ---------------------------------------------
+        P1_ext = fwd_Q(P1)
+        phi_ext = P1_ext - P_ext0
+        div_part = None
+        if self.rotational:
+            div_part = mu * forms.grad_div_ustar(Vl, gm, Ui_ext)
+        L3_ext = assembly.mass_apply(Vl, gm, Ui_ext) - (
+            dt / rho
+        ) * forms.grad_phi_rhs(Vl, Ql, gm, phi_ext, div_part=div_part, rule_degree=4)
+        L3 = bwd_V(L3_ext)
+
+        def M_bc(u):
+            u_ext = fwd_V(free_u * u)
+            y = bwd_V(assembly.mass_apply(Vl, gm, u_ext))
+            return free_u * y + mask_u * u
+
+        gval_ext = fwd_V(mask_u * val_u)
+        rhs_u = (
+            free_u * (L3 - bwd_V(assembly.mass_apply(Vl, gm, gval_ext)))
+            + mask_u * val_u
+        )
+        dm = free_u * mass_diag_V + mask_u + (1.0 - valid_V)[:, None]
+        U1 = _dist_cg(M_bc, rhs_u, dm, dot, 1.0e-10, 500, None)
+        return U1, P1
+
+
+def _dist_cg(A, b, diag, dot, rtol, maxiter, proj):
+    """Distributed PCG: operator A does its own halo exchange; `dot` psums."""
+    if proj is None:
+        proj = lambda x: x
+    b = proj(b)
+    x = jnp.zeros_like(b)
+    r = b
+    z = proj(r / diag)
+    p = z
+    rz = dot(r, z)
+    target = rtol * jnp.sqrt(dot(b, b))
+
+    def cond(s):
+        x, r, z, p, rz, rn, k = s
+        return jnp.logical_and(rn > target, k < maxiter)
+
+    def body(s):
+        x, r, z, p, rz, rn, k = s
+        Ap = proj(A(p))
+        pAp = dot(p, Ap)
+        alpha = rz / jnp.where(pAp == 0, 1.0, pAp)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = proj(r / diag)
+        rz_new = dot(r, z)
+        beta = rz_new / jnp.where(rz == 0, 1.0, rz)
+        p = z + beta * p
+        return (x, r, z, p, rz_new, jnp.sqrt(dot(r, r)), k + 1)
+
+    rn0 = jnp.sqrt(dot(r, r))
+    x, r, z, p, rz, rn, k = jax.lax.while_loop(
+        cond, body, (x, r, z, p, rz, rn0, jnp.array(0))
+    )
+    return x

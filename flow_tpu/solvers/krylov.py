@@ -109,16 +109,22 @@ def bicgstab(
     rtol=1e-10,
     atol=0.0,
     maxiter=1000,
+    dot: Optional[Callable] = None,
 ):
-    """Preconditioned BiCGStab for nonsymmetric systems (momentum Jacobian)."""
+    """Preconditioned BiCGStab for nonsymmetric systems (momentum Jacobian).
+
+    `dot` overrides the inner product — REQUIRED for SPMD-partitioned
+    vectors (pass a psum-reducing dot so every device takes identical loop
+    decisions; device-local dots deadlock the collectives)."""
     M = M or _identity
+    _dot_ = dot or _dot
     x = jnp.zeros_like(b) if x0 is None else x0
-    bnorm = jnp.sqrt(_dot(b, b))
+    bnorm = jnp.sqrt(_dot_(b, b))
     target = jnp.maximum(rtol * bnorm, atol)
 
     r = b - A(x)
     rhat = r
-    rnorm = jnp.sqrt(_dot(r, r))
+    rnorm = jnp.sqrt(_dot_(r, r))
     rho = jnp.array(1.0, dtype=r.dtype)
     alpha = jnp.array(1.0, dtype=r.dtype)
     omega = jnp.array(1.0, dtype=r.dtype)
@@ -131,21 +137,21 @@ def bicgstab(
 
     def body(s):
         x, r, rho, alpha, omega, v, p, rnorm, k, stall = s
-        rho_new = _dot(rhat, r)
+        rho_new = _dot_(rhat, r)
         beta = (rho_new / _nz(rho)) * (alpha / _nz(omega))
         p = r + beta * (p - omega * v)
         phat = M(p)
         v = A(phat)
-        denom = _dot(rhat, v)
+        denom = _dot_(rhat, v)
         alpha = rho_new / _nz(denom)
         s_vec = r - alpha * v
         shat = M(s_vec)
         t = A(shat)
-        tt = _dot(t, t)
-        omega = _dot(t, s_vec) / _nz(tt)
+        tt = _dot_(t, t)
+        omega = _dot_(t, s_vec) / _nz(tt)
         x = x + alpha * phat + omega * shat
         r = s_vec - omega * t
-        rnorm_new = jnp.sqrt(_dot(r, r))
+        rnorm_new = jnp.sqrt(_dot_(r, r))
         tiny = jnp.finfo(jnp.result_type(r)).tiny
         stall = (jnp.abs(rho_new) < tiny) | (jnp.abs(omega) < tiny)
         return (x, r, rho_new, alpha, omega, v, p, rnorm_new, k + 1, stall)
