@@ -153,3 +153,52 @@ def ref_p1_integrals(degree, dim=2):
     pts, w = quadrature.simplex_rule(degree + 1, dim)
     phi, _ = elements.tabulate(degree, pts, dim=dim)
     return np.einsum("q,qi->i", w, phi)
+
+
+# ---------------------------------------------------------------------------
+# Local (pre-dof-sum) variants — the fused momentum-residual path.
+#
+# Every term of the NS momentum residual produces local contributions of the
+# same shape [nc, nl, m]; computing them from ONE gathered Uloc and summing
+# locally lets the residual do a single dof summation instead of one per
+# form (dof summation = gather-bound, the measured hot-path cost on TPU).
+# ---------------------------------------------------------------------------
+def mass_loc(V: FunctionSpace, geom: Geometry, Uloc):
+    Mref = jnp.asarray(
+        assembly.ref_mass(V.degree, assembly._dim(V)), dtype=Uloc.dtype
+    )
+    return jnp.einsum("ij,ejm,e->eim", Mref, Uloc, geom.detJ)
+
+
+def sym_grad_loc(V: FunctionSpace, geom: Geometry, Uloc, mu):
+    Kref = jnp.asarray(ref_stiffness(V.degree, assembly._dim(V)), dtype=Uloc.dtype)
+    loc = jnp.einsum("ekl,klij,eja->eia", geom.C, Kref, Uloc)
+    loc = loc + jnp.einsum(
+        "e,eak,ebl,klji,ejb->eia", geom.detJ, geom.G, geom.G, Kref, Uloc
+    )
+    return mu * loc
+
+
+def pressure_grad_loc(V: FunctionSpace, Q: FunctionSpace, geom: Geometry, Ploc):
+    Bref = jnp.asarray(
+        ref_mixed(Q.degree, V.degree, assembly._dim(V)), dtype=Ploc.dtype
+    )
+    return jnp.einsum("e,eak,kmi,em->eia", geom.detJ, geom.G, Bref, Ploc)
+
+
+def skew_convection_combined_loc(V, geom, Wloc, rule_degree=5):
+    tab = assembly.tabulation(V, rule_degree)
+    Wq = assembly.values_at_qp(tab, Wloc)  # [e,q,d]
+    gradW = assembly.grads_at_qp(tab, geom, Wloc)  # [e,q,a,d]
+    val = 0.5 * jnp.einsum("eqd,eqad->eqa", Wq, gradW)
+    grad = -0.5 * jnp.einsum("eqd,eqa->eqad", Wq, Wq)
+    wd = tab.w[None, :] * geom.detJ[:, None]
+    loc = jnp.einsum("eqm,eq,qi->eim", val, wd, tab.phi)
+    loc = loc + jnp.einsum("eqmd,eq,qik,edk->eim", grad, wd, tab.dphi, geom.G)
+    return loc
+
+
+def body_force_loc(V, geom, Fq, rule_degree=6):
+    tab = assembly.tabulation(V, rule_degree)
+    wd = tab.w[None, :] * geom.detJ[:, None]
+    return jnp.einsum("eqm,eq,qi->eim", Fq, wd, tab.phi)

@@ -128,15 +128,68 @@ class _Context:
     # ------------------------------------------------------------------
     # Substep 1: tentative velocity (reference :147-255)
     # ------------------------------------------------------------------
+    def _rhs_weak_loc(self, Wloc, Fq, rho, mu, Ploc):
+        """Local (pre-dof-sum) rhs_weak volume contributions [nc, nl, m]."""
+        V, Q, geom = self.V, self.Q, self.geom
+        loc = -rho * forms.skew_convection_combined_loc(
+            V, geom, Wloc, rule_degree=CONV_RULE
+        )
+        loc = loc - forms.sym_grad_loc(V, geom, Wloc, mu)
+        loc = loc + forms.pressure_grad_loc(V, Q, geom, Ploc)
+        if Fq is not None:
+            loc = loc + forms.body_force_loc(V, geom, Fq, rule_degree=F_RULE)
+        return loc
+
+    def _rhs_weak_bnd(self, W, P0, mu):
+        """Boundary (ds) contributions of rhs_weak at the dof level."""
+        if self.btab is None:
+            return None
+        bt = self.btab
+        geom = self.geom
+        p0b = self.btabQ.values(P0)
+        val = -p0b[:, :, None] * bt.normals[:, None, :]
+        gw = bt.grads(W, geom)
+        val = val + mu * jnp.einsum(
+            "bqmd,bm->bqd", gw.transpose(0, 1, 3, 2), bt.normals
+        )
+        return bt.integrate_rhs(val)
+
     def _residual(self, Ui, U0, Fq_expl, Fq_impl, P0, rho, mu, dt, theta_explicit):
-        """F1(ui) = (ui - u0, v) - dt/rho * [theta-weighted rhs_weak]."""
-        V, geom = self.V, self.geom
-        r = assembly.mass_apply(V, geom, Ui - U0)
+        """F1(ui) = (ui - u0, v) - dt/rho * [theta-weighted rhs_weak].
+
+        Fused evaluation: ONE velocity gather and ONE dof summation cover the
+        mass term and every volume term of rhs_weak (the gathers/summations
+        are the measured hot-path cost on TPU); the O(surface) boundary terms
+        are added at the dof level."""
+        V, Q, geom = self.V, self.Q, self.geom
         w_ex, w_im = theta_explicit
+
+        Uiloc = V.gather(Ui)
+        U0loc = V.gather(U0)
+        Ploc = Q.gather(P0)
+
+        loc = forms.mass_loc(V, geom, Uiloc - U0loc)
         if w_ex:
-            r = r - (dt / rho) * w_ex * self.rhs_weak(U0, Fq_expl, rho, mu, P0)
+            loc = loc - (dt / rho) * w_ex * self._rhs_weak_loc(
+                U0loc, Fq_expl, rho, mu, Ploc
+            )
         if w_im:
-            r = r - (dt / rho) * w_im * self.rhs_weak(Ui, Fq_impl, rho, mu, P0)
+            loc = loc - (dt / rho) * w_im * self._rhs_weak_loc(
+                Uiloc, Fq_impl, rho, mu, Ploc
+            )
+        r = V.dof_sum(loc)
+
+        bnd = None
+        if w_ex:
+            b = self._rhs_weak_bnd(U0, P0, mu)
+            if b is not None:
+                bnd = (dt / rho) * w_ex * b
+        if w_im:
+            b = self._rhs_weak_bnd(Ui, P0, mu)
+            if b is not None:
+                bnd = (bnd if bnd is not None else 0.0) + (dt / rho) * w_im * b
+        if bnd is not None:
+            r = r - bnd
         return r
 
     def _tentative_newton_impl(

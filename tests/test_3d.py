@@ -187,3 +187,30 @@ def test_boundary_face_tab():
     areas = np.asarray(bt.wl).sum(axis=1)
     approx = float((mids.sum(axis=1) * areas).sum())
     assert abs(got - approx) < 1e-10
+
+
+def test_open_boundary_3d_hydrostatic():
+    # hydrostatic balance with an OPEN top face: velocity Dirichlet only on
+    # the 5 closed faces, pressure pinned on the top. The discrete balance
+    # requires the 3-D facet terms (-int p0 n.v ds + mu int (grad u)^T n.v)
+    # to integrate-by-parts exactly against the stress form — a sharp test
+    # of BoundaryFaceTab's wiring into the NS weak form.
+    mesh = box_mesh((0, 0, 0), (1, 1, 1), 4, 4, 4)
+    V = VectorFunctionSpace(mesh, 2, n_components=3)
+    Q = FunctionSpace(mesh, 1)
+    g = -9.81
+    top = lambda x: x[:, 2] > 1 - 1e-12
+    closed = lambda x: x[:, 2] < 1 - 1e-12
+
+    u_bcs = [DirichletBC(V, (0.0, 0.0, 0.0), closed)]
+    p_bcs = [DirichletBC(Q, lambda x: g * x[:, 2], top)]
+
+    u0 = project((0.0, 0.0, 0.0), V)
+    p0 = project(lambda x: g * x[..., 2], Q)
+    u1, p1 = flow_tpu.navier_stokes.IPCS().step(
+        1.0e-2, {0: u0}, p0, u_bcs, p_bcs, 998.0, 1.0e-3,
+        f={0: (0.0, 0.0, g), 1: (0.0, 0.0, g)}, verbose=False,
+    )
+    assert norm(u1.vector, "linf") < 1e-12
+    # the pressure stays hydrostatic
+    assert norm(p1.vector - p0.vector, "linf") < 1e-9
