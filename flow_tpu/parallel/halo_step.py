@@ -520,29 +520,41 @@ class HaloProjection:
             out = jnp.zeros((Vh.n_ext, self.ncomp), dtype=dtype)
             return out.at[b_cdV].add(loc)
 
-        # ---- momentum residual ------------------------------------------------
+        # ---- momentum residual (fused: one gather, one extended scatter,
+        # one transpose exchange per evaluation) -------------------------------
         free_u = (1.0 - mask_u) * valid_V[:, None]
 
-        def rhs_weak_ext(W_ext, P_ext):
-            out = -rho * forms.skew_convection_combined_rhs(
-                Vl, gm, W_ext, rule_degree=5
+        def rhs_weak_loc(Wloc, Ploc):
+            loc = -rho * forms.skew_convection_combined_loc(
+                Vl, gm, Wloc, rule_degree=5
             )
-            out = out - forms.sym_grad_apply(Vl, gm, W_ext, mu)
-            out = out + forms.pressure_grad_rhs(Vl, Ql, gm, P_ext)
-            out = out + boundary_terms_ext(W_ext, P_ext)
-            return out
+            loc = loc - forms.sym_grad_loc(Vl, gm, Wloc, mu)
+            loc = loc + forms.pressure_grad_loc(Vl, Ql, gm, Ploc)
+            return loc
 
         U_ext0 = fwd_V(U)
         P_ext0 = fwd_Q(Pv)
+        U0loc = U_ext0[cd_V]
+        Ploc0 = P_ext0[cd_Q]
 
         def residual(x):
             x_ext = fwd_V(x)
-            r_ext = assembly.mass_apply(Vl, gm, x_ext - U_ext0)
+            xloc = x_ext[cd_V]
+            loc = forms.mass_loc(Vl, gm, xloc - U0loc)
             w_ex, w_im = self.theta
             if w_ex:
-                r_ext = r_ext - (dt / rho) * w_ex * rhs_weak_ext(U_ext0, P_ext0)
+                loc = loc - (dt / rho) * w_ex * rhs_weak_loc(U0loc, Ploc0)
             if w_im:
-                r_ext = r_ext - (dt / rho) * w_im * rhs_weak_ext(x_ext, P_ext0)
+                loc = loc - (dt / rho) * w_im * rhs_weak_loc(xloc, Ploc0)
+            r_ext = Vl.dof_sum(loc)
+            w_tot_bnd = None
+            if w_ex:
+                w_tot_bnd = (dt / rho) * w_ex * boundary_terms_ext(U_ext0, P_ext0)
+            if w_im:
+                b = (dt / rho) * w_im * boundary_terms_ext(x_ext, P_ext0)
+                w_tot_bnd = b if w_tot_bnd is None else w_tot_bnd + b
+            if w_tot_bnd is not None:
+                r_ext = r_ext - w_tot_bnd
             r = bwd_V(r_ext)
             return free_u * r + mask_u * (x - val_u)
 
