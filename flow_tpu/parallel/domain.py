@@ -246,31 +246,44 @@ class ShardedProjection:
         def psum(x):
             return jax.lax.psum(x, AXIS)
 
-        # ---- momentum rhs (the weak form of pressure_correction.rhs_weak,
-        # partial over this device's cells + 1/ndev of the boundary terms)
-        def rhs_weak_partial(W, P0):
-            out = -rho * forms.skew_convection_combined_rhs(
-                Vl, gl, W, rule_degree=5
-            )
-            out = out - forms.sym_grad_apply(Vl, gl, W, mu)
-            out = out + forms.pressure_grad_rhs(Vl, Ql, gl, P0)
-            out = out + inv_ndev * self._boundary_terms(W, P0)
-            if Fq is not None:
-                ftab = forms.assembly.tabulation(Vl, self.force_rule)
-                out = out + forms.assembly.integrate_rhs(
-                    Vl, ftab, gl, val=Fq
-                )
-            return out
-
+        # ---- momentum rhs: fused local evaluation (one gather + one dof
+        # summation per residual; partial over this device's cells + 1/ndev
+        # of the replicated boundary terms)
         free_u = 1.0 - self.mask_u
+        U0loc = Vl.gather(U)
+        Ploc0 = Ql.gather(Pv)
+
+        def rhs_weak_loc(Wloc):
+            loc = -rho * forms.skew_convection_combined_loc(
+                Vl, gl, Wloc, rule_degree=5
+            )
+            loc = loc - forms.sym_grad_loc(Vl, gl, Wloc, mu)
+            loc = loc + forms.pressure_grad_loc(Vl, Ql, gl, Ploc0)
+            if Fq is not None:
+                loc = loc + forms.body_force_loc(
+                    Vl, gl, Fq, rule_degree=self.force_rule
+                )
+            return loc
 
         def residual(x):
-            r = forms.assembly.mass_apply(Vl, gl, x - U)
+            xloc = Vl.gather(x)
+            loc = forms.mass_loc(Vl, gl, xloc - U0loc)
             w_ex, w_im = self.theta
             if w_ex:
-                r = r - (dt / rho) * w_ex * rhs_weak_partial(U, Pv)
+                loc = loc - (dt / rho) * w_ex * rhs_weak_loc(U0loc)
             if w_im:
-                r = r - (dt / rho) * w_im * rhs_weak_partial(x, Pv)
+                loc = loc - (dt / rho) * w_im * rhs_weak_loc(xloc)
+            r = Vl.dof_sum(loc)
+            w_ex_b = (dt / rho) * w_ex if w_ex else 0.0
+            w_im_b = (dt / rho) * w_im if w_im else 0.0
+            bnd = None
+            if w_ex:
+                bnd = w_ex_b * self._boundary_terms(U, Pv)
+            if w_im:
+                b = w_im_b * self._boundary_terms(x, Pv)
+                bnd = b if bnd is None else bnd + b
+            if bnd is not None:
+                r = r - inv_ndev * bnd
             r = psum(r)
             return free_u * r + self.mask_u * (x - self.val_u)
 
