@@ -77,3 +77,14 @@ def test_expression_settable_params():
     S = FunctionSpace(mesh, 1)
     u = flow_tpu.interpolate(e, S)
     assert np.isfinite(np.asarray(u.vector)).all()
+
+
+def test_materials_values():
+    from flow_tpu import materials
+
+    assert abs(materials.water.density(293.15) - 998.2) < 0.2
+    assert abs(materials.water.dynamic_viscosity(293.15) - 1.0e-3) < 5e-5
+    assert abs(materials.water.thermal_conductivity(293.15) - 0.598) < 0.01
+    assert 4150 < materials.water.specific_heat_capacity(293.15) < 4230
+    assert abs(materials.air.density(293.15) - 1.204) < 0.01
+    assert abs(materials.air.dynamic_viscosity(293.15) - 1.81e-5) < 1e-6
