@@ -42,3 +42,20 @@ def test_karman_fast_chunked(monkeypatch):
     assert out["forces"].shape == (3, 2)
     assert np.isfinite(out["forces"]).all()
     assert out["dt"] > 0
+
+
+def test_karman_with_xdmf_writer(tmp_path):
+    # the host driver writes XDMF time series like the reference's
+    # XDMFFile usage (test_karman_vortex_street.py:214-227)
+    import os
+    from flow_tpu.io import XDMFFile
+
+    path = os.path.join(tmp_path, "karman.xdmf")
+    with XDMFFile(path) as xf:
+        out = karman.run_karman(num_steps=2, lcar=0.03, writer=xf)
+    assert os.path.exists(path)
+    assert os.path.getsize(os.path.join(tmp_path, "karman.h5")) > 1000
+    import xml.etree.ElementTree as ET
+
+    grids = ET.parse(path).getroot().findall(".//Grid[@GridType='Collection']")
+    assert {g.get("Name") for g in grids} == {"velocity", "pressure"}
