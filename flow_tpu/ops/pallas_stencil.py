@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["stencil_apply_3d"]
+__all__ = ["stencil_apply_3d", "stencil_apply_2d"]
 
 
 def _shift2d(t, dy, dz):
@@ -87,6 +87,59 @@ def stencil_apply_3d(xgrid, kernel, interpret=False):
         out_shape=jax.ShapeDtypeStruct((X, Y, Z), xgrid.dtype),
         scratch_shapes=[
             pltpu.VMEM((3, Y, Z), xgrid.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xgrid, kernel)
+
+
+def _kernel2d(x_hbm, k_smem, y_ref, scratch, sem):
+    i = pl.program_id(0)
+    X = pl.num_programs(0)
+    Y = y_ref.shape[1]
+
+    start = jnp.clip(i - 1, 0, X - 3)
+    dma = pltpu.make_async_copy(x_hbm.at[pl.ds(start, 3)], scratch, sem)
+    dma.start()
+    dma.wait()
+    base = i - 1 - start
+
+    acc = jnp.zeros((1, Y), dtype=y_ref.dtype)
+    for dx in (-1, 0, 1):
+        row = base + dx + 1
+        valid = jnp.logical_and(i + dx >= 0, i + dx < X)
+        line = jnp.where(valid, 1.0, 0.0) * scratch[jnp.clip(row, 0, 2)]
+        line = line.reshape(1, Y)
+        for dy in (-1, 0, 1):
+            c = k_smem[dx + 1, dy + 1]
+            if True:
+                t = line
+                if dy != 0:
+                    t = pltpu.roll(t, (-dy) % Y, 1)
+                    cols = jax.lax.broadcasted_iota(jnp.int32, (1, Y), 1)
+                    keep = cols < Y - dy if dy > 0 else cols >= -dy
+                    t = jnp.where(keep, t, 0.0)
+                acc = acc + c * t
+    y_ref[0, :] = acc[0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def stencil_apply_2d(xgrid, kernel, interpret=False):
+    """y[i,j] = sum_{d in {-1,0,1}^2} kernel[d] * x[i+d] (zero padded).
+
+    xgrid: [X, Y]; kernel: [3, 3]."""
+    X, Y = xgrid.shape
+    return pl.pallas_call(
+        _kernel2d,
+        grid=(X,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Y), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((X, Y), xgrid.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((3, Y), xgrid.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

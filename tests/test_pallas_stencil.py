@@ -27,3 +27,19 @@ def test_pallas_stencil_matches_conv():
     y = stencil_apply_3d(x, k, interpret=True)
     y_ref = _conv_ref(x, k)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-5)
+
+
+def test_pallas_stencil_2d_matches_conv():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((16, 128)), dtype=jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3)), dtype=jnp.float32)
+    from flow_tpu.ops.pallas_stencil import stencil_apply_2d
+
+    y = stencil_apply_2d(x, k, interpret=True)
+    xg = x[None, None]
+    kk = k[None, None]
+    dn = lax.conv_dimension_numbers(xg.shape, kk.shape, ("NCHW", "OIHW", "NCHW"))
+    y_ref = lax.conv_general_dilated(
+        xg, kk, window_strides=(1, 1), padding="SAME", dimension_numbers=dn
+    )[0, 0]
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-5)
