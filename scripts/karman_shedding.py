@@ -24,6 +24,7 @@ def main():
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     n_refine = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     dt_max = float(sys.argv[3]) if len(sys.argv) > 3 else 0.04
+    mu = float(sys.argv[4]) if len(sys.argv) > 4 else 0.002
 
     from flow_tpu.models import karman
 
@@ -32,6 +33,7 @@ def main():
         num_steps=n_steps,
         lcar=0.02,
         n_refine=n_refine,
+        mu=mu,
         dt0=1.0e-4,
         dt_max=dt_max,
     )
@@ -49,7 +51,7 @@ def main():
     cl = fy[k0:] / scale
     st = karman.strouhal_number(t[k0:], fy[k0:])
 
-    print(f"steps={n_steps} refine={n_refine} t_end={t[-1]:.2f}s wall={elapsed:.1f}s "
+    print(f"steps={n_steps} refine={n_refine} mu={mu} t_end={t[-1]:.2f}s wall={elapsed:.1f}s "
           f"({n_steps/elapsed:.2f} steps/s)")
     print(f"Cd mean={cd.mean():.4f} (osc +/- {cd.std():.4f})")
     print(f"Cl mean={cl.mean():.4f} amplitude~{np.abs(cl - cl.mean()).max():.4f}")
