@@ -65,6 +65,7 @@ class FastStepper:
         cfl_target=1.0,
         dt_max=1.0,
         forces_probe=None,
+        divergence_probe=False,
     ):
         self.V, self.Q = V, Q
         self.ctx = _get_ctx(V, Q)
@@ -99,6 +100,7 @@ class FastStepper:
         self.dt_max = dt_max
         self.hmax = V.mesh.hmax
         self.forces_probe = forces_probe  # callable (U, P) -> array or None
+        self.divergence_probe = divergence_probe
 
         self.step = jax.jit(self._step_impl)
         self.run = jax.jit(self._run_impl, static_argnames=("n_steps",))
@@ -257,6 +259,15 @@ class FastStepper:
             }
             if self.forces_probe is not None:
                 out["forces"] = self.forces_probe(U1, P1)
+            if self.divergence_probe:
+                # ||div u||_L2 — the projection splitting-error monitor
+                ctx = self.ctx
+                tab = assembly.tabulation(self.V, 2 * self.V.degree)
+                gU = assembly.grads_at_qp(tab, ctx.geom, self.V.gather(U1))
+                divq = jnp.trace(gU, axis1=2, axis2=3)
+                out["div_norm"] = jnp.sqrt(
+                    jnp.einsum("eq,q,e->", divq * divq, tab.w, ctx.geom.detJ)
+                )
             return (U1, P1, dt_new, t), out
 
         (U, P, dt, t), telemetry = jax.lax.scan(

@@ -76,3 +76,15 @@ def test_fast_step_vmap_batched_problems():
     for b in range(batch):
         U1b, P1b, _ = st.step(U0[b], P0[b], dts[b])
         np.testing.assert_allclose(np.asarray(U1[b]), np.asarray(U1b), atol=1e-10)
+
+
+def test_fast_run_divergence_probe():
+    mesh, V, Q, u_bcs = _cavity(6)
+    st = FastStepper(
+        V, Q, u_bcs, [], rho=1.0, mu=0.1, rotational_form=False,
+        divergence_probe=True,
+    )
+    U, P, dt, tel = st.run(V.zeros(), Q.zeros(), jnp.asarray(1e-3), n_steps=3)
+    dn = np.asarray(tel["div_norm"])
+    assert dn.shape == (3,)
+    assert np.isfinite(dn).all() and (dn >= 0).all()
