@@ -110,7 +110,7 @@ def solve(WP: TaylorHood, bcs, mu, f, verbose=True, tol=1.0e-13, max_iter=500):
     else:
         M = _block_preconditioner(WP, geom, mu, free, mask)
         z, sinfo = krylov.minres(
-            A_bc, b_c, M=M, rtol=tol, maxiter=max_iter, nullspace=None
+            A_bc, b_c, M=M, rtol=tol, maxiter=max_iter, nullspace=nullspace
         )
         if verbose:
             info("stokes: minres iters=%d res=%.3e", int(sinfo.iters), float(sinfo.resnorm))

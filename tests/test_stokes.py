@@ -100,3 +100,32 @@ def test_iterative_path_matches_dense(monkeypatch):
     )
     assert abs(errornorm(u_sol, u_i) - errornorm(u_sol, u_d)) < 1e-6
     assert abs(errornorm(p_sol, p_i) - errornorm(p_sol, p_d)) < 1e-5
+
+
+def test_iterative_no_pressure_bc_nullspace(monkeypatch):
+    # velocity-only BCs: the pressure is defined up to a constant; the
+    # iterative path must project the nullspace (lid-driven cavity)
+    import flow_tpu.stokes as stokes_mod
+    import jax.numpy as jnp
+
+    mesh = unit_square_mesh(10, diagonal="crossed")
+    WP = TaylorHood(mesh)
+
+    def lid(x):
+        return np.where(x[:, 1] > 1 - 1e-12, 1.0, 0.0)
+
+    bcs = [
+        DirichletBC(WP.sub(0).sub(0), lid, "on_boundary"),
+        DirichletBC(WP.sub(0).sub(1), 0.0, "on_boundary"),
+    ]
+    u_d, p_d = flow_tpu.stokes.solve(WP, bcs, 1.0, (0.0, 0.0), verbose=False)
+    monkeypatch.setattr(stokes_mod, "DENSE_THRESHOLD", 0)
+    u_i, p_i = flow_tpu.stokes.solve(
+        WP, bcs, 1.0, (0.0, 0.0), verbose=False, tol=1e-10, max_iter=4000
+    )
+    np.testing.assert_allclose(
+        np.asarray(u_i.vector), np.asarray(u_d.vector), atol=2e-7
+    )
+    # pressures agree up to the free constant
+    dp = p_i.vector - jnp.mean(p_i.vector) - (p_d.vector - jnp.mean(p_d.vector))
+    assert float(abs(dp).max()) < 2e-5
