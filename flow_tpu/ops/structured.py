@@ -68,10 +68,19 @@ class StructuredLaplacian:
     correction. Drop-in replacement for fem.assembly.stiffness_apply on the
     P1 space of the mesh."""
 
-    def __init__(self, mesh):
+    def __init__(self, mesh, backend="auto"):
+        """backend: 'auto' (Pallas stencil kernel on TPU — measured ~20x
+        faster than XLA's f32 conv there — conv elsewhere), 'conv', or
+        'pallas'."""
         assert supports(mesh)
         self.mesh = mesh
         self.dim = getattr(mesh, "dim", 2)
+        if backend == "auto":
+            import jax as _jax
+
+            self._use_pallas = _jax.default_backend() not in ("cpu",)
+        else:
+            self._use_pallas = backend == "pallas"
         self.grid = tuple(mesh.grid_shape)
         dtype = mesh.dtype
         self.dtype = dtype
@@ -138,16 +147,26 @@ class StructuredLaplacian:
 
     def __call__(self, x):
         grid = self.grid
-        xg = x.reshape((1, 1) + grid)
-        k = self.kernel.reshape((1, 1) + self.kernel.shape)
-        dn = lax.conv_dimension_numbers(
-            xg.shape, k.shape, ("NCHW", "OIHW", "NCHW")
-        ) if self.dim == 2 else lax.conv_dimension_numbers(
-            xg.shape, k.shape, ("NCDHW", "OIDHW", "NCDHW")
-        )
-        y = lax.conv_general_dilated(
-            xg, k, window_strides=(1,) * self.dim,
-            padding="SAME", dimension_numbers=dn,
-        ).reshape(self.n)
+        if self._use_pallas:
+            from .pallas_stencil import stencil_apply_2d, stencil_apply_3d
+
+            xg = x.reshape(grid)
+            apply = stencil_apply_3d if self.dim == 3 else stencil_apply_2d
+            y = apply(xg, self.kernel).reshape(self.n)
+        else:
+            xg = x.reshape((1, 1) + grid)
+            k = self.kernel.reshape((1, 1) + self.kernel.shape)
+            dn = lax.conv_dimension_numbers(
+                xg.shape, k.shape, ("NCHW", "OIHW", "NCHW")
+            ) if self.dim == 2 else lax.conv_dimension_numbers(
+                xg.shape, k.shape, ("NCDHW", "OIDHW", "NCDHW")
+            )
+            # explicit full precision: TPU convs default to bf16 passes (a
+            # ~1%% error that would silently corrupt the operator)
+            y = lax.conv_general_dilated(
+                xg, k, window_strides=(1,) * self.dim,
+                padding="SAME", dimension_numbers=dn,
+                precision=lax.Precision.HIGHEST,
+            ).reshape(self.n)
         corr = jnp.einsum("bs,bs->b", self.tbl_val, x[self.tbl_idx])
         return y.at[self.bverts].add(corr)
