@@ -50,12 +50,27 @@ def _split_bcs(WP: TaylorHood, bcs):
     return u_bcs, p_bcs
 
 
-def solve(WP: TaylorHood, bcs, mu, f, verbose=True, tol=1.0e-13, max_iter=500):
+def solve(
+    WP: TaylorHood,
+    bcs,
+    mu,
+    f,
+    verbose=True,
+    tol=1.0e-13,
+    max_iter=500,
+    solver_config=None,
+):
     """Solve Stokes; returns (u, p) Functions.
 
     Mirrors flow.stokes.solve(WP, bcs, mu, f, verbose, tol, max_iter)
-    (/root/reference/flow/stokes.py:13-21).
+    (/root/reference/flow/stokes.py:13-21). `solver_config` (a
+    utils.config.SolverConfig) overrides tol/max_iter/monitoring — the typed
+    replacement for PETSc solver_parameters dicts.
     """
+    if solver_config is not None:
+        tol = solver_config.rtol
+        max_iter = solver_config.maxiter
+        verbose = solver_config.monitor_convergence
     assert mu > 0.0
     mesh = WP.mesh
     V, Q = WP.V, WP.Q

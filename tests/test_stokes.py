@@ -129,3 +129,21 @@ def test_iterative_no_pressure_bc_nullspace(monkeypatch):
     # pressures agree up to the free constant
     dp = p_i.vector - jnp.mean(p_i.vector) - (p_d.vector - jnp.mean(p_d.vector))
     assert float(abs(dp).max()) < 2e-5
+
+
+def test_solver_config_threading():
+    from flow_tpu.utils import SolverConfig
+
+    problem = Guermond1()
+    mesh = problem.mesh_generator(6)
+    WP = TaylorHood(mesh)
+    u_sol = tuple(lambdify_x(c) for c in problem.u)
+    p_sol = lambdify_x(problem.p)
+    f = tuple(lambdify_x(c) for c in problem.f)
+    bcs = [
+        DirichletBC(WP.sub(0), u_sol, "on_boundary"),
+        DirichletBC(WP.sub(1), p_sol, "on_boundary"),
+    ]
+    cfg = SolverConfig(rtol=1e-11, maxiter=2000, monitor_convergence=False)
+    u, p = flow_tpu.stokes.solve(WP, bcs, problem.mu, f, solver_config=cfg)
+    assert errornorm(u_sol, u) < 0.1
