@@ -20,9 +20,10 @@
 #        phi = p1 - p0 (+ mu div u* in rotational form).
 #
 # TPU-native backend: every substep is a jit-compiled composition of
-# batched-einsum assembly (fem/forms.py) and matrix-free Krylov
-# (solvers/krylov.py); Newton Jacobian-vector products come from jax.jvp of
-# the residual (replacing UFL `derivative(F1, ui)`, reference :202).
+# batched-einsum assembly (fem/forms.py, fused: one gather + one dof
+# summation per residual) and matrix-free Krylov (solvers/krylov.py); Newton
+# Jacobian-vector products come from jax.linearize of the residual
+# (replacing UFL `derivative(F1, ui)`, reference :202).
 from __future__ import annotations
 
 import jax
@@ -93,37 +94,6 @@ class _Context:
         self._velocity_correction = jax.jit(
             self._velocity_correction_impl, static_argnames=("rotational",)
         )
-
-    # ------------------------------------------------------------------
-    # rhs_weak: the momentum right-hand side in weak form (reference :30-144)
-    # ------------------------------------------------------------------
-    def rhs_weak(self, W, Fq, rho, mu, P0):
-        """Weak-form momentum RHS vector for velocity state W [ndof,2].
-
-        Fq: the body force pre-evaluated at the F_RULE quadrature points
-        [nc, nq, 2]. P0: pressure [ndofQ]."""
-        V, Q, geom = self.V, self.Q, self.geom
-        # skew-symmetric convection: -rho*0.5*(<(w.grad)w, v> - <(w.grad)v, w>)
-        out = -rho * forms.skew_convection_combined_rhs(
-            V, geom, W, rule_degree=CONV_RULE
-        )
-        if Fq is not None:  # Fq None == identically-zero body force
-            ftab = tabulation(V, F_RULE)
-            out = out + assembly.integrate_rhs(V, ftab, geom, val=Fq)
-        # -int sigma(w, p0) : eps(v) = -2 mu int eps(w):eps(v) + int p0 div v
-        out = out - forms.sym_grad_apply(V, geom, W, mu)
-        out = out + forms.pressure_grad_rhs(V, Q, geom, P0)
-        # boundary terms: -int p0 n.v ds + mu int (grad w)^T n . v ds
-        if self.btab is not None:
-            bt = self.btab
-            p0b = self.btabQ.values(P0)  # [nb, q]
-            val = -p0b[:, :, None] * bt.normals[:, None, :]
-            gw = bt.grads(W, geom)  # [nb, q, m, d] = d_d w_m
-            val = val + mu * jnp.einsum(
-                "bqmd,bm->bqd", gw.transpose(0, 1, 3, 2), bt.normals
-            )
-            out = out + bt.integrate_rhs(val)
-        return out
 
     # ------------------------------------------------------------------
     # Substep 1: tentative velocity (reference :147-255)

@@ -303,7 +303,6 @@ class HaloProjection:
         spec_c = P(AXIS)
         spec_r = P()
         # sharded args: everything except dt
-        n_cell_args = 6  # cd_V cd_Q detJ G C + (boundary bundle below)
         in_specs = tuple(
             [spec_c, spec_c, spec_r]
             + [spec_c] * 18
