@@ -224,6 +224,7 @@ def run_karman_fast(
     newton_rtol=1.0e-3,
     pressure_rtol=1.0e-4,
     from_rest=True,
+    chunk_size=100,
 ):
     """High-throughput Karman driver: the whole simulation is ONE compiled
     lax.scan (FastStepper) with on-device CFL dt control, multigrid-
@@ -280,8 +281,10 @@ def run_karman_fast(
         U, P = u0.vector, p0.vector
 
     # chunked execution: one compiled scan program of `chunk` steps, reused
-    # for arbitrarily long runs (scan length is a static shape)
-    chunk = min(num_steps, 100)
+    # for arbitrarily long runs (scan length is a static shape; keep single
+    # executions under ~10 s — longer on-device programs have tripped the
+    # axon tunnel's worker watchdog)
+    chunk = min(num_steps, chunk_size)
     n_chunks, rem = divmod(num_steps, chunk)
     dt = jnp.asarray(dt0, dtype=U.dtype)
     tels = []

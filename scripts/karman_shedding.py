@@ -36,6 +36,7 @@ def main():
         mu=mu,
         dt0=1.0e-4,
         dt_max=dt_max,
+        chunk_size=int(os.environ.get("SHED_CHUNK", "100")),
     )
     elapsed = time.time() - t0
 
