@@ -225,6 +225,8 @@ def run_karman_fast(
     pressure_rtol=1.0e-4,
     from_rest=True,
     chunk_size=100,
+    checkpoint_path=None,
+    resume=False,
 ):
     """High-throughput Karman driver: the whole simulation is ONE compiled
     lax.scan (FastStepper) with on-device CFL dt control, multigrid-
@@ -280,6 +282,18 @@ def run_karman_fast(
         u0, p0 = problem.stokes_bootstrap(tol=1.0e-6, max_iter=2000)
         U, P = u0.vector, p0.vector
 
+    # checkpoint/resume of (U, P, dt) — SURVEY.md §5.4 (capability the
+    # reference lacks entirely); written after every chunk
+    if resume and checkpoint_path:
+        import os as _os
+
+        if _os.path.exists(checkpoint_path):
+            from ..io import load_checkpoint
+
+            arrays, scalars = load_checkpoint(checkpoint_path, dtype=U.dtype)
+            U, P = arrays["U"], arrays["P"]
+            dt0 = scalars["dt"]
+
     # chunked execution: one compiled scan program of `chunk` steps, reused
     # for arbitrarily long runs (scan length is a static shape; keep single
     # executions under ~10 s — longer on-device programs have tripped the
@@ -288,12 +302,23 @@ def run_karman_fast(
     n_chunks, rem = divmod(num_steps, chunk)
     dt = jnp.asarray(dt0, dtype=U.dtype)
     tels = []
+
+    def _save():
+        if checkpoint_path:
+            from ..io import save_checkpoint
+
+            save_checkpoint(
+                checkpoint_path, {"U": U, "P": P}, {"dt": float(dt)}
+            )
+
     for _ in range(n_chunks):
         U, P, dt, tel = stepper.run(U, P, dt, n_steps=chunk)
         tels.append({k: np.asarray(v) for k, v in tel.items()})
+        _save()
     if rem:
         U, P, dt, tel = stepper.run(U, P, dt, n_steps=rem)
         tels.append({k: np.asarray(v) for k, v in tel.items()})
+        _save()
     telemetry = {
         k: np.concatenate([t[k] for t in tels]) for k in tels[0]
     }

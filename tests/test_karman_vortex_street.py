@@ -59,3 +59,28 @@ def test_karman_with_xdmf_writer(tmp_path):
 
     grids = ET.parse(path).getroot().findall(".//Grid[@GridType='Collection']")
     assert {g.get("Name") for g in grids} == {"velocity", "pressure"}
+
+
+def test_karman_fast_checkpoint_resume(tmp_path):
+    import os
+    from flow_tpu.models.karman import run_karman_fast
+
+    ck = os.path.join(tmp_path, "state.npz")
+    out1 = run_karman_fast(
+        num_steps=4, lcar=0.03, n_refine=0, use_multigrid=False,
+        checkpoint_path=ck,
+    )
+    assert os.path.exists(ck)
+    # resume continues from the checkpointed (U, P, dt)
+    out2 = run_karman_fast(
+        num_steps=2, lcar=0.03, n_refine=0, use_multigrid=False,
+        checkpoint_path=ck, resume=True,
+    )
+    # one contiguous 6-step run must equal 4 + resumed 2
+    out_full = run_karman_fast(
+        num_steps=6, lcar=0.03, n_refine=0, use_multigrid=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out2["u"].vector), np.asarray(out_full["u"].vector),
+        atol=1e-12,
+    )
