@@ -78,7 +78,12 @@ class StructuredLaplacian:
         if backend == "auto":
             import jax as _jax
 
-            self._use_pallas = _jax.default_backend() not in ("cpu",)
+            grid = tuple(mesh.grid_shape)
+            # Pallas wins on large grids (measured ~20x vs XLA conv on TPU);
+            # small/coarse-level grids stay on conv (tile-size padding makes
+            # tiny Pallas launches wasteful and under-tested)
+            big = int(np.prod(grid)) >= 32768 and grid[-1] >= 128
+            self._use_pallas = big and _jax.default_backend() not in ("cpu",)
         else:
             self._use_pallas = backend == "pallas"
         self.grid = tuple(mesh.grid_shape)
