@@ -78,7 +78,7 @@ def stencil_apply_3d(xgrid, kernel, interpret=False):
         _kernel,
         grid=(X,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # stays in HBM, manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # stays in HBM, manual DMA
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
