@@ -133,7 +133,7 @@ def stencil_apply_2d(xgrid, kernel, interpret=False):
         _kernel2d,
         grid=(X,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, Y), lambda i: (i, 0), memory_space=pltpu.VMEM),
