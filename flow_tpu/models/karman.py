@@ -227,6 +227,7 @@ def run_karman_fast(
     chunk_size=100,
     checkpoint_path=None,
     resume=False,
+    progress=False,
 ):
     """High-throughput Karman driver: the whole simulation is ONE compiled
     lax.scan (FastStepper) with on-device CFL dt control, multigrid-
@@ -311,10 +312,20 @@ def run_karman_fast(
                 checkpoint_path, {"U": U, "P": P}, {"dt": float(dt)}
             )
 
-    for _ in range(n_chunks):
+    import time as _time
+
+    _t0 = _time.time()
+    for _ci in range(n_chunks):
         U, P, dt, tel = stepper.run(U, P, dt, n_steps=chunk)
         tels.append({k: np.asarray(v) for k, v in tel.items()})
         _save()
+        if progress:
+            done = (_ci + 1) * chunk
+            print(
+                f"  chunk {_ci + 1}/{n_chunks}: {done} steps, "
+                f"{done / (_time.time() - _t0):.2f} steps/s, dt={float(dt):.4f}",
+                flush=True,
+            )
     if rem:
         U, P, dt, tel = stepper.run(U, P, dt, n_steps=rem)
         tels.append({k: np.asarray(v) for k, v in tel.items()})

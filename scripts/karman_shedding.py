@@ -37,6 +37,7 @@ def main():
         dt0=1.0e-4,
         dt_max=dt_max,
         chunk_size=int(os.environ.get("SHED_CHUNK", "100")),
+        progress=True,
     )
     elapsed = time.time() - t0
 
