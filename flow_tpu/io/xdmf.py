@@ -6,8 +6,12 @@
 # onto a static mesh (`rewrite_function_mesh=False` semantics), flushed as it
 # goes (`flush_output=True` semantics — h5 flushed after every write).
 #
-# P2 fields are written at the P1 vertices (standard visualization downsample)
-# plus, optionally, on the P2 refinement for full fidelity.
+# `write` stores P2 fields at the P1 vertices (standard visualization
+# downsample). `write_checkpoint`/`read_checkpoint` mirror dolfin's
+# full-fidelity restart API: the complete dof vector is stored, and 2-D P2
+# fields additionally get a visualization series on the P2 sub-triangulation
+# (each triangle split into 4 using the edge-midpoint dofs) so ParaView shows
+# the genuine quadratic resolution.
 from __future__ import annotations
 
 import os
@@ -18,6 +22,8 @@ from ..fem.spaces import Function
 
 __all__ = ["XDMFFile"]
 
+_TOPO = {3: ("Triangle", 3), 4: ("Tetrahedron", 4)}
+
 
 class XDMFFile:
     def __init__(self, filename, mesh=None):
@@ -25,8 +31,8 @@ class XDMFFile:
         self.h5name = os.path.splitext(filename)[0] + ".h5"
         self.mesh = mesh
         self._h5 = None
-        self._mesh_written = False
-        self._series = {}  # name -> list of (time, h5 path, kind)
+        self._grids = {}  # grid name -> (n_points, n_cells, topo, nper, geom, dim)
+        self._series = {}  # field name -> list of (time, h5 path, kind, grid)
         self.parameters = {"flush_output": True, "rewrite_function_mesh": False}
         self._counter = 0
 
@@ -44,13 +50,32 @@ class XDMFFile:
             self._h5 = h5py.File(self.h5name, "w")
         return self._h5
 
-    def _write_mesh(self, mesh):
+    def _register_grid(self, key, points, cells):
         h5 = self._ensure_h5()
-        if not self._mesh_written:
-            h5.create_dataset("mesh/points", data=mesh.points_np)
-            h5.create_dataset("mesh/cells", data=mesh.cells_np.astype(np.int64))
-            self.mesh = mesh
-            self._mesh_written = True
+        if key not in self._grids:
+            h5.create_dataset(f"{key}/points", data=points)
+            h5.create_dataset(f"{key}/cells", data=cells.astype(np.int64))
+            topo, nper = _TOPO[cells.shape[1]]
+            geom = "XY" if points.shape[1] == 2 else "XYZ"
+            self._grids[key] = (
+                points.shape[0],
+                cells.shape[0],
+                topo,
+                nper,
+                geom,
+                points.shape[1],
+            )
+
+    def _write_mesh(self, mesh):
+        self._register_grid("mesh", mesh.points_np, mesh.cells_np)
+        self.mesh = mesh
+
+    @staticmethod
+    def _pad3(data):
+        # paraview wants 3-vectors
+        if data.ndim == 2 and data.shape[1] == 2:
+            data = np.concatenate([data, np.zeros((data.shape[0], 1))], axis=1)
+        return data
 
     def write(self, fn: Function, t=0.0):
         mesh = fn.space.mesh
@@ -63,21 +88,97 @@ class XDMFFile:
             data = vec[:npts]
             kind = "Scalar"
         else:
-            # paraview wants 3-vectors
-            data = np.concatenate(
-                [vec[:npts], np.zeros((npts, 1))], axis=1
-            )
+            data = self._pad3(vec[:npts])
             kind = "Vector"
         path = f"{name}/{self._counter}"
         h5.create_dataset(path, data=data)
-        self._series.setdefault(name, []).append((float(t), path, kind))
+        self._series.setdefault(name, []).append((float(t), path, kind, "mesh"))
         self._counter += 1
         if self.parameters.get("flush_output", True):
             h5.flush()
             self._write_xml()
 
+    # -- full-fidelity restart path (dolfin XDMFFile.write_checkpoint /
+    #    read_checkpoint semantics) --------------------------------------
+    def write_checkpoint(self, fn: Function, name=None, t=0.0):
+        """Store the COMPLETE dof vector (restartable via read_checkpoint).
+
+        2-D P2 fields also get a visualization entry on the P2
+        sub-triangulation — full quadratic fidelity, no vertex downsample.
+        """
+        space = fn.space
+        mesh = space.mesh
+        name = name or fn.name or f"field{len(self._series)}"
+        h5 = self._ensure_h5()
+        vec = np.asarray(fn.vector)
+        k = len(h5.get(f"checkpoint/{name}", {}))
+        ds = h5.create_dataset(f"checkpoint/{name}/{k}", data=vec)
+        ds.attrs["t"] = float(t)
+        ds.attrs["degree"] = space.degree
+        ds.attrs["n_components"] = space.n_components
+
+        kind = "Scalar" if space.n_components == 1 else "Vector"
+        if space.degree == 2 and mesh.dim == 2:
+            # viz on the P2 refinement: dof points = vertices + edge
+            # midpoints; each triangle [v0,v1,v2,m0,m1,m2] (edge k opposite
+            # vertex k) splits into (v0,m2,m1),(v1,m0,m2),(v2,m1,m0),(m0,m1,m2)
+            cd = space.cell_dofs_np
+            sub = np.concatenate(
+                [
+                    cd[:, [0, 5, 4]],
+                    cd[:, [1, 3, 5]],
+                    cd[:, [2, 4, 3]],
+                    cd[:, [3, 4, 5]],
+                ],
+                axis=0,
+            )
+            self._register_grid("mesh_p2", space.dof_points_np, sub)
+            data = self._pad3(vec) if kind == "Vector" else vec
+            path = f"{name}_viz/{self._counter}"
+            h5.create_dataset(path, data=data)
+            self._series.setdefault(name, []).append((float(t), path, kind, "mesh_p2"))
+            self._counter += 1
+        else:
+            self._write_mesh(mesh)
+            data = vec[: mesh.n_points]
+            data = self._pad3(data) if kind == "Vector" else data
+            path = f"{name}_viz/{self._counter}"
+            h5.create_dataset(path, data=data)
+            self._series.setdefault(name, []).append((float(t), path, kind, "mesh"))
+            self._counter += 1
+        if self.parameters.get("flush_output", True):
+            h5.flush()
+            self._write_xml()
+
+    def read_checkpoint(self, space, name, counter=-1):
+        """Read a write_checkpoint'ed field back into a Function on `space`.
+
+        Returns (Function, t). `counter` indexes the stored time series
+        (negative = from the end, as in dolfin).
+        """
+        import h5py
+
+        if self._h5 is not None:
+            self._h5.flush()
+        with h5py.File(self.h5name, "r") as h5:
+            grp = h5[f"checkpoint/{name}"]
+            keys = sorted(grp.keys(), key=int)
+            ds = grp[keys[counter]]
+            vec = np.asarray(ds)
+            t = float(ds.attrs["t"])
+            ncomp = int(ds.attrs["n_components"])
+        if ncomp != space.n_components or vec.shape[0] != space.n_dofs:
+            raise ValueError(
+                f"checkpoint '{name}' shape {vec.shape} does not match space "
+                f"({space.n_dofs} dofs x {space.n_components})"
+            )
+        import jax.numpy as jnp
+
+        return Function(space, jnp.asarray(vec, dtype=space.mesh.dtype)).rename(
+            name
+        ), t
+
     def _write_xml(self):
-        mesh = self.mesh
         h5base = os.path.basename(self.h5name)
         lines = [
             '<?xml version="1.0"?>',
@@ -89,22 +190,23 @@ class XDMFFile:
                 f'<Grid Name="{name}" GridType="Collection" '
                 'CollectionType="Temporal">'
             )
-            for t, path, kind in series:
+            for t, path, kind, grid in series:
+                npts, ncells, topo, nper, geom, dim = self._grids[grid]
                 lines += [
                     '<Grid Name="mesh" GridType="Uniform">',
                     f'<Time Value="{t}"/>',
-                    f'<Topology NumberOfElements="{mesh.n_cells}" '
-                    'TopologyType="Triangle" NodesPerElement="3">',
-                    f'<DataItem Dimensions="{mesh.n_cells} 3" '
-                    f'NumberType="Int" Format="HDF">{h5base}:/mesh/cells</DataItem>',
+                    f'<Topology NumberOfElements="{ncells}" '
+                    f'TopologyType="{topo}" NodesPerElement="{nper}">',
+                    f'<DataItem Dimensions="{ncells} {nper}" '
+                    f'NumberType="Int" Format="HDF">{h5base}:/{grid}/cells</DataItem>',
                     "</Topology>",
-                    '<Geometry GeometryType="XY">',
-                    f'<DataItem Dimensions="{mesh.n_points} 2" '
-                    f'Format="HDF">{h5base}:/mesh/points</DataItem>',
+                    f'<Geometry GeometryType="{geom}">',
+                    f'<DataItem Dimensions="{npts} {dim}" '
+                    f'Format="HDF">{h5base}:/{grid}/points</DataItem>',
                     "</Geometry>",
                     f'<Attribute Name="{name}" AttributeType="{kind}" '
                     'Center="Node">',
-                    f'<DataItem Dimensions="{mesh.n_points} '
+                    f'<DataItem Dimensions="{npts} '
                     f'{3 if kind == "Vector" else 1}" '
                     f'Format="HDF">{h5base}:/{path}</DataItem>',
                     "</Attribute>",

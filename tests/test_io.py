@@ -60,7 +60,8 @@ def test_metrics_logger(tmp_path):
     assert s["dt"]["max"] == 0.2
     import json
 
-    lines = [json.loads(l) for l in open(path)]
+    with open(path) as fh:
+        lines = [json.loads(l) for l in fh]
     assert len(lines) == 2 and lines[0]["step"] == 1
 
 
@@ -88,3 +89,86 @@ def test_materials_values():
     assert 4150 < materials.water.specific_heat_capacity(293.15) < 4230
     assert abs(materials.air.density(293.15) - 1.204) < 0.01
     assert abs(materials.air.dynamic_viscosity(293.15) - 1.81e-5) < 1e-6
+
+
+def test_xdmf_checkpoint_roundtrip_p2(tmp_path):
+    # full-fidelity write_checkpoint/read_checkpoint (dolfin restart API):
+    # the COMPLETE P2 dof vector survives the roundtrip, and the viz series
+    # lands on the P2 sub-triangulation grid
+    import h5py
+    import xml.etree.ElementTree as ET
+
+    mesh = unit_square_mesh(4)
+    V = VectorFunctionSpace(mesh, 2)
+    rng = np.random.default_rng(3)
+    vec = jnp.asarray(rng.standard_normal((V.n_dofs, 2)), dtype=mesh.dtype)
+    u = Function(V, vec).rename("velocity")
+
+    path = os.path.join(tmp_path, "chk.xdmf")
+    with XDMFFile(path) as xf:
+        xf.write_checkpoint(u, t=0.0)
+        xf.write_checkpoint(Function(V, 2.0 * vec).rename("velocity"), t=0.25)
+        # read back while the file is still open (mid-run restart probe)
+        u0, t0 = xf.read_checkpoint(V, "velocity", counter=0)
+        np.testing.assert_array_equal(np.asarray(u0.vector), np.asarray(vec))
+
+    xf2 = XDMFFile(path)
+    u1, t1 = xf2.read_checkpoint(V, "velocity", counter=-1)
+    assert (t0, t1) == (0.0, 0.25)
+    np.testing.assert_array_equal(np.asarray(u1.vector), 2.0 * np.asarray(vec))
+
+    with h5py.File(os.path.join(tmp_path, "chk.h5")) as h5:
+        # viz grid is the 4x refinement on the P2 dof points
+        assert h5["mesh_p2/points"].shape == (V.n_dofs, 2)
+        assert h5["mesh_p2/cells"].shape == (4 * mesh.n_cells, 3)
+        cells = h5["mesh_p2/cells"][...]
+        pts = h5["mesh_p2/points"][...]
+        # every sub-triangle CCW with positive area
+        d = pts[cells]
+        e1, e2 = d[:, 1] - d[:, 0], d[:, 2] - d[:, 0]
+        area = 0.5 * (e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0])
+        assert (area > 0).all()
+        # sub-triangulation tiles the domain exactly
+        np.testing.assert_allclose(area.sum(), 1.0, atol=1e-12)
+
+    tree = ET.parse(path)
+    topo = tree.getroot().find(".//Topology")
+    assert topo.get("NumberOfElements") == str(4 * mesh.n_cells)
+
+    # shape mismatch raises
+    Q = FunctionSpace(mesh, 1)
+    try:
+        xf2.read_checkpoint(Q, "velocity")
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+def test_xdmf_3d(tmp_path):
+    import h5py
+    import xml.etree.ElementTree as ET
+    from flow_tpu import box_mesh
+
+    mesh = box_mesh((0.0, 0.0, 0.0), (1.0, 1.0, 1.0), 2, 2, 2)
+    S = FunctionSpace(mesh, 1)
+    V = VectorFunctionSpace(mesh, 2)
+    fn = Function(S, jnp.arange(S.n_dofs, dtype=mesh.dtype)).rename("T")
+    vfn = Function(V, jnp.ones((V.n_dofs, 3), dtype=mesh.dtype)).rename("u")
+
+    path = os.path.join(tmp_path, "out3.xdmf")
+    with XDMFFile(path) as xf:
+        xf.write(fn, 0.0)
+        xf.write(vfn, 0.0)
+        # 3-D P2 checkpoint: restart vector stored, viz downsamples
+        xf.write_checkpoint(vfn, t=0.0)
+        v2, _ = xf.read_checkpoint(V, "u")
+        np.testing.assert_array_equal(np.asarray(v2.vector), np.asarray(vfn.vector))
+
+    tree = ET.parse(path)
+    topo = tree.getroot().find(".//Topology")
+    assert topo.get("TopologyType") == "Tetrahedron"
+    geom = tree.getroot().find(".//Geometry")
+    assert geom.get("GeometryType") == "XYZ"
+    with h5py.File(os.path.join(tmp_path, "out3.h5")) as h5:
+        assert h5["mesh/points"].shape == (mesh.n_points, 3)
+        assert h5["u/1"].shape == (mesh.n_points, 3)  # already 3 comps, no pad
