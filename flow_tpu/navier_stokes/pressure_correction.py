@@ -118,10 +118,11 @@ class _Context:
         geom = self.geom
         p0b = self.btabQ.values(P0)
         val = -p0b[:, :, None] * bt.normals[:, None, :]
-        gw = bt.grads(W, geom)
-        val = val + mu * jnp.einsum(
-            "bqmd,bm->bqd", gw.transpose(0, 1, 3, 2), bt.normals
-        )
+        # + mu (grad u)^T n: out_a = sum_m du_m/dx_a n_m
+        # (/root/reference/flow/navier_stokes/pressure_correction.py:143,
+        # `mu*inner(grad(u).T*normal, v)*ds`)
+        gw = bt.grads(W, geom)  # [b,q,a,d] = du_a/dx_d
+        val = val + mu * jnp.einsum("bqma,bm->bqa", gw, bt.normals)
         return bt.integrate_rhs(val)
 
     def _residual(self, Ui, U0, Fq_expl, Fq_impl, P0, rho, mu, dt, theta_explicit):

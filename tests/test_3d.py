@@ -273,3 +273,65 @@ def test_ns_3d_mms_single_step_accuracy():
     )
     # one first-order step: error ~ O(dt^2) + spatial O(h^3); both << 5e-3
     assert err < 5.0e-3, err
+
+
+def test_open_boundary_3d_poiseuille_residual_identity():
+    # Plane Poiseuille flow through a box channel with an OPEN outflow:
+    #   u = (z(1-z), 0, 0),  p = 2(2-x) + 1,  mu = 1, rho = 1
+    # is an exact steady NS solution, exactly representable (u quadratic in
+    # P2, p linear in P1). The scheme's momentum residual at this state is
+    # NOT zero: the skew-symmetric convection
+    # 0.5*(<(w.grad)w, v> - <(w.grad)v, w>)
+    # (/root/reference/flow/navier_stokes/pressure_correction.py:138 — no
+    # boundary compensation, deliberately) leaves exactly
+    #   F1_i = -(dt/2) * oint (u.n)(u.phi_i) ds
+    # after every volume term integrates by parts against the ds-terms
+    # (-p n + mu (grad u)^T n). Asserting THAT identity to machine precision
+    # pins every 3-D volume term and both facet terms simultaneously — with
+    # nonzero mu (grad u)^T n = (0,0,mu u'(z)) at the in/outflow, which the
+    # hydrostatic test (u = 0) cannot see.
+    from flow_tpu.navier_stokes.pressure_correction import _get_ctx
+    from flow_tpu.fem.assembly import BoundaryFaceTab
+
+    mesh = box_mesh((0, 0, 0), (2.0, 1.0, 1.0), 4, 2, 3)
+    V = VectorFunctionSpace(mesh, 2, n_components=3)
+    Q = FunctionSpace(mesh, 1)
+
+    U0 = project((lambda x: x[..., 2] * (1.0 - x[..., 2]), 0.0, 0.0), V).vector
+    P0 = project(lambda x: 2.0 * (2.0 - x[..., 0]) + 1.0, Q).vector
+
+    ctx = _get_ctx(V, Q)
+    dt = 5.0e-2
+    r = ctx._residual(U0, U0, None, None, P0, 1.0, 1.0, dt, (0.0, 1.0))
+
+    # independent computation of the skew compensation (degree-6 integrand
+    # (u.n)(u.phi): needs its own exact facet rule)
+    bt = BoundaryFaceTab(V, rule_degree=6)
+    uq = bt.values(U0)                                   # [b,q,3]
+    un = jnp.einsum("bqd,bd->bq", uq, bt.normals)        # u.n per face point
+    gw = bt.grads(U0, geometry(mesh))                    # [b,q,a,d]
+    gradun = jnp.einsum("bqad,bd->bqa", gw, bt.normals)  # (grad u) n
+    # skew compensation (all faces) + the do-nothing remainder (nonzero only
+    # on the z-walls, where those rows are Dirichlet-masked in the solve)
+    expected = -(dt / 2.0) * bt.integrate_rhs(
+        un[:, :, None] * uq
+    ) + dt * bt.integrate_rhs(gradun)
+    np.testing.assert_allclose(np.asarray(r), np.asarray(expected), atol=1e-13)
+
+    # and a full open-outflow IPCS step stays a bounded perturbation of the
+    # steady state (the compensation acts only on outlet-adjacent dofs)
+    u0f = Function(V, U0)
+    p0f = Function(Q, P0)
+    outlet = lambda x: x[:, 0] > 2.0 - 1e-12
+    walls = lambda x: x[:, 0] < 2.0 - 1e-12
+    u_bcs = [DirichletBC(V, (lambda x: x[:, 2] * (1.0 - x[:, 2]), 0.0, 0.0), walls)]
+    p_bcs = [DirichletBC(Q, lambda x: 2.0 * (2.0 - x[..., 0]) + 1.0, outlet)]
+    u1, p1 = flow_tpu.navier_stokes.IPCS().step(
+        dt, {0: u0f}, p0f, u_bcs, p_bcs, 1.0, 1.0,
+        f={0: (0.0, 0.0, 0.0), 1: (0.0, 0.0, 0.0)}, verbose=False,
+    )
+    # the first step absorbs the skew-form outflow deficiency (the
+    # compensation term above acting on outlet-adjacent dofs) — bounded,
+    # not machine-small
+    assert norm(u1.vector - U0, "linf") < 0.25
+    assert norm(p1.vector - P0, "linf") < 1.0
