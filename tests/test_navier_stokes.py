@@ -245,3 +245,39 @@ def test_rotational(problem):
         mesh_sizes=[32, 64],
         Dt=[1.0e-2, 0.5e-2],
     )
+
+
+def test_open_boundary_2d_poiseuille_residual_identity():
+    # 2-D plane Poiseuille with an OPEN outflow:
+    #   u = (y(1-y), 0),  p = 2(2-x) + 1,  mu = rho = 1
+    # exact steady NS solution, exactly representable (P2/P1). The momentum
+    # residual at the exact state must equal EXACTLY
+    #   -(dt/2) oint (u.n)(u.phi_i) ds + dt oint (grad u) n . phi_i ds
+    # (skew-convection compensation + the do-nothing remainder on the walls)
+    # — every volume term integrates by parts against the ds-terms
+    # (-p n + mu (grad u)^T n, /root/reference/flow/navier_stokes/
+    # pressure_correction.py:142-143). The 2-D twin of the 3-D test that
+    # caught the transposed ds-term einsum.
+    import jax.numpy as jnp
+    from flow_tpu.navier_stokes.pressure_correction import _get_ctx
+    from flow_tpu.fem.assembly import BoundaryTab
+
+    mesh = rectangle_mesh((0.0, 0.0), (2.0, 1.0), 8, 4)
+    V = VectorFunctionSpace(mesh, 2)
+    Q = FunctionSpace(mesh, 1)
+    U0 = project((lambda x: x[..., 1] * (1.0 - x[..., 1]), 0.0), V).vector
+    P0 = project(lambda x: 2.0 * (2.0 - x[..., 0]) + 1.0, Q).vector
+
+    ctx = _get_ctx(V, Q)
+    dt = 5.0e-2
+    r = ctx._residual(U0, U0, None, None, P0, 1.0, 1.0, dt, (0.0, 1.0))
+
+    bt = BoundaryTab(V, rule_degree=6)
+    uq = bt.values(U0)
+    un = jnp.einsum("bqd,bd->bq", uq, bt.normals)
+    gw = bt.grads(U0, geometry(mesh))
+    gradun = jnp.einsum("bqad,bd->bqa", gw, bt.normals)
+    expected = -(dt / 2.0) * bt.integrate_rhs(
+        un[:, :, None] * uq
+    ) + dt * bt.integrate_rhs(gradun)
+    np.testing.assert_allclose(np.asarray(r), np.asarray(expected), atol=1e-13)
