@@ -195,6 +195,7 @@ class HaloProjection:
         p_bcs,
         rho,
         mu,
+        f=None,
         devices=None,
         time_step_method="backward euler",
         rotational_form=True,
@@ -237,6 +238,19 @@ class HaloProjection:
         self.detJ = pad_cells(np.asarray(geomg.detJ))
         self.G = pad_cells(np.asarray(geomg.G))
         self.C = pad_cells(np.asarray(geomg.C))
+
+        # stationary body force, evaluated at the volume quadrature points of
+        # each (reordered, padded) cell and sharded with them
+        self.has_f = f is not None
+        if self.has_f:
+            from ..fem.interpolate import eval_callable
+
+            tabF = assembly.tabulation(V, 6)
+            xq = geomg.physical_points(jnp.asarray(tabF.ref_pts, dtype=dtype))
+            fq = np.asarray(eval_callable(f, xq))  # [nc, q, m]
+            self.Fq = pad_cells(fq)
+        else:
+            self.Fq = jnp.zeros((ntot, 1, V.n_components), dtype=dtype)
 
         mask_u, val_u = combine_bcs(V, u_bcs)
         self.mask_u = jnp.asarray(
@@ -305,7 +319,7 @@ class HaloProjection:
         # sharded args: everything except dt
         in_specs = tuple(
             [spec_c, spec_c, spec_r]
-            + [spec_c] * 18
+            + [spec_c] * 19
             + ([spec_c] * 8 if self._nb_loc else [])
         )
         self._step = jax.jit(
@@ -402,6 +416,7 @@ class HaloProjection:
             self.mass_diag_V,
             self.stiff_diag_V,
             self.stiff_diag_Q,
+            self.Fq,
         ]
         if self._nb_loc:
             args += [
@@ -467,6 +482,7 @@ class HaloProjection:
         mass_diag_V,
         stiff_diag_V,
         stiff_diag_Q,
+        Fq=None,
         b_cdV=None,
         b_cdQ=None,
         b_phiV=None,
@@ -512,9 +528,9 @@ class HaloProjection:
             pq = jnp.einsum("bql,bl->bq", b_phiQ, ploc)
             gw = jnp.einsum("bqlk,bdk,blm->bqmd", b_dphiV, b_Gb, wloc)
             val = -pq[:, :, None] * b_normals[:, None, :]
-            val = val + mu * jnp.einsum(
-                "bqmd,bm->bqd", gw.transpose(0, 1, 3, 2), b_normals
-            )
+            # + mu (grad u)^T n: out_a = sum_m du_m/dx_a n_m (matches the
+            # single-chip _rhs_weak_bnd after the transposed-einsum fix)
+            val = val + mu * jnp.einsum("bqma,bm->bqa", gw, b_normals)
             loc = jnp.einsum("bqm,bq,bqi->bim", val, b_wl, b_phiV)
             out = jnp.zeros((Vh.n_ext, self.ncomp), dtype=dtype)
             return out.at[b_cdV].add(loc)
@@ -529,6 +545,8 @@ class HaloProjection:
             )
             loc = loc - forms.sym_grad_loc(Vl, gm, Wloc, mu)
             loc = loc + forms.pressure_grad_loc(Vl, Ql, gm, Ploc)
+            if self.has_f:
+                loc = loc + forms.body_force_loc(Vl, gm, Fq, rule_degree=6)
             return loc
 
         U_ext0 = fwd_V(U)

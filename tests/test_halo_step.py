@@ -87,3 +87,36 @@ def test_halo_step_with_pressure_bc():
     )
     np.testing.assert_allclose(np.asarray(U1), np.asarray(u1r.vector), atol=1e-11)
     np.testing.assert_allclose(np.asarray(P1), np.asarray(p1r.vector), atol=1e-10)
+
+
+def test_halo_step_with_body_force():
+    # stationary non-constant body force through the partitioned path:
+    # matches the single-chip stepper to machine precision on 4 devices
+    mesh = unit_square_mesh(8, diagonal="crossed")
+    V = VectorFunctionSpace(mesh, 2)
+    Q = FunctionSpace(mesh, 1)
+    u_bcs = [DirichletBC(V, (0.0, 0.0), "on_boundary")]
+
+    fx = lambda x: jnp.sin(3.0 * x[..., 0]) * x[..., 1]
+    fy = lambda x: -jnp.exp(-x[..., 1]) * (1.0 + x[..., 0])
+    u0 = project((0.0, 0.0), V)
+    p0 = project(0.0, Q)
+
+    hp = HaloProjection(
+        V, Q, u_bcs, [], rho=1.0, mu=0.1, f=(fx, fy),
+        devices=jax.devices()[:4], rotational_form=True,
+    )
+    Up = hp.Vh.to_partitioned(np.asarray(u0.vector))
+    Pp = hp.Qh.to_partitioned(np.asarray(p0.vector))
+    U1p, P1p = hp.step(Up, Pp, 1e-2)
+    U1 = hp.Vh.from_partitioned(U1p)
+    P1 = hp.Qh.from_partitioned(P1p)
+
+    u1r, p1r = navsto.Rotational().step(
+        1e-2, {0: u0}, p0, u_bcs, [], 1.0, 0.1,
+        f={0: (fx, fy), 1: (fx, fy)}, verbose=False,
+    )
+    P1 = P1 - jnp.mean(P1)
+    p1r_v = p1r.vector - jnp.mean(p1r.vector)
+    np.testing.assert_allclose(np.asarray(U1), np.asarray(u1r.vector), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(P1), np.asarray(p1r_v), atol=1e-10)
