@@ -172,3 +172,42 @@ def test_xdmf_3d(tmp_path):
     with h5py.File(os.path.join(tmp_path, "out3.h5")) as h5:
         assert h5["mesh/points"].shape == (mesh.n_points, 3)
         assert h5["u/1"].shape == (mesh.n_points, 3)  # already 3 comps, no pad
+
+
+def test_profiling_utilities(tmp_path):
+    # cost_report: XLA flops/bytes accounting for a compiled step; Timer;
+    # trace produces a TensorBoard-readable directory
+    from flow_tpu.utils import profiling
+
+    mesh = unit_square_mesh(6)
+    S = FunctionSpace(mesh, 2)
+    from flow_tpu.fem import assembly
+    from flow_tpu.fem.assembly import geometry
+    import jax
+
+    geom = geometry(mesh)
+
+    def apply_K(x):
+        return assembly.stiffness_apply(S, geom, x)
+
+    x = jnp.ones(S.n_dofs, dtype=mesh.dtype)
+    rep = profiling.cost_report(apply_K, x)
+    assert isinstance(rep, dict)
+    if rep:  # CPU backend provides flops
+        assert rep.get("flops", 1.0) > 0
+
+    with profiling.Timer("t") as t:
+        pass
+    assert t.elapsed >= 0.0
+
+    stats = profiling.device_memory_stats()
+    assert len(stats) == len(jax.devices())
+
+    logdir = os.path.join(tmp_path, "tr")
+    with profiling.trace(logdir):
+        jax.block_until_ready(apply_K(x))
+    # a plugins/profile/<ts> dir with at least one .pb / trace file
+    found = []
+    for root, _dirs, files in os.walk(logdir):
+        found += files
+    assert found, "no trace files written"
