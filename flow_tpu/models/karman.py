@@ -22,7 +22,7 @@ from .. import stokes as stokes_mod
 from .. import navier_stokes
 from ..message import Message, info
 
-__all__ = ["KarmanProblem", "run_karman"]
+__all__ = ["KarmanProblem", "schafer_turek_problem", "run_karman"]
 
 X0, X1 = 0.0, 0.6
 Y0, Y1 = -0.07, 0.07
@@ -33,11 +33,38 @@ MESH_EPS = 1.0e-12
 
 
 class KarmanProblem:
-    def __init__(self, lcar=0.1, n_refine=0, mu=0.002, rho=None, dtype=None):
-        cx, cy = OBSTACLE_CENTER
-        r = 0.5 * OBSTACLE_DIAMETER
+    """Flow past a cylinder in a channel. Defaults reproduce the reference's
+    geometry (test_karman_vortex_street.py:35-45); the geometry kwargs also
+    express the Schaefer-Turek DFG benchmark (see schafer_turek_problem)."""
+
+    def __init__(
+        self,
+        lcar=0.1,
+        n_refine=0,
+        mu=0.002,
+        rho=None,
+        dtype=None,
+        x0=X0,
+        x1=X1,
+        y0=Y0,
+        y1=Y1,
+        center=OBSTACLE_CENTER,
+        diameter=OBSTACLE_DIAMETER,
+        u_in=ENTRANCE_VELOCITY,
+        u_ref=None,
+        outflow_velocity_bc=True,
+    ):
+        self.x0, self.x1, self.y0, self.y1 = x0, x1, y0, y1
+        self.center = center
+        self.diameter = diameter
+        self.u_in = u_in
+        # reference velocity for force coefficients (DFG convention: the MEAN
+        # inflow velocity; the reference geometry historically used the peak)
+        self.u_ref = u_ref if u_ref is not None else u_in
+        cx, cy = center
+        r = 0.5 * diameter
         mesh = rectangle_with_hole_mesh(
-            X0, X1, Y0, Y1, cx=cx, cy=cy, r=r, lcar=lcar, dtype=dtype
+            x0, x1, y0, y1, cx=cx, cy=cy, r=r, lcar=lcar, dtype=dtype
         )
 
         def snap(p):
@@ -67,24 +94,24 @@ class KarmanProblem:
         self.WP = stokes_mod.TaylorHood(mesh, V=self.V, Q=self.Q)
 
         # boundary predicates (reference :70-97)
-        left = lambda x: x[:, 0] < X0 + MESH_EPS
-        right = lambda x: x[:, 0] > X1 - MESH_EPS
-        lower = lambda x: x[:, 1] < Y0 + MESH_EPS
-        upper = lambda x: x[:, 1] > Y1 - MESH_EPS
+        left = lambda x: x[:, 0] < x0 + MESH_EPS
+        right = lambda x: x[:, 0] > x1 - MESH_EPS
+        lower = lambda x: x[:, 1] < y0 + MESH_EPS
+        upper = lambda x: x[:, 1] > y1 - MESH_EPS
         obstacle = lambda x: (
-            (x[:, 0] > X0 + MESH_EPS)
-            & (x[:, 0] < X1 - MESH_EPS)
-            & (x[:, 1] > Y0 + MESH_EPS)
-            & (x[:, 1] < Y1 - MESH_EPS)
+            (x[:, 0] > x0 + MESH_EPS)
+            & (x[:, 0] < x1 - MESH_EPS)
+            & (x[:, 1] > y0 + MESH_EPS)
+            & (x[:, 1] < y1 - MESH_EPS)
         )
 
-        # parabolic in/outflow (reference :128-137)
+        # parabolic in/outflow (reference :128-137); u_in is the PEAK value
         def profile(x):
             return (
-                ENTRANCE_VELOCITY
-                * (Y1 - x[:, 1])
-                * (x[:, 1] - Y0)
-                / (0.5 * (Y1 - Y0)) ** 2
+                u_in
+                * (y1 - x[:, 1])
+                * (x[:, 1] - y0)
+                / (0.5 * (y1 - y0)) ** 2
             )
 
         V = self.V
@@ -93,8 +120,11 @@ class KarmanProblem:
             DirichletBC(V, (0.0, 0.0), lower),
             DirichletBC(V, (0.0, 0.0), obstacle),
             DirichletBC(V.sub(0), profile, left),
-            DirichletBC(V.sub(0), profile, right),
         ]
+        if outflow_velocity_bc:
+            # reference semantics: prescribe the parabolic profile at the
+            # outlet too (:136-137). Schaefer-Turek uses an open outflow.
+            self.u_bcs.append(DirichletBC(V.sub(0), profile, right))
         # outlet pressure pin for the projection steps (reference :201-203)
         self.p_bcs = [DirichletBC(self.Q, 0.0, right)]
 
@@ -106,7 +136,7 @@ class KarmanProblem:
             np.asarray(obstacle(mids), dtype=np.float64), dtype=mesh.dtype
         )
 
-        self.reynolds = ENTRANCE_VELOCITY * OBSTACLE_DIAMETER * self.rho / mu
+        self.reynolds = self.u_ref * diameter * self.rho / mu
 
     def stokes_bootstrap(self, tol=1.0e-13, max_iter=10000):
         """Initial (u0, p0) from steady Stokes (reference :171-179)."""
@@ -138,8 +168,37 @@ class KarmanProblem:
 
     def drag_lift_coefficients(self, u, p):
         fx, fy = self.forces(u, p)
-        scale = 0.5 * self.rho * ENTRANCE_VELOCITY**2 * OBSTACLE_DIAMETER
+        scale = 0.5 * self.rho * self.u_ref**2 * self.diameter
         return fx / scale, fy / scale
+
+    @property
+    def force_scale(self):
+        return 0.5 * self.rho * self.u_ref**2 * self.diameter
+
+
+def schafer_turek_problem(lcar=0.03, n_refine=2, dtype=None):
+    """DFG 2D-2 benchmark (Schaefer & Turek 1996): channel 2.2 x 0.41,
+    cylinder d=0.1 at (0.2, 0.2), parabolic inflow Um=1.5 (mean 1.0),
+    mu=0.001, rho=1 -> Re=100. Published values: St ~ 0.300, Cd ~ 3.22-3.24,
+    Cl amplitude ~ 1.0. Open outflow (pressure pinned at the outlet) —
+    the quantitative validation target for the force/Strouhal probes."""
+    Um = 1.5
+    return KarmanProblem(
+        lcar=lcar,
+        n_refine=n_refine,
+        mu=0.001,
+        rho=1.0,
+        dtype=dtype,
+        x0=0.0,
+        x1=2.2,
+        y0=0.0,
+        y1=0.41,
+        center=(0.2, 0.2),
+        diameter=0.1,
+        u_in=Um,
+        u_ref=2.0 * Um / 3.0,
+        outflow_velocity_bc=False,
+    )
 
 
 def run_karman(
@@ -228,16 +287,19 @@ def run_karman_fast(
     checkpoint_path=None,
     resume=False,
     progress=False,
+    problem=None,
 ):
     """High-throughput Karman driver: the whole simulation is ONE compiled
     lax.scan (FastStepper) with on-device CFL dt control, multigrid-
     preconditioned pressure solves and per-step drag/lift telemetry.
 
     This is the benchmark entry (bench.py) and the path for long
-    vortex-shedding runs (Strouhal extraction)."""
+    vortex-shedding runs (Strouhal extraction). Pass `problem=` (e.g.
+    schafer_turek_problem(...)) to run a different channel geometry."""
     from ..navier_stokes.fast import FastStepper
 
-    problem = KarmanProblem(lcar=lcar, n_refine=n_refine, mu=mu)
+    if problem is None:
+        problem = KarmanProblem(lcar=lcar, n_refine=n_refine, mu=mu)
 
     def forces_probe(U, P):
         # inline force computation (jit-safe, returns a length-2 array)
@@ -348,9 +410,13 @@ def run_karman_fast(
     }
 
 
-def strouhal_number(t, lift, min_periods=3):
+def strouhal_number(
+    t, lift, min_periods=3, diameter=OBSTACLE_DIAMETER, u_ref=ENTRANCE_VELOCITY
+):
     """Estimate the Strouhal number St = f d / U from a lift time series
-    (uniformly resampled + dominant FFT frequency)."""
+    (uniformly resampled + dominant FFT frequency). diameter/u_ref default
+    to the reference geometry; pass problem.diameter/problem.u_ref for
+    other channels (e.g. Schaefer-Turek)."""
     t = np.asarray(t, dtype=float)
     lift = np.asarray(lift, dtype=float)
     tu = np.linspace(t[0], t[-1], 4 * len(t))
@@ -361,4 +427,4 @@ def strouhal_number(t, lift, min_periods=3):
     f = freqs[int(np.argmax(amp))]
     if f * (t[-1] - t[0]) < min_periods:
         return None  # series too short to resolve shedding
-    return f * OBSTACLE_DIAMETER / ENTRANCE_VELOCITY
+    return f * diameter / u_ref

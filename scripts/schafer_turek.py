@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+# DFG 2D-2 benchmark (Schaefer & Turek 1996): cylinder in a channel at
+# Re=100 with an unsteady wake. Published targets: St ~ 0.300,
+# Cd_max ~ 3.22-3.24, Cl amplitude ~ +-1.0. This is the quantitative
+# physics validation of the drag/lift/Strouhal probes (the reference's own
+# Karman geometry is too confined to shed at its parameters).
+#
+# Usage: python scripts/schafer_turek.py [n_steps] [lcar] [n_refine] [dt_max]
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    cache = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
+    lcar = float(sys.argv[2]) if len(sys.argv) > 2 else 0.03
+    n_refine = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    dt_max = float(sys.argv[4]) if len(sys.argv) > 4 else 4.0e-3
+
+    from flow_tpu.models import karman
+
+    prob = karman.schafer_turek_problem(lcar=lcar, n_refine=n_refine)
+    print(
+        f"Re={prob.reynolds:.1f}  cells={prob.mesh.n_cells}  "
+        f"dofs={2 * prob.V.n_dofs + prob.Q.n_dofs}",
+        flush=True,
+    )
+
+    t0 = time.time()
+    out = karman.run_karman_fast(
+        num_steps=n_steps,
+        dt0=1.0e-4,
+        dt_max=dt_max,
+        problem=prob,
+        chunk_size=int(os.environ.get("SHED_CHUNK", "25")),
+        progress=True,
+    )
+    elapsed = time.time() - t0
+
+    t = out["t"]
+    fx = out["forces"][:, 0]
+    fy = out["forces"][:, 1]
+    scale = prob.force_scale
+
+    k0 = int(0.5 * len(t))  # settled half
+    cd = fx[k0:] / scale
+    cl = fy[k0:] / scale
+    st_dfg = karman.strouhal_number(
+        t[k0:], fy[k0:], diameter=prob.diameter, u_ref=prob.u_ref
+    )
+    f_shed = (st_dfg or 0.0) * prob.u_ref / prob.diameter
+
+    print(
+        f"steps={n_steps} t_end={t[-1]:.2f}s wall={elapsed:.1f}s "
+        f"({n_steps / elapsed:.2f} steps/s)"
+    )
+    print(f"Cd max={cd.max():.4f} mean={cd.mean():.4f}")
+    print(f"Cl max={cl.max():.4f} min={cl.min():.4f}")
+    print(f"shedding f={f_shed:.4f} Hz  St={st_dfg}")
+    np.savez("schafer_turek.npz", t=t, fx=fx, fy=fy, dt=out["telemetry"]["dt"])
+
+
+if __name__ == "__main__":
+    main()

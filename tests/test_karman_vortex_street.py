@@ -84,3 +84,22 @@ def test_karman_fast_checkpoint_resume(tmp_path):
         np.asarray(out2["u"].vector), np.asarray(out_full["u"].vector),
         atol=1e-12,
     )
+
+
+def test_schafer_turek_problem():
+    # DFG 2D-2 construction invariants + a short fast-path run
+    from flow_tpu.models import karman
+
+    prob = karman.schafer_turek_problem(lcar=0.05, n_refine=0)
+    assert abs(prob.reynolds - 100.0) < 1e-12
+    assert abs(prob.force_scale - 0.5 * 1.0 * (1.0) ** 2 * 0.1) < 1e-12
+    # open outflow: 4 velocity BCs (walls, obstacle, inlet) — no outlet u BC
+    assert len(prob.u_bcs) == 4
+    assert len(prob.p_bcs) == 1
+    import numpy as np
+
+    out = karman.run_karman_fast(
+        num_steps=4, dt0=1e-4, dt_max=2e-3, problem=prob, chunk_size=2
+    )
+    assert np.isfinite(out["forces"]).all()
+    assert out["t"][-1] > 0
