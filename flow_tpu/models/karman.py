@@ -288,6 +288,7 @@ def run_karman_fast(
     resume=False,
     progress=False,
     problem=None,
+    initial_state=None,
 ):
     """High-throughput Karman driver: the whole simulation is ONE compiled
     lax.scan (FastStepper) with on-device CFL dt control, multigrid-
@@ -338,7 +339,9 @@ def run_karman_fast(
         )
         stepper.pressure_precond = hier.v_cycle
 
-    if from_rest:
+    if initial_state is not None:
+        U, P = initial_state  # e.g. a perturbed state to trigger shedding
+    elif from_rest:
         U = problem.V.zeros()
         P = problem.Q.zeros()
     else:

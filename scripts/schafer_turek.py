@@ -37,6 +37,31 @@ def main():
         flush=True,
     )
 
+    # antisymmetric vortex-blob perturbation downstream of the cylinder:
+    # seeds the unstable shedding mode (a symmetric impulsive start stays on
+    # the unstable steady branch for ~20+ s otherwise)
+    import jax.numpy as jnp
+    from flow_tpu import project
+
+    amp = float(os.environ.get("ST_PERTURB", "0.4"))
+
+    def u0x(x):
+        return jnp.zeros(x.shape[:-1], dtype=x.dtype)
+
+    def u0y(x):
+        r2 = ((x[..., 0] - 0.35) ** 2 + (x[..., 1] - 0.20) ** 2) / 0.05**2
+        return amp * jnp.exp(-r2)
+
+    U0 = project((u0x, u0y), prob.V).vector
+    # zero the Dirichlet rows so the perturbation respects the BCs
+    from flow_tpu.fem.bc import combine_bcs
+
+    mask_u, val_u = combine_bcs(prob.V, prob.u_bcs)
+    U0 = (1.0 - mask_u) * U0
+
+    ckpt = os.environ.get("ST_CKPT", "st_ckpt.npz")
+    resume = os.environ.get("ST_RESUME", "") == "1"
+
     t0 = time.time()
     out = karman.run_karman_fast(
         num_steps=n_steps,
@@ -45,6 +70,9 @@ def main():
         problem=prob,
         chunk_size=int(os.environ.get("SHED_CHUNK", "25")),
         progress=True,
+        initial_state=None if resume else (U0, prob.Q.zeros()),
+        checkpoint_path=ckpt,
+        resume=resume,
     )
     elapsed = time.time() - t0
 
