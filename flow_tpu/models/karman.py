@@ -289,6 +289,7 @@ def run_karman_fast(
     progress=False,
     problem=None,
     initial_state=None,
+    time_step_method="backward euler",
 ):
     """High-throughput Karman driver: the whole simulation is ONE compiled
     lax.scan (FastStepper) with on-device CFL dt control, multigrid-
@@ -320,6 +321,7 @@ def run_karman_fast(
         problem.p_bcs,
         problem.rho,
         problem.mu,
+        time_step_method=time_step_method,
         rotational_form=True,
         newton_tol=0.0,
         newton_rtol=newton_rtol,

@@ -61,18 +61,34 @@ def main():
 
     ckpt = os.environ.get("ST_CKPT", "st_ckpt.npz")
     resume = os.environ.get("ST_RESUME", "") == "1"
+    method = os.environ.get("ST_METHOD", "backward euler")
+
+    initial_state = (U0, prob.Q.zeros())
+    dt0 = 1.0e-4
+    if resume and os.path.exists(ckpt):
+        # restart from the checkpointed state; ST_REPERTURB=1 re-seeds the
+        # antisymmetric mode on top of it (useful after a steady-branch run)
+        from flow_tpu.io import load_checkpoint
+
+        arrays, scalars = load_checkpoint(ckpt, dtype=U0.dtype)
+        Ur, Pr = arrays["U"], arrays["P"]
+        dt0 = min(float(scalars["dt"]), dt_max)
+        if os.environ.get("ST_REPERTURB", "") == "1":
+            Ur = Ur + U0  # U0 already zeroed on Dirichlet rows
+        initial_state = (Ur, Pr)
 
     t0 = time.time()
     out = karman.run_karman_fast(
         num_steps=n_steps,
-        dt0=1.0e-4,
+        dt0=dt0,
         dt_max=dt_max,
         problem=prob,
         chunk_size=int(os.environ.get("SHED_CHUNK", "25")),
         progress=True,
-        initial_state=None if resume else (U0, prob.Q.zeros()),
+        initial_state=initial_state,
         checkpoint_path=ckpt,
-        resume=resume,
+        resume=False,
+        time_step_method=method,
     )
     elapsed = time.time() - t0
 
