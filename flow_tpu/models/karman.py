@@ -351,7 +351,9 @@ def run_karman_fast(
         U, P = u0.vector, p0.vector
 
     # checkpoint/resume of (U, P, dt) — SURVEY.md §5.4 (capability the
-    # reference lacks entirely); written after every chunk
+    # reference lacks entirely); written after every chunk. BDF2 segments
+    # additionally carry (Um1, dt_prev) so chained runs stay second-order.
+    Um1, dtp = None, None
     if resume and checkpoint_path:
         import os as _os
 
@@ -361,6 +363,9 @@ def run_karman_fast(
             arrays, scalars = load_checkpoint(checkpoint_path, dtype=U.dtype)
             U, P = arrays["U"], arrays["P"]
             dt0 = scalars["dt"]
+            if stepper.bdf2 and "Um1" in arrays:
+                Um1 = arrays["Um1"]
+                dtp = jnp.asarray(scalars["dtp"], dtype=U.dtype)
 
     # chunked execution: one compiled scan program of `chunk` steps, reused
     # for arbitrarily long runs (scan length is a static shape; keep single
@@ -375,15 +380,28 @@ def run_karman_fast(
         if checkpoint_path:
             from ..io import save_checkpoint
 
-            save_checkpoint(
-                checkpoint_path, {"U": U, "P": P}, {"dt": float(dt)}
+            arrays = {"U": U, "P": P}
+            scalars = {"dt": float(dt)}
+            if stepper.bdf2 and Um1 is not None:
+                arrays["Um1"] = Um1
+                scalars["dtp"] = float(dtp)
+            save_checkpoint(checkpoint_path, arrays, scalars)
+
+    def _run_chunk(n):
+        nonlocal U, P, dt, Um1, dtp
+        if stepper.bdf2:
+            U, P, dt, tel, (Um1, dtp) = stepper.run(
+                U, P, dt, n_steps=n, Um1=Um1, dtp0=dtp
             )
+        else:
+            U, P, dt, tel = stepper.run(U, P, dt, n_steps=n)
+        return tel
 
     import time as _time
 
     _t0 = _time.time()
     for _ci in range(n_chunks):
-        U, P, dt, tel = stepper.run(U, P, dt, n_steps=chunk)
+        tel = _run_chunk(chunk)
         tels.append({k: np.asarray(v) for k, v in tel.items()})
         _save()
         if progress:
@@ -394,7 +412,7 @@ def run_karman_fast(
                 flush=True,
             )
     if rem:
-        U, P, dt, tel = stepper.run(U, P, dt, n_steps=rem)
+        tel = _run_chunk(rem)
         tels.append({k: np.asarray(v) for k, v in tel.items()})
         _save()
     telemetry = {

@@ -58,6 +58,7 @@ class FastStepper:
         newton_rtol=0.0,
         newton_maxiter=10,
         linear_rtol=1.0e-7,
+        ew_forcing=False,
         pressure_rtol=1.0e-10,
         pressure_maxiter=1000,
         pressure_precond=None,
@@ -72,9 +73,17 @@ class FastStepper:
         self.rho = float(rho)
         self.mu = float(mu)
         self.rotational = rotational_form
+        self.bdf2 = time_step_method == "bdf2"
         if time_step_method == "forward euler":
             self.theta = (1.0, 0.0)
-        elif time_step_method == "backward euler":
+        elif time_step_method in ("backward euler", "bdf2"):
+            # BDF2 runs through the backward-Euler machinery: with step
+            # ratio r = dt_n/dt_{n-1} the variable-step BDF2 update is a BE
+            # step from u_hat = ((1+r)^2 u_n - r^2 u_{n-1})/(1+2r) with
+            # effective step dt* = dt (1+r)/(1+2r) — second-order accuracy
+            # with only mild numerical damping at BE per-step cost (the
+            # property that lets the Schafer-Turek shedding run avoid
+            # Crank-Nicolson's ~4x slower steps).
             self.theta = (0.0, 1.0)
         else:
             assert time_step_method == "crank-nicolson"
@@ -92,6 +101,7 @@ class FastStepper:
         self.newton_rtol = newton_rtol
         self.newton_maxiter = newton_maxiter
         self.linear_rtol = linear_rtol
+        self.ew_forcing = ew_forcing  # Eisenstat-Walker choice 2 inner rtol
         self.pressure_rtol = pressure_rtol
         self.pressure_maxiter = pressure_maxiter
         self.pressure_precond = pressure_precond  # callable r -> z or None
@@ -104,9 +114,25 @@ class FastStepper:
 
         self.step = jax.jit(self._step_impl)
         self.run = jax.jit(self._run_impl, static_argnames=("n_steps",))
+        if self.bdf2:
+            self.step_bdf2 = jax.jit(self._step_impl_bdf2)
+
+    # -- BDF2 as a backward-Euler step from a modified state ---------------
+    @staticmethod
+    def _bdf2_hat(U, Um1, dt, dtp):
+        r = dt / dtp
+        uhat = ((1.0 + r) ** 2 * U - r * r * Um1) / (1.0 + 2.0 * r)
+        dt_eff = dt * (1.0 + r) / (1.0 + 2.0 * r)
+        return uhat, dt_eff, r
+
+    def _step_impl_bdf2(self, U, Um1, P, dt, dtp, Fq=None):
+        uhat, dt_eff, r = self._bdf2_hat(U, Um1, dt, dtp)
+        # second-order extrapolated Newton initial guess
+        x0 = (1.0 + r) * U - r * Um1
+        return self._step_impl(uhat, P, dt_eff, Fq, x0=x0)
 
     # -- one projection step (all substeps fused into one XLA program) ------
-    def _step_impl(self, U, P, dt, Fq=None):
+    def _step_impl(self, U, P, dt, Fq=None, x0=None):
         # Fq None means f == 0: the force integral is skipped entirely
         # (saves one dof summation per residual evaluation)
         ctx = self.ctx
@@ -121,10 +147,13 @@ class FastStepper:
         w_im = self.theta[1]
         diag = ctx.mass_diag_V + (dt / rho) * w_im * (2.0 * mu) * ctx.stiff_diag_V
         diag = free_u * diag + self.mask_u
-        x0 = free_u * U + self.mask_u * self.val_u
+        if x0 is None:
+            x0 = U
+        x0 = free_u * x0 + self.mask_u * self.val_u
+        eta0 = jnp.asarray(self.linear_rtol, dtype=U.dtype)
 
         def newton_body(state):
-            x, rnorm, k, lin = state
+            x, rnorm, k, lin, eta = state
             # linearize once per Newton iteration: Krylov then evaluates the
             # tangent only (jvp would recompute the full primal every matvec)
             r, Jv = jax.linearize(res_bc, x)
@@ -133,13 +162,23 @@ class FastStepper:
                 Jv,
                 -r,
                 M=lambda t: t / diag,
-                rtol=self.linear_rtol,
+                rtol=eta,
                 atol=0.05 * self.newton_tol,
                 maxiter=300,
             )
             x = x + dx
             rn = res_bc(x)
-            return (x, jnp.sqrt(jnp.sum(rn * rn)), k + 1, lin + sinfo.iters)
+            rnorm_new = jnp.sqrt(jnp.sum(rn * rn))
+            if self.ew_forcing:
+                # Eisenstat-Walker choice 2: eta ~ gamma (|r_k|/|r_{k-1}|)^2,
+                # with the standard over-solving safeguard; replaces the
+                # fixed linear_rtol (PETSc -snes_ksp_ew semantics)
+                gamma = 0.9
+                eta_new = gamma * (rnorm_new / rnorm) ** 2
+                guard = gamma * eta * eta
+                eta_new = jnp.where(guard > 0.1, jnp.maximum(eta_new, guard), eta_new)
+                eta = jnp.clip(eta_new, 1.0e-4, 0.5)
+            return (x, rnorm_new, k + 1, lin + sinfo.iters, eta)
 
         r0 = res_bc(x0)
         rnorm0 = jnp.sqrt(jnp.sum(r0 * r0))
@@ -148,11 +187,11 @@ class FastStepper:
         newton_target = jnp.maximum(self.newton_tol, self.newton_rtol * rnorm0)
 
         def newton_cond(state):
-            _, rnorm, k, _ = state
+            _, rnorm, k, _, _ = state
             return jnp.logical_and(rnorm > newton_target, k < self.newton_maxiter)
 
-        Ui, nres, niters, lin_iters = jax.lax.while_loop(
-            newton_cond, newton_body, (x0, rnorm0, jnp.array(0), jnp.array(0))
+        Ui, nres, niters, lin_iters, _ = jax.lax.while_loop(
+            newton_cond, newton_body, (x0, rnorm0, jnp.array(0), jnp.array(0), eta0)
         )
 
         # substep 2: pressure Poisson (optionally GMG-preconditioned)
@@ -235,7 +274,15 @@ class FastStepper:
         return p1, sinfo.iters
 
     # -- scan loop with on-device CFL dt controller --------------------------
-    def _run_impl(self, U, P, dt0, n_steps, Fq=None):
+    def _run_impl(self, U, P, dt0, n_steps, Fq=None, Um1=None, dtp0=None):
+        """n_steps fused steps. For BDF2 the carry additionally holds the
+        previous state/step (Um1, dtp); pass them to chain checkpointed
+        segments at full second order (defaults re-bootstrap: Um1=U, dtp=dt0
+        makes the first step a backward-Euler-like consistent step). BDF2
+        returns a 5th element (Um1, dtp) for the next segment."""
+        if self.bdf2:
+            return self._run_impl_bdf2(U, P, dt0, n_steps, Fq, Um1, dtp0)
+
         def body(carry, _):
             U, P, dt, t = carry
             U1, P1, stats = self._step_impl(U, P, dt, Fq)
@@ -274,3 +321,47 @@ class FastStepper:
             body, (U, P, dt0, jnp.asarray(0.0, dtype=U.dtype)), None, length=n_steps
         )
         return U, P, dt, telemetry
+
+    def _run_impl_bdf2(self, U, P, dt0, n_steps, Fq=None, Um1=None, dtp0=None):
+        if Um1 is None:
+            Um1 = U
+        if dtp0 is None:
+            dtp0 = dt0
+
+        def body(carry, _):
+            U, Um1, P, dt, dtp, t = carry
+            U1, P1, stats = self._step_impl_bdf2(U, Um1, P, dt, dtp, Fq)
+            t = t + dt
+            umax = jnp.sqrt(jnp.max(jnp.sum(U1 * U1, axis=1)))
+            target_dt = self.cfl_target * self.hmax / jnp.maximum(umax, 1e-30)
+            dt_new = jnp.minimum(
+                self.dt_max,
+                dt * jnp.minimum(2.0, 1.0 + 0.5 * (target_dt - dt) / dt),
+            )
+            out = {
+                "t": t,
+                "dt": dt,
+                "newton_iters": stats.newton_iters,
+                "linear_iters": stats.linear_iters,
+                "pressure_iters": stats.pressure_iters,
+                "correction_iters": stats.correction_iters,
+            }
+            if self.forces_probe is not None:
+                out["forces"] = self.forces_probe(U1, P1)
+            if self.divergence_probe:
+                ctx = self.ctx
+                tab = assembly.tabulation(self.V, 2 * self.V.degree)
+                gU = assembly.grads_at_qp(tab, ctx.geom, self.V.gather(U1))
+                divq = jnp.trace(gU, axis1=2, axis2=3)
+                out["div_norm"] = jnp.sqrt(
+                    jnp.einsum("eq,q,e->", divq * divq, tab.w, ctx.geom.detJ)
+                )
+            return (U1, U, P1, dt_new, dt, t), out
+
+        (U, Um1, P, dt, dtp, t), telemetry = jax.lax.scan(
+            body,
+            (U, Um1, P, dt0, dtp0, jnp.asarray(0.0, dtype=U.dtype)),
+            None,
+            length=n_steps,
+        )
+        return U, P, dt, telemetry, (Um1, dtp)

@@ -325,6 +325,18 @@ def _step(
     Q = p0.space
     ctx = _get_ctx(V, Q)
 
+    # BDF2 (the reference's commented-out scheme, :191-197, realized): with
+    # constant dt, (3 u1 - 4 u0 + u_{-1})/(2 dt) = rhs(u1) is algebraically a
+    # backward-Euler step from the modified state u_hat = (4 u0 - u_{-1})/3
+    # with effective step dt* = 2 dt/3 — so the whole projection machinery
+    # (pressure scaling rho/dt*, correction dt*/rho) is reused unchanged.
+    # Bootstraps as plain backward Euler when no u[-1] history exists.
+    if time_step_method == "bdf2":
+        if -1 in u:
+            u0 = Function(V, (4.0 * u[0].vector - u[-1].vector) / 3.0)
+            dt = 2.0 * dt / 3.0
+        time_step_method = "backward euler"
+
     mask_u, val_u = combine_bcs(V, u_bcs)
     has_p_bcs = bool(p_bcs)
     if has_p_bcs:

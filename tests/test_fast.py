@@ -78,6 +78,63 @@ def test_fast_step_vmap_batched_problems():
         np.testing.assert_allclose(np.asarray(U1[b]), np.asarray(U1b), atol=1e-10)
 
 
+def test_fast_bdf2_matches_reference_path():
+    # FastStepper's BDF2 step == pressure_correction's BDF2 step (same
+    # modified-state backward-Euler transformation, independent code paths)
+    mesh, V, Q, u_bcs = _cavity()
+    rng = np.random.default_rng(1)
+    u0 = project((0.0, 0.0), V)
+    um1 = flow_tpu.Function(V, jnp.asarray(rng.standard_normal((V.n_dofs, 2)) * 1e-3))
+    p0 = project(0.0, Q)
+    st = FastStepper(
+        V, Q, u_bcs, [], rho=1.0, mu=0.1, rotational_form=True,
+        time_step_method="bdf2",
+    )
+    dt = jnp.asarray(1e-2)
+    U1, P1, stats = st.step_bdf2(u0.vector, um1.vector, p0.vector, dt, dt)
+    u1r, p1r = navsto.Rotational(time_step_method="bdf2").step(
+        1e-2, {-1: um1, 0: u0}, p0, u_bcs, [], 1.0, 0.1,
+        f={0: (0.0, 0.0), 1: (0.0, 0.0)}, verbose=False,
+    )
+    np.testing.assert_allclose(np.asarray(U1), np.asarray(u1r.vector), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(P1), np.asarray(p1r.vector), atol=1e-10)
+
+
+def test_fast_bdf2_run_chaining():
+    # one 4-step scan == two chained 2-step scans passing (Um1, dtp) across
+    # the segment boundary (the checkpoint-chain invariant for shedding runs)
+    mesh, V, Q, u_bcs = _cavity(8)
+    st = FastStepper(
+        V, Q, u_bcs, [], rho=1.0, mu=0.1, rotational_form=True,
+        time_step_method="bdf2",
+    )
+    U0, P0 = V.zeros(), Q.zeros()
+    dt0 = jnp.asarray(1e-3)
+    Ua, Pa, dta, tela, _ = st.run(U0, P0, dt0, n_steps=4)
+    U, P, dt, tel1, (Um1, dtp) = st.run(U0, P0, dt0, n_steps=2)
+    Ub, Pb, dtb, tel2, _ = st.run(U, P, dt, n_steps=2, Um1=Um1, dtp0=dtp)
+    np.testing.assert_allclose(np.asarray(Ua), np.asarray(Ub), atol=1e-13)
+    np.testing.assert_allclose(np.asarray(Pa), np.asarray(Pb), atol=1e-12)
+    assert float(dta) == float(dtb)
+
+
+def test_fast_eisenstat_walker():
+    # EW forcing must converge to the same state as fixed inner tolerances
+    mesh, V, Q, u_bcs = _cavity(8)
+    st_fixed = FastStepper(V, Q, u_bcs, [], rho=1.0, mu=0.1,
+                           rotational_form=True, newton_tol=1e-12)
+    st_ew = FastStepper(V, Q, u_bcs, [], rho=1.0, mu=0.1,
+                        rotational_form=True, newton_tol=1e-12,
+                        linear_rtol=0.1, ew_forcing=True)
+    U0, P0 = V.zeros(), Q.zeros()
+    dt = jnp.asarray(1e-2)
+    U1a, P1a, sa = st_fixed.step(U0, P0, dt)
+    U1b, P1b, sb = st_ew.step(U0, P0, dt)
+    # both hit the tight outer Newton tolerance -> same solution
+    np.testing.assert_allclose(np.asarray(U1a), np.asarray(U1b), atol=1e-9)
+    assert float(sb.newton_res) <= 1e-11
+
+
 def test_fast_run_divergence_probe():
     mesh, V, Q, u_bcs = _cavity(6)
     st = FastStepper(

@@ -247,6 +247,19 @@ def test_rotational(problem):
     )
 
 
+@pytest.mark.parametrize("problem", [problem_guermond1])
+def test_rotational_bdf2(problem):
+    # BDF2 (the reference's commented-out scheme, pressure_correction.py
+    # :191-197, realized here): second order in velocity at backward-Euler
+    # per-step cost. The harness hands exact u(-dt) history ({-1: u_1}).
+    assert_time_order(
+        problem,
+        navsto.Rotational(time_step_method="bdf2"),
+        mesh_sizes=[32, 64],
+        Dt=[1.0e-2, 0.5e-2],
+    )
+
+
 def test_open_boundary_2d_poiseuille_residual_identity():
     # 2-D plane Poiseuille with an OPEN outflow:
     #   u = (y(1-y), 0),  p = 2(2-x) + 1,  mu = rho = 1
