@@ -22,6 +22,10 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_default_matmul_precision", "highest")
+    # the axon plugin ignores JAX_PLATFORMS env; in-process config is the
+    # only way to force CPU (smoke tests)
+    if os.environ.get("ST_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["ST_PLATFORM"])
 
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
     lcar = float(sys.argv[2]) if len(sys.argv) > 2 else 0.03
@@ -61,11 +65,39 @@ def main():
 
     ckpt = os.environ.get("ST_CKPT", "st_ckpt.npz")
     resume = os.environ.get("ST_RESUME", "") == "1"
-    method = os.environ.get("ST_METHOD", "backward euler")
+    # BDF2 default: second-order with only mild damping at backward-Euler
+    # per-step cost — the integrator that lets shedding onset develop
+    # (first-order BE at these step sizes damps the instability; CN is ~4x
+    # slower per step on TPU)
+    method = os.environ.get("ST_METHOD", "bdf2")
 
     initial_state = (U0, prob.Q.zeros())
     dt0 = 1.0e-4
-    if resume and os.path.exists(ckpt):
+
+    # seed from a coarser-refinement checkpoint: prolong the developed state
+    # up the refine_uniform hierarchy (fem/transfer.py) — onset is developed
+    # cheaply at low resolution, measured at high resolution
+    seed = os.environ.get("ST_SEED_CKPT", "")
+    if seed and os.path.exists(seed):
+        from flow_tpu.io import load_checkpoint
+        from flow_tpu.fem.spaces import VectorFunctionSpace, FunctionSpace
+        from flow_tpu.fem.transfer import prolong_vector
+
+        lvl = int(os.environ.get("ST_SEED_REFINE", str(n_refine - 1)))
+        arrays, scalars = load_checkpoint(seed, dtype=U0.dtype)
+        Us, Ps = arrays["U"], arrays["P"]
+        dt0 = min(float(scalars["dt"]), dt_max)
+        for k in range(lvl, n_refine):
+            mc, mf = prob.mesh_hierarchy[k], prob.mesh_hierarchy[k + 1]
+            Vc, Vf = VectorFunctionSpace(mc, 2), VectorFunctionSpace(mf, 2)
+            Qc, Qf = FunctionSpace(mc, 1), FunctionSpace(mf, 1)
+            Us = prolong_vector(Us, Vc, Vf)
+            Ps = prolong_vector(Ps, Qc, Qf)
+        mask_s, val_s = combine_bcs(prob.V, prob.u_bcs)
+        Us = (1.0 - mask_s) * Us + mask_s * val_s  # re-impose fine BCs
+        initial_state = (Us, Ps)
+        print(f"seeded from {seed} (refine {lvl} -> {n_refine})", flush=True)
+    elif resume and os.path.exists(ckpt):
         # restart from the checkpointed state; ST_REPERTURB=1 re-seeds the
         # antisymmetric mode on top of it (useful after a steady-branch run)
         from flow_tpu.io import load_checkpoint
