@@ -149,3 +149,8 @@ def main():
 
 if __name__ == "__main__":
     main()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    # the axon TPU tunnel leaves non-daemon threads that block interpreter
+    # exit; the run is done — leave decisively
+    os._exit(0)
