@@ -129,6 +129,7 @@ class KarmanProblem:
         self.p_bcs = [DirichletBC(self.Q, 0.0, right)]
 
         # probe machinery: obstacle facets of the boundary tabulations
+        self.obstacle_predicate = obstacle
         self.btabV = BoundaryTab(self.V, rule_degree=4)
         self.btabQ = BoundaryTab(self.Q, rule_degree=4)
         mids = self.btabV.x_np.mean(axis=1)  # [nb, 2] facet qp centroid
@@ -165,6 +166,17 @@ class KarmanProblem:
         tvec = jnp.einsum("bqij,bj->bqi", sig, n) - pb[:, :, None] * n[:, None, :]
         F = jnp.einsum("bqi,bq,b->i", tvec, bt.wl, self.obstacle_facets)
         return float(F[0]), float(F[1])
+
+    def consistent_force_probe(self):
+        """Variationally-consistent (residual-functional) force probe on the
+        cylinder — superconvergent and f32-robust, unlike the boundary
+        traction integral whose gradient cancellation produced the round-1
+        |Cd|>20 spikes at the reference geometry's u ~ 0.01 velocities."""
+        from ..navier_stokes.forces import ConsistentForceProbe
+
+        return ConsistentForceProbe(
+            self.V, self.Q, self.obstacle_predicate, self.rho, self.mu
+        )
 
     def drag_lift_coefficients(self, u, p):
         fx, fy = self.forces(u, p)
@@ -290,6 +302,7 @@ def run_karman_fast(
     problem=None,
     initial_state=None,
     time_step_method="backward euler",
+    force_probe="consistent",
 ):
     """High-throughput Karman driver: the whole simulation is ONE compiled
     lax.scan (FastStepper) with on-device CFL dt control, multigrid-
@@ -303,16 +316,23 @@ def run_karman_fast(
     if problem is None:
         problem = KarmanProblem(lcar=lcar, n_refine=n_refine, mu=mu)
 
-    def forces_probe(U, P):
-        # inline force computation (jit-safe, returns a length-2 array)
-        geom = geometry(problem.mesh)
-        bt = problem.btabV
-        gu = bt.grads(U, geom)
-        pb = problem.btabQ.values(P)
-        n = -bt.normals
-        sig = problem.mu * (gu + gu.transpose(0, 1, 3, 2))
-        tvec = jnp.einsum("bqij,bj->bqi", sig, n) - pb[:, :, None] * n[:, None, :]
-        return jnp.einsum("bqi,bq,b->i", tvec, bt.wl, problem.obstacle_facets)
+    if force_probe == "consistent":
+        # residual-functional probe: superconvergent, f32-robust (the
+        # traction probe spikes at reference-geometry velocities)
+        forces_probe = problem.consistent_force_probe()
+    else:
+        assert force_probe == "traction"
+
+        def forces_probe(U, P):
+            # boundary traction integral (jit-safe, returns a length-2 array)
+            geom = geometry(problem.mesh)
+            bt = problem.btabV
+            gu = bt.grads(U, geom)
+            pb = problem.btabQ.values(P)
+            n = -bt.normals
+            sig = problem.mu * (gu + gu.transpose(0, 1, 3, 2))
+            tvec = jnp.einsum("bqij,bj->bqi", sig, n) - pb[:, :, None] * n[:, None, :]
+            return jnp.einsum("bqi,bq,b->i", tvec, bt.wl, problem.obstacle_facets)
 
     stepper = FastStepper(
         problem.V,

@@ -305,7 +305,12 @@ class FastStepper:
                 "correction_iters": stats.correction_iters,
             }
             if self.forces_probe is not None:
-                out["forces"] = self.forces_probe(U1, P1)
+                if getattr(self.forces_probe, "needs_history", False):
+                    # consistent force functional: gets the scheme's own
+                    # time-derivative stencil (here BE/CN endpoint form)
+                    out["forces"] = self.forces_probe(U1, P1, U, dt)
+                else:
+                    out["forces"] = self.forces_probe(U1, P1)
             if self.divergence_probe:
                 # ||div u||_L2 — the projection splitting-error monitor
                 ctx = self.ctx
@@ -347,7 +352,13 @@ class FastStepper:
                 "correction_iters": stats.correction_iters,
             }
             if self.forces_probe is not None:
-                out["forces"] = self.forces_probe(U1, P1)
+                if getattr(self.forces_probe, "needs_history", False):
+                    # (u_hat, dt_eff) make (U1 - u_hat)/dt_eff exactly the
+                    # variable-step BDF2 derivative
+                    uhat, dt_eff, _ = self._bdf2_hat(U, Um1, dt, dtp)
+                    out["forces"] = self.forces_probe(U1, P1, uhat, dt_eff)
+                else:
+                    out["forces"] = self.forces_probe(U1, P1)
             if self.divergence_probe:
                 ctx = self.ctx
                 tab = assembly.tabulation(self.V, 2 * self.V.degree)
