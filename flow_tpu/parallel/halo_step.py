@@ -167,12 +167,12 @@ class _ExtLocalSpace:
     returns extended vectors — the caller applies the transpose exchange once
     per operator application."""
 
-    def __init__(self, degree, n_components, n_ext, cell_dofs_ext, dtype):
+    def __init__(self, degree, n_components, n_ext, cell_dofs_ext, dtype, dim=2):
         self.degree = degree
         self.n_components = n_components
         self.n_ext = n_ext
         self.cell_dofs = cell_dofs_ext
-        self.mesh = SimpleNamespace(dtype=dtype)
+        self.mesh = SimpleNamespace(dtype=dtype, dim=dim)
 
     def gather(self, U_ext):
         return U_ext[self.cell_dofs]
@@ -203,10 +203,17 @@ class HaloProjection:
         newton_maxiter=10,
         linear_rtol=1.0e-7,
         pressure_rtol=1.0e-10,
+        correction_rtol=1.0e-10,
+        mesh_hierarchy=None,
+        smoother_degree=3,
+        cfl_target=1.0,
+        dt_max=1.0,
     ):
         mesh = V.mesh
         dtype = mesh.dtype
         self.dtype = dtype
+        self.dim = getattr(mesh, "dim", 2)
+        self.Q = Q
         devices = devices if devices is not None else jax.devices()
         ndev = len(devices)
         self.ndev = ndev
@@ -262,6 +269,7 @@ class HaloProjection:
         self.has_p_bcs = bool(p_bcs)
         if self.has_p_bcs:
             mask_p, val_p = combine_bcs(Q, p_bcs)
+            self._mask_p_global_np = np.asarray(mask_p)
             self.mask_p = jnp.asarray(
                 self.Qh.to_partitioned(np.asarray(mask_p)), dtype=dtype
             )
@@ -269,6 +277,7 @@ class HaloProjection:
                 self.Qh.to_partitioned(np.asarray(val_p)), dtype=dtype
             )
         else:
+            self._mask_p_global_np = None
             self.mask_p = jnp.zeros(ndev * self.Qh.n_loc, dtype=dtype)
             self.val_p = self.mask_p
         self.valid_V = jnp.asarray(self.Vh.valid_np.reshape(-1), dtype=dtype)
@@ -311,8 +320,20 @@ class HaloProjection:
         self.newton_maxiter = newton_maxiter
         self.linear_rtol = linear_rtol
         self.pressure_rtol = pressure_rtol
+        self.correction_rtol = correction_rtol
         self.degV, self.degQ = V.degree, Q.degree
         self.ncomp = ncomp
+        self.cfl_target = cfl_target
+        self.dt_max_run = dt_max
+        self.hmax = float(mesh.hmax)
+
+        # distributed geometric multigrid for the pressure solve (the
+        # BoomerAMG-under-MPI replacement, reference
+        # pressure_correction.py:414-419): finest level smoothed with
+        # halo-exchange matvecs, coarser levels replicated
+        self._mg = None
+        if mesh_hierarchy is not None and len(mesh_hierarchy) > 1:
+            self._build_mg(mesh_hierarchy, smoother_degree)
 
         spec_c = P(AXIS)
         spec_r = P()
@@ -322,6 +343,7 @@ class HaloProjection:
             + [spec_c] * 19
             + ([spec_c] * 8 if self._nb_loc else [])
         )
+        self._in_specs = in_specs
         self._step = jax.jit(
             jax.shard_map(
                 self._step_local,
@@ -331,13 +353,18 @@ class HaloProjection:
                 check_vma=False,
             )
         )
+        self._run_cache = {}
 
     # ---- boundary facets, partitioned by owning cell -----------------------
     def _build_boundary(self, V, Q, mesh, dev_of_cell, geomg):
-        from ..fem.assembly import BoundaryTab
+        from ..fem.assembly import BoundaryTab, BoundaryFaceTab
 
-        btV = BoundaryTab(V, rule_degree=5)
-        btQ = BoundaryTab(Q, rule_degree=5)
+        if self.dim == 2:
+            btV = BoundaryTab(V, rule_degree=5)
+            btQ = BoundaryTab(Q, rule_degree=5)
+        else:
+            btV = BoundaryFaceTab(V, rule_degree=4)
+            btQ = BoundaryFaceTab(Q, rule_degree=4)
         ndev = self.ndev
         cells_b = np.asarray(mesh.boundary_cells_np, dtype=np.int64)
         dev_b = dev_of_cell[cells_b]
@@ -349,7 +376,7 @@ class HaloProjection:
             return
         nq1 = btV.nq1
         nlV, nlQ = V.n_local, Q.n_local
-        dim = 2
+        dim = self.dim
 
         phiV = np.zeros((ndev, nb_loc, nq1, nlV))
         dphiV = np.zeros((ndev, nb_loc, nq1, nlV, dim))
@@ -392,12 +419,146 @@ class HaloProjection:
         self.b_cdV = jnp.asarray(cdV_b.reshape(ndev * nb_loc, -1))
         self.b_cdQ = jnp.asarray(cdQ_b.reshape(ndev * nb_loc, -1))
 
+    # ---- distributed multigrid --------------------------------------------
+    def _build_mg(self, meshes, smoother_degree):
+        """Distributed V-cycle data. The finest level is smoothed in the
+        partitioned layout (Chebyshev; matvecs = halo exchanges); the
+        residual is restricted onto a REPLICATED coarse hierarchy (plain
+        P1Hierarchy on meshes[:-1]) whose V-cycle every device runs
+        redundantly. All transfer operators are index arithmetic, so the
+        cycle is bitwise the single-chip V-cycle — CG iteration counts
+        match single-chip GMG exactly. Communication per V-cycle: one
+        all_gather of the fine residual + the smoothers' O(sqrt n) halos."""
+        from ..solvers.multigrid import P1Hierarchy
+        from ..solvers.chebyshev import power_iteration_lmax
+
+        Q, mesh = self.Q, self.Q.mesh
+        dtype = self.dtype
+        assert meshes[-1].n_points == mesh.n_points, (
+            "mesh_hierarchy[-1] must be the stepper's mesh"
+        )
+        n = Q.n_dofs
+        geomg = geometry(mesh)
+        diag_g = assembly.stiffness_diag(Q, geomg)
+        diag_g = jnp.where(diag_g > 0, diag_g, 1.0)
+        if self.has_p_bcs:
+            mask_g = jnp.asarray(self._mask_p_global_np, dtype=dtype)
+            free_g = 1.0 - mask_g
+
+            def Kg(x):
+                return free_g * assembly.stiffness_apply(
+                    Q, geomg, free_g * x
+                ) + mask_g * x
+
+            diag_pw = free_g * diag_g + mask_g
+            cmask = self._mask_p_global_np[: meshes[-2].n_points]
+            coarse = P1Hierarchy(
+                meshes[:-1], bc_mask=cmask, smoother_degree=smoother_degree
+            )
+            free_g_np = free_g
+        else:
+
+            def Kg(x):
+                return assembly.stiffness_apply(Q, geomg, x)
+
+            diag_pw = diag_g
+            coarse = P1Hierarchy(
+                meshes[:-1], bc_mask=None, smoother_degree=smoother_degree
+            )
+            free_g_np = None
+
+        lmax = power_iteration_lmax(Kg, diag_pw, n, dtype=dtype)
+        lmax_s, lmin_s = 1.05 * lmax, 0.30 * lmax
+
+        # partitioned <-> replicated-global index tables
+        Qh = self.Qh
+        ndev, n_loc = self.ndev, Qh.n_loc
+        inv_slot = np.zeros(n, dtype=np.int32)  # global dof -> gathered slot
+        own_global = np.zeros(ndev * n_loc, dtype=np.int32)  # slot -> dof
+        for d in range(ndev):
+            cnt = Qh.own_counts[d]
+            gl = Qh.perm[Qh.own_starts[d] : Qh.own_starts[d + 1]]
+            inv_slot[gl] = d * n_loc + np.arange(cnt)
+            own_global[d * n_loc : d * n_loc + cnt] = gl
+        ccoarse_mask = None
+        if coarse.levels[-1].mask is not None:
+            ccoarse_mask = coarse.levels[-1].mask
+        self._mg = dict(
+            coarse=coarse,
+            theta=0.5 * (lmax_s + lmin_s),
+            delta=0.5 * (lmax_s - lmin_s),
+            deg=smoother_degree,
+            inv_slot=jnp.asarray(inv_slot),
+            own_global=jnp.asarray(own_global),
+            edges=jnp.asarray(meshes[-2].edges_np),
+            ncoarse=int(meshes[-2].n_points),
+            free_g=free_g_np,
+            coarse_mask=ccoarse_mask,
+        )
+
+    def _cheb_smooth(self, K, diag, b, x=None):
+        """Chebyshev smoothing on K x = b (same recurrence as
+        P1Hierarchy._smooth), degree self._mg['deg']."""
+        mg = self._mg
+        sigma = mg["theta"] / mg["delta"]
+        rho_ = 1.0 / sigma
+        r = b if x is None else b - K(x)
+        d = (r / diag) / mg["theta"]
+        x = d if x is None else x + d
+        for _ in range(mg["deg"] - 1):
+            r = r - K(d)
+            rho_new = 1.0 / (2.0 * sigma - rho_)
+            d = rho_new * rho_ * d + (2.0 * rho_new / mg["delta"]) * (r / diag)
+            x = x + d
+            rho_ = rho_new
+        return x
+
+    def _mg_precond(self, K, diag, valid_Q, proj):
+        """The per-device V-cycle callable M(r) for _dist_cg."""
+        mg = self._mg
+        n_loc = self.Qh.n_loc
+        inv_slot = mg["inv_slot"]
+        own_global = mg["own_global"]
+        e = mg["edges"]
+        ncoarse = mg["ncoarse"]
+        idx = jax.lax.axis_index(AXIS)
+        og = jax.lax.dynamic_slice_in_dim(own_global, idx * n_loc, n_loc)
+
+        def M(r):
+            # pre-smooth (partitioned, halo matvecs)
+            x = self._cheb_smooth(K, diag, r)
+            res = r - K(x)
+            if proj is not None:
+                res = proj(res)
+            # gather residual to the replicated global numbering
+            rg = jax.lax.all_gather(res, AXIS, tiled=True)[inv_slot]
+            # restrict to the coarse level (index arithmetic) + coarse mask
+            rc = rg[:ncoarse]
+            half = 0.5 * rg[ncoarse:]
+            rc = rc.at[e[:, 0]].add(half)
+            rc = rc.at[e[:, 1]].add(half)
+            if mg["coarse_mask"] is not None:
+                rc = (1.0 - mg["coarse_mask"]) * rc
+            # replicated coarse V-cycle (identical on every device)
+            xc = mg["coarse"].v_cycle(rc)
+            # prolong back to fine-global, mask, pick up this device's slots
+            corr_g = jnp.concatenate(
+                [xc, 0.5 * (xc[e[:, 0]] + xc[e[:, 1]])]
+            )
+            if mg["free_g"] is not None:
+                corr_g = mg["free_g"] * corr_g
+            x = x + corr_g[og] * valid_Q
+            # post-smooth
+            x = self._cheb_smooth(K, diag, r, x)
+            if proj is not None:
+                x = proj(x)
+            return x
+
+        return M
+
     # ---- public entry ---------------------------------------------------------
-    def step(self, U_part, P_part, dt):
+    def _table_args(self):
         args = [
-            U_part,
-            P_part,
-            jnp.asarray(dt, dtype=self.dtype),
             self.cd_V,
             self.cd_Q,
             self.detJ,
@@ -429,7 +590,80 @@ class HaloProjection:
                 self.b_normals,
                 self.b_Gb,
             ]
-        return self._step(*args)
+        return args
+
+    def step(self, U_part, P_part, dt):
+        return self._step(
+            U_part, P_part, jnp.asarray(dt, dtype=self.dtype),
+            *self._table_args(),
+        )
+
+    def run(self, U_part, P_part, dt0, n_steps):
+        """Fused lax.scan over n_steps full projection steps with the
+        on-device CFL dt controller — the distributed twin of
+        FastStepper._run_impl. Returns (U, P, dt, telemetry) with
+        telemetry arrays (t, dt, pressure_iters, correction_iters)
+        replicated across devices."""
+        fn = self._run_cache.get(n_steps)
+        if fn is None:
+            spec_c = P(AXIS)
+            spec_r = P()
+
+            def _run(U, Pv, dt0, *tables):
+                # tables[9] is valid_V (see _table_args order)
+                valid_V = tables[9]
+
+                def body(carry, _):
+                    U, Pv, dt, t = carry
+                    U1, P1, stats = self._substep_core(U, Pv, dt, *tables)
+                    t = t + dt
+                    um2 = jax.lax.pmax(
+                        jnp.max(jnp.sum(U1 * U1, axis=1) * valid_V), AXIS
+                    )
+                    umax = jnp.sqrt(um2)
+                    target_dt = (
+                        self.cfl_target * self.hmax / jnp.maximum(umax, 1e-30)
+                    )
+                    dt_new = jnp.minimum(
+                        self.dt_max_run,
+                        dt * jnp.minimum(2.0, 1.0 + 0.5 * (target_dt - dt) / dt),
+                    )
+                    out = {
+                        "t": t,
+                        "dt": dt,
+                        "pressure_iters": stats["pressure_iters"],
+                        "correction_iters": stats["correction_iters"],
+                    }
+                    return (U1, P1, dt_new, t), out
+
+                (U, Pv, dt, t), tel = jax.lax.scan(
+                    body,
+                    (U, Pv, dt0, jnp.asarray(0.0, dtype=U.dtype)),
+                    None,
+                    length=n_steps,
+                )
+                return U, Pv, dt, tel
+
+            tel_spec = {
+                "t": spec_r,
+                "dt": spec_r,
+                "pressure_iters": spec_r,
+                "correction_iters": spec_r,
+            }
+            fn = jax.jit(
+                jax.shard_map(
+                    _run,
+                    mesh=self.jmesh,
+                    in_specs=self._in_specs,
+                    out_specs=(spec_c, spec_c, spec_r, tel_spec),
+                    check_vma=False,
+                )
+            )
+            self._run_cache[n_steps] = fn
+        return fn(
+            U_part, P_part, jnp.asarray(dt0, dtype=self.dtype),
+            *self._table_args(),
+        )
 
     # ---- per-device exchange helpers -------------------------------------------
     def _fwd(self, x_own, send_r, send_l, h):
@@ -459,7 +693,11 @@ class HaloProjection:
         return yz[:n_loc]
 
     # ---- the step --------------------------------------------------------------
-    def _step_local(
+    def _step_local(self, *args):
+        U1, P1, _stats = self._substep_core(*args)
+        return U1, P1
+
+    def _substep_core(
         self,
         U,
         Pv,
@@ -494,9 +732,9 @@ class HaloProjection:
     ):
         dtype = self.dtype
         Vh, Qh = self.Vh, self.Qh
-        Vl = _ExtLocalSpace(self.degV, self.ncomp, Vh.n_ext, cd_V, dtype)
-        Ql = _ExtLocalSpace(self.degQ, 1, Qh.n_ext, cd_Q, dtype)
-        gm = SimpleNamespace(detJ=detJ, G=G, C=C, dim=2)
+        Vl = _ExtLocalSpace(self.degV, self.ncomp, Vh.n_ext, cd_V, dtype, self.dim)
+        Ql = _ExtLocalSpace(self.degQ, 1, Qh.n_ext, cd_Q, dtype, self.dim)
+        gm = SimpleNamespace(detJ=detJ, G=G, C=C, dim=self.dim)
         rho, mu = self.rho, self.mu
         nV, hV = Vh.n_loc, Vh.h
         nQ, hQ = Qh.n_loc, Qh.h
@@ -620,8 +858,14 @@ class HaloProjection:
             def proj(x):
                 return (x - psum(jnp.sum(x * valid_Q)) / nglobal) * valid_Q
 
-            P1 = _dist_cg(
-                K_own, proj(L2), diag_Q, dot, self.pressure_rtol, 1000, proj
+            M = (
+                self._mg_precond(K_own, diag_Q, valid_Q, proj)
+                if self._mg is not None
+                else None
+            )
+            P1, piters = _dist_cg(
+                K_own, proj(L2), diag_Q, dot, self.pressure_rtol, 1000, proj,
+                M=M,
             )
         else:
             free_p = (1.0 - mask_p) * valid_Q
@@ -631,7 +875,14 @@ class HaloProjection:
 
             rhs = free_p * (L2 - K_own(mask_p * val_p)) + mask_p * val_p
             dq = free_p * diag_Q + mask_p + (1.0 - valid_Q)
-            P1 = _dist_cg(K_bc, rhs, dq, dot, self.pressure_rtol, 1000, None)
+            M = (
+                self._mg_precond(K_bc, dq, valid_Q, None)
+                if self._mg is not None
+                else None
+            )
+            P1, piters = _dist_cg(
+                K_bc, rhs, dq, dot, self.pressure_rtol, 1000, None, M=M
+            )
 
         # ---- velocity correction ---------------------------------------------
         P1_ext = fwd_Q(P1)
@@ -655,18 +906,25 @@ class HaloProjection:
             + mask_u * val_u
         )
         dm = free_u * mass_diag_V + mask_u + (1.0 - valid_V)[:, None]
-        U1 = _dist_cg(M_bc, rhs_u, dm, dot, 1.0e-10, 500, None)
-        return U1, P1
+        U1, citers = _dist_cg(
+            M_bc, rhs_u, dm, dot, self.correction_rtol, 500, None
+        )
+        return U1, P1, {"pressure_iters": piters, "correction_iters": citers}
 
 
-def _dist_cg(A, b, diag, dot, rtol, maxiter, proj):
-    """Distributed PCG: operator A does its own halo exchange; `dot` psums."""
+def _dist_cg(A, b, diag, dot, rtol, maxiter, proj, M=None):
+    """Distributed PCG: operator A does its own halo exchange; `dot` psums.
+    M (optional) replaces Jacobi as the preconditioner (e.g. the distributed
+    multigrid V-cycle); it must be SPD and do its own exchanges.
+    Returns (x, iters)."""
     if proj is None:
         proj = lambda x: x
+    if M is None:
+        M = lambda r: r / diag
     b = proj(b)
     x = jnp.zeros_like(b)
     r = b
-    z = proj(r / diag)
+    z = proj(M(r))
     p = z
     rz = dot(r, z)
     target = rtol * jnp.sqrt(dot(b, b))
@@ -682,7 +940,7 @@ def _dist_cg(A, b, diag, dot, rtol, maxiter, proj):
         alpha = rz / jnp.where(pAp == 0, 1.0, pAp)
         x = x + alpha * p
         r = r - alpha * Ap
-        z = proj(r / diag)
+        z = proj(M(r))
         rz_new = dot(r, z)
         beta = rz_new / jnp.where(rz == 0, 1.0, rz)
         p = z + beta * p
@@ -692,4 +950,4 @@ def _dist_cg(A, b, diag, dot, rtol, maxiter, proj):
     x, r, z, p, rz, rn, k = jax.lax.while_loop(
         cond, body, (x, r, z, p, rz, rn0, jnp.array(0))
     )
-    return x
+    return x, k
