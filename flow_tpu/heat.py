@@ -58,11 +58,6 @@ class Heat:
         deg = V.degree
         rd = rule_degree or (2 * deg + 1)
         tab = tabulation(V, rd)
-        wd = tab.w[None, :] * geom.detJ[:, None]  # [nc, nq]
-
-        # gradients of all basis functions at qp: [nc, nq, nl, 2]
-        gphi = jnp.einsum("qlk,edk->eqld", tab.dphi, geom.G)
-
         # convection at quadrature points
         if conv is None:
             bq = None
@@ -75,53 +70,51 @@ class Heat:
                 xq = geom.physical_points(tab.ref_pts)
                 bq = eval_callable(conv, xq)
 
-        # ---- M: vertex-quadrature mass --------------------------------------
+        # ---- operators through the form-to-kernel compiler -------------------
+        # The weak form is written symbolically (the in-repo analog of the
+        # reference's UFL, heat.py:60-88) and compiled to the same batched
+        # einsum element kernels the hand-derived path produced.
+        from .fem import formlang as fl
         from .fem import quadrature
 
-        dim = getattr(mesh, "dim", 2)
-        vpts, vw = quadrature.simplex_rule(quadrature.VERTEX, dim)
-        vphi, _ = elements.tabulate(deg, vpts, dim=dim)
-        Mref_v = np.einsum("q,qi,qj->ij", vw, vphi, vphi)
-        M_loc = jnp.asarray(Mref_v, dtype=mesh.dtype)[None] * geom.detJ[:, None, None]
+        u, v = fl.TrialFunction(V), fl.TestFunction(V)
 
-        # ---- A: bilinear part of F -------------------------------------------
-        # -kappa/(rho cp) * stiffness
-        A_loc = -(kappa / rho_cp) * assembly.stiffness_local(V, geom)
-        # -(b . grad u) v
+        # M: vertex-quadrature ("lumped") mass — reference heat.py:39-45
+        M_loc = fl.compile_form(u * v, geom, quadrature.VERTEX).local()
+
+        # A: -kappa/(rho cp) grad(u).grad(v) - (b.grad u) v
+        A_form = (-(kappa / rho_cp)) * fl.dot(fl.grad(u), fl.grad(v))
         if bq is not None:
-            bgrad = jnp.einsum("eqd,eqld->eql", bq, gphi)  # (b.grad phi_l) [nc,nq,nl]
-            A_loc = A_loc - jnp.einsum("eq,eql,qi->eil", wd, bgrad, tab.phi)
+            b_c = fl.Coefficient(bq, vector=True)  # [nc,nq,dim] at this rule
+            A_form = A_form - fl.dot(b_c, fl.grad(u)) * v
+        A_loc = fl.compile_form(A_form, geom, rd).local()
 
-        # ---- b: source part ---------------------------------------------------
+        # b: source term
         xq = geom.physical_points(tab.ref_pts)
         if isinstance(source, Function):
             stab_t = tabulation(source.space, rd)
             sq = assembly.values_at_qp(stab_t, source.space.gather(source.vector))
         else:
             sq = eval_callable(source, xq)
-        b_loc = jnp.einsum("eq,eq,qi->ei", wd, sq, tab.phi)
+        b_loc = fl.compile_form(fl.Coefficient(sq) * v, geom, rd).local()
 
-        # ---- SUPG -------------------------------------------------------------
+        # SUPG: every term gets the streamline test factor tau (b.grad v);
+        # the strong residual contributes the basis Laplacian (reference
+        # heat.py:79-86)
         if supg_stabilization:
             assert conv is not None
             tau = stabilization.supg_tau(mesh, bq, kappa, deg)  # [nc, nq]
-            # test factor: tau * (b . grad v_i)
-            tbg = tau[:, :, None] * jnp.einsum("eqd,eqid->eqi", bq, gphi)
-            # M += int u tau (b.grad v)
-            M_loc = M_loc + jnp.einsum("eq,ql,eqi->eil", wd, tab.phi, tbg)
-            # Laplacian of basis: tr(G Href_l G^T) per element [nc, nl]
-            Href = jnp.asarray(
-                elements.hessian_ref(deg, getattr(mesh, "dim", 2)),
-                dtype=mesh.dtype,
-            )
-            lap = jnp.einsum("eak,lkm,eam->el", geom.G, Href, geom.G)
-            # A += int (kappa/(rho cp) lap(u) - b.grad u) tau (b.grad v)
-            A_loc = A_loc + jnp.einsum(
-                "eq,el,eqi->eil", wd, (kappa / rho_cp) * lap, tbg
-            )
-            A_loc = A_loc - jnp.einsum("eq,eql,eqi->eil", wd, bgrad, tbg)
-            # b += int (s/(rho cp)) tau (b.grad v)
-            b_loc = b_loc + jnp.einsum("eq,eq,eqi->ei", wd, sq / rho_cp, tbg)
+            vstab = fl.Coefficient(tau) * fl.dot(b_c, fl.grad(v))
+            M_loc = M_loc + fl.compile_form(u * vstab, geom, rd).local()
+            A_loc = A_loc + fl.compile_form(
+                ((kappa / rho_cp) * fl.lap(u)) * vstab
+                - fl.dot(b_c, fl.grad(u)) * vstab,
+                geom,
+                rd,
+            ).local()
+            b_loc = b_loc + fl.compile_form(
+                fl.Coefficient(sq / rho_cp) * vstab, geom, rd
+            ).local()
 
         self.M_loc = M_loc
         self.A_loc = A_loc
@@ -173,8 +166,11 @@ class Heat:
             diag = self.V.dof_sum(jnp.einsum("eii->ei", S_loc))
             diag = free * diag + mask
             diag = jnp.where(jnp.abs(diag) < 1e-300, 1.0, diag)
+            # dtype-aware tolerance: 1e-12 is unreachable in f32 (the TPU
+            # performance dtype) and would spuriously raise below
+            rtol = 1e-12 if rhs.dtype == jnp.float64 else 1e-6
             x, sinfo = krylov.gmres(
-                op, rhs, M=lambda r: r / diag, rtol=1e-12, maxiter=2000
+                op, rhs, M=lambda r: r / diag, rtol=rtol, maxiter=2000
             )
             if not bool(sinfo.converged):
                 raise RuntimeError("Heat solve did not converge")

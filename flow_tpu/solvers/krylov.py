@@ -276,7 +276,7 @@ def minres(
     # phibar tracks the preconditioned residual norm; recompute the true one
     rtrue = b - A(s["x"])
     rnorm = jnp.sqrt(_dot(rtrue, rtrue))
-    return s["x"], SolveInfo(s["k"], rnorm, rnorm <= jnp.maximum(target, target))
+    return s["x"], SolveInfo(s["k"], rnorm, rnorm <= target)
 
 
 def gmres(

@@ -43,10 +43,16 @@ class TaylorHood:
 def _split_bcs(WP: TaylorHood, bcs):
     u_bcs, p_bcs = [], []
     for bc in bcs:
-        if bc.space.n_dofs == WP.V.n_dofs and bc.space.n_components == 2:
+        # classify by space identity (DirichletBC resolves SubSpace -> parent)
+        if bc.space is WP.V:
             u_bcs.append(bc)
-        else:
+        elif bc.space is WP.Q:
             p_bcs.append(bc)
+        else:
+            raise ValueError(
+                "DirichletBC space is neither WP.V nor WP.Q; build BCs on "
+                "the mixed space's own subspaces (WP.sub(0)/WP.sub(1))"
+            )
     return u_bcs, p_bcs
 
 
