@@ -1,7 +1,12 @@
-.PHONY: test bench native lint clean
+.PHONY: test test-all bench native lint clean
 
+# fast default (slow-marked golden/driver tests deselected via addopts)
 test:
 	python -m pytest tests/ -q
+
+# the CI target: full suite including slow goldens
+test-all:
+	python -m pytest tests/ -q -m ""
 
 native:
 	$(MAKE) -C native

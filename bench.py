@@ -1,13 +1,16 @@
 #!/usr/bin/env python
-# Headline benchmark: Karman vortex street timesteps/second (the
-# BASELINE.json north-star metric: >50 steps/s @ 10M DoF on v5p-8).
+# Headline benchmark: Karman vortex street timesteps/second plus the other
+# two BASELINE.json metric axes (assembly GDoF/s, pressure-Poisson solve ms).
+# North star: >50 steps/s @ 10M DoF on v5p-8; this harness runs whatever
+# device the driver provides (one v5e chip here) and reports the largest
+# problem size that fits, with a size-scaling series for BENCH_NOTES.
 #
 # Runs the fused FastStepper (whole projection step = one XLA program,
-# lax.scan over steps, on-device CFL dt controller) on the real TPU chip in
-# f32 (SURVEY.md §7 hard part #4: f32 + loose solver tolerances for the
-# performance path, f64 for the correctness suite).
+# lax.scan over steps, on-device CFL dt controller) in f32 (SURVEY.md §7
+# hard part #4: f32 + loose solver tolerances for the performance path,
+# f64 for the correctness suite).
 #
-# Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+# Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 import json
 import os
 import sys
@@ -16,11 +19,9 @@ import time
 import numpy as np
 
 
-def main():
+def _setup_jax():
     import jax
 
-    # persistent compilation cache: the scan program is large and the axon
-    # remote compiler slow; cache hits cut bench startup from ~15min to secs
     cache_dir = os.environ.get(
         "JAX_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".jax_cache")
     )
@@ -33,26 +34,16 @@ def main():
     # stalls around 1e-3 relative and hits its iteration cap. Full-f32
     # matmuls restore contraction (verified: CPU-f32 converges in 1-2 iters)
     jax.config.update("jax_default_matmul_precision", "highest")
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
 
-    # f32 performance path on whatever the default platform provides
-    # (TPU under the driver; CPU works too, just slower)
-    import jax.numpy as jnp
 
-    lcar = float(os.environ.get("BENCH_LCAR", "0.02"))
-    n_refine = int(os.environ.get("BENCH_REFINE", "3"))
-    n_steps = int(os.environ.get("BENCH_STEPS", "20"))
-    mode = os.environ.get("BENCH_MODE", "karman")
-
-    if mode == "cavity3d":
-        _bench_cavity3d(n_steps)
-        return
-
+def _build(lcar, n_refine):
     from flow_tpu.models.karman import KarmanProblem
     from flow_tpu.navier_stokes.fast import FastStepper
+    from flow_tpu.solvers.multigrid import P1Hierarchy
 
     prob = KarmanProblem(lcar=lcar, n_refine=n_refine)
-    n_dofs = 2 * prob.V.n_dofs + prob.Q.n_dofs
-
     stepper = FastStepper(
         prob.V,
         prob.Q,
@@ -74,49 +65,150 @@ def main():
         cfl_target=1.0,
         dt_max=1.0,
     )
-
-    # geometric-multigrid preconditioner for the pressure Poisson solve
-    # (the dominant cost; mesh hierarchy is free via uniform refinement)
     if n_refine > 0:
-        from flow_tpu.solvers.multigrid import P1Hierarchy
-
         hier = P1Hierarchy(
             prob.mesh_hierarchy, bc_mask=stepper.mask_p, smoother_degree=3
         )
         stepper.pressure_precond = hier.v_cycle
+    return prob, stepper
+
+
+def _measure_steps(prob, stepper, n_steps):
+    import jax.numpy as jnp
 
     U = prob.V.zeros()
     P = prob.Q.zeros()
     dt0 = jnp.asarray(1.0e-4, dtype=U.dtype)
-
     # warmup call compiles the scan program AND ramps dt toward CFL;
     # the timed call reuses the compiled program (same static n_steps)
     U, P, dtw, _ = stepper.run(U, P, dt0, n_steps=n_steps)
     U.block_until_ready()
-
     t0 = time.perf_counter()
     U, P, dtf, tel = stepper.run(U, P, dtw, n_steps=n_steps)
     U.block_until_ready()
     elapsed = time.perf_counter() - t0
+    return n_steps / elapsed, float(dtf), tel, (U, P)
 
-    steps_per_sec = n_steps / elapsed
+
+def _measure_assembly(prob, stepper, state, reps=20):
+    """Assembly-throughput axis: momentum dofs processed per second by ONE
+    full weak-form residual assembly (the gather -> einsum chain -> dof-sum
+    pipeline that replaces FFC+DOLFIN assembly; BASELINE 'assembly GDoF/s')."""
+    import jax
+    import jax.numpy as jnp
+
+    ctx = stepper.ctx
+    U, P = state
+    dt = jnp.asarray(1.0e-3, dtype=U.dtype)
+
+    @jax.jit
+    def resid(x):
+        return ctx._residual(
+            x, U, None, None, P, stepper.rho, stepper.mu, dt, stepper.theta
+        )
+
+    r = resid(U)
+    r.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        r = resid(U)
+    r.block_until_ready()
+    per_apply = (time.perf_counter() - t0) / reps
+    n_momentum_dofs = prob.V.n_dofs * prob.V.n_components
+    return n_momentum_dofs / per_apply / 1.0e9, per_apply
+
+
+def _measure_poisson(prob, stepper, state, reps=5):
+    """Pressure-Poisson axis: one MG-preconditioned CG solve to the bench
+    tolerance, in milliseconds (the PETSc+BoomerAMG replacement;
+    reference pressure solve: pressure_correction.py:407-419)."""
+    import jax
+    import jax.numpy as jnp
+
+    U, P = state
+    dt = jnp.asarray(1.0e-3, dtype=U.dtype)
+
+    @jax.jit
+    def solve(u, p):
+        p1, iters = stepper._pressure_solve_mg(u, p, dt)
+        return p1, iters
+
+    p1, iters = solve(U, P)
+    p1.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        p1, iters = solve(U, P * 0.0)
+    p1.block_until_ready()
+    ms = (time.perf_counter() - t0) / reps * 1.0e3
+    return ms, int(iters)
+
+
+def main():
+    _setup_jax()
+
+    lcar = float(os.environ.get("BENCH_LCAR", "0.02"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "20"))
+    mode = os.environ.get("BENCH_MODE", "karman")
+
+    if mode == "cavity3d":
+        _bench_cavity3d(n_steps)
+        return
+
+    # candidate sizes, largest first; fall back if a size fails to build/run
+    # (refine 5 = 1.92M DoF, 4 = 481k, 3 = 120k at lcar 0.02)
+    refines = [
+        int(x)
+        for x in os.environ.get("BENCH_REFINES", "5,4,3").split(",")
+    ]
+    series = {}
+    headline = None
+    for n_refine in refines:
+        try:
+            prob, stepper = _build(lcar, n_refine)
+            n_dofs = 2 * prob.V.n_dofs + prob.Q.n_dofs
+            sps, dtf, tel, state = _measure_steps(prob, stepper, n_steps)
+            entry = {"n_dofs": n_dofs, "steps_per_sec": round(sps, 3)}
+            if headline is None:
+                gdofs, per_apply = _measure_assembly(prob, stepper, state)
+                pms, piters = _measure_poisson(prob, stepper, state)
+                entry["assembly_gdof_s"] = round(gdofs, 3)
+                entry["poisson_ms"] = round(pms, 3)
+                entry["poisson_iters"] = piters
+                headline = (n_refine, entry, tel, dtf, prob)
+            series[n_refine] = entry
+            if os.environ.get("BENCH_SCALING", "1") != "1":
+                break
+        except Exception as e:  # OOM / compile failure at this size
+            print(f"refine={n_refine} failed: {e!r}", file=sys.stderr)
+            series[n_refine] = {"error": str(e)[:200]}
+
+    assert headline is not None, "no benchmark size succeeded"
+    n_refine, entry, tel, dtf, prob = headline
     baseline = 50.0  # BASELINE.json north-star: >50 steps/s @10M DoF, v5p-8
     print(
         json.dumps(
             {
-                "metric": f"karman_steps_per_sec@{n_dofs}dof",
-                "value": round(steps_per_sec, 3),
+                "metric": f"karman_steps_per_sec@{entry['n_dofs']}dof",
+                "value": entry["steps_per_sec"],
                 "unit": "steps/s",
-                "vs_baseline": round(steps_per_sec / baseline, 3),
+                "vs_baseline": round(entry["steps_per_sec"] / baseline, 3),
+                # work-normalized against the north star (50 steps/s x 10M
+                # DoF = 5e8 DoF*steps/s) — the honest cross-size comparison
+                "work_vs_baseline": round(
+                    entry["steps_per_sec"] * entry["n_dofs"] / 5.0e8, 5
+                ),
+                "assembly_gdof_s": entry["assembly_gdof_s"],
+                "poisson_ms": entry["poisson_ms"],
+                "series": {str(k): v for k, v in series.items()},
             }
         )
     )
     # diagnostics to stderr (driver only parses stdout)
     print(
-        f"n_dofs={n_dofs} n_cells={prob.mesh.n_cells} elapsed={elapsed:.3f}s "
+        f"n_dofs={entry['n_dofs']} n_cells={prob.mesh.n_cells} "
         f"newton_iters={np.asarray(tel['newton_iters']).tolist()} "
         f"pressure_iters={np.asarray(tel['pressure_iters']).tolist()} "
-        f"dt_final={float(dtf):.3e}",
+        f"dt_final={dtf:.3e}",
         file=sys.stderr,
     )
 

@@ -178,6 +178,76 @@ class XDMFFile:
             name
         ), t
 
+    # -- visualization-series read path (dolfin XDMFFile is read/write;
+    #    `write` stores vertex values on the P1 grid, so reading back into a
+    #    P1 space is exact) -------------------------------------------------
+    def read_mesh(self, dtype=None):
+        """Reconstruct the mesh from the stored grid ('mesh' group)."""
+        import h5py
+
+        if self._h5 is not None:
+            self._h5.flush()
+        with h5py.File(self.h5name, "r") as h5:
+            pts = np.asarray(h5["mesh/points"])
+            cells = np.asarray(h5["mesh/cells"], dtype=np.int32)
+        if pts.shape[1] == 2:
+            from ..mesh import Mesh
+
+            return Mesh(pts, cells, dtype=dtype)
+        from ..mesh3d import TetMesh
+
+        return TetMesh(pts, cells, dtype=dtype)
+
+    def read(self, space, name, counter=-1):
+        """Read an entry of a `write` visualization series back into a
+        Function on `space` (a P1 space on the stored mesh). Returns
+        (Function, t). `counter` indexes the time series (negative = from
+        the end)."""
+        import h5py
+        import jax.numpy as jnp
+
+        if self._h5 is not None:
+            self._h5.flush()
+        series = self._read_xml_series() if not self._series else self._series
+        if name not in series:
+            raise KeyError(f"no series named '{name}' (have {list(series)})")
+        t, path, kind, grid = series[name][counter]
+        with h5py.File(self.h5name, "r") as h5:
+            data = np.asarray(h5[path])
+        if kind == "Vector":
+            dim = 3 if np.abs(data[:, 2]).max() > 0 else 2
+            data = data[:, :dim] if dim == 2 else data
+        if data.shape[0] != space.n_dofs:
+            raise ValueError(
+                f"series '{name}' has {data.shape[0]} vertex values; space "
+                f"has {space.n_dofs} dofs (read viz series into a P1 space)"
+            )
+        return Function(space, jnp.asarray(data, dtype=space.mesh.dtype)).rename(
+            name
+        ), t
+
+    def _read_xml_series(self):
+        """Recover the series index from the .xdmf XML (for files opened
+        fresh for reading rather than written by this instance)."""
+        import xml.etree.ElementTree as ET
+
+        series = {}
+        root = ET.parse(self.filename).getroot()
+        for coll in root.iter("Grid"):
+            if coll.get("GridType") != "Collection":
+                continue
+            name = coll.get("Name")
+            for g in coll.findall("Grid"):
+                t = float(g.find("Time").get("Value"))
+                attr = g.find("Attribute")
+                kind = attr.get("AttributeType")
+                ref = attr.find("DataItem").text.strip()
+                path = ref.split(":", 1)[1].lstrip("/")
+                topo = g.find("Topology").find("DataItem").text.strip()
+                grid = topo.split(":", 1)[1].lstrip("/").rsplit("/", 1)[0]
+                series.setdefault(name, []).append((t, path, kind, grid))
+        return series
+
     def _write_xml(self):
         h5base = os.path.basename(self.h5name)
         lines = [

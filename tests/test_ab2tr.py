@@ -17,6 +17,7 @@ from flow_tpu import (
     errornorm,
 )
 from flow_tpu.experimental.ab2tr import AB2TR
+import pytest
 
 
 def _guermond2():
@@ -44,6 +45,7 @@ def _guermond2():
     return u, p, tuple(f)
 
 
+@pytest.mark.slow
 def test_ab2tr_step_accuracy():
     u_sym, p_sym, f_sym = _guermond2()
     mesh = unit_square_mesh(16, diagonal="crossed")

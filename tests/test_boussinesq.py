@@ -7,8 +7,10 @@
 # discipline — end-to-end bit-stability of the whole stack — does).
 from flow_tpu.models.boussinesq import compute_boussinesq
 from flow_tpu import norm
+import pytest
 
 
+@pytest.mark.slow
 def test_boussinesq():
     u1, _, theta1 = compute_boussinesq(target_time=1.0, lcar=0.01, supg=False)
     ref = 4.770048096036418e-06
@@ -17,6 +19,7 @@ def test_boussinesq():
     assert abs(norm(theta1, "L2") - ref) < 1.0e-6 * ref
 
 
+@pytest.mark.slow
 def test_boussinesq_with_supg():
     u1, _, theta1 = compute_boussinesq(target_time=1.0, lcar=0.01, supg=True)
     ref = 4.770047249301352e-06

@@ -2,11 +2,13 @@
 # scale): the coupled Banach loop runs, stays finite, and the rest state is
 # preserved while the heater ramp is still near zero.
 import numpy as np
+import pytest
 
 from flow_tpu.models.boussinesq3d import compute_boussinesq_3d
 from flow_tpu import norm
 
 
+@pytest.mark.slow
 def test_boussinesq_3d_smoke():
     u1, p1, theta1 = compute_boussinesq_3d(target_time=0.03, n=(5, 5, 8))
     assert np.isfinite(np.asarray(u1.vector)).all()

@@ -4,8 +4,10 @@
 import numpy as np
 
 from flow_tpu.models.cavity3d import run_cavity3d_fast
+import pytest
 
 
+@pytest.mark.slow
 def test_cavity3d_fast_smoke():
     out = run_cavity3d_fast(num_steps=6, n=6)
     tel = out["telemetry"]

@@ -36,6 +36,7 @@ def _cavity_hierarchy(n0=6, n_refine=2):
     return meshes, V, Q, u_bcs
 
 
+@pytest.mark.slow
 def test_halo_mg_matches_single_chip_and_iteration_parity():
     meshes, V, Q, u_bcs = _cavity_hierarchy()
     u0 = project((0.0, 0.0), V)
@@ -81,6 +82,7 @@ def test_halo_mg_matches_single_chip_and_iteration_parity():
     assert mg_iters < 0.4 * jac_iters, (mg_iters, jac_iters)
 
 
+@pytest.mark.slow
 def test_halo_run_scan_matches_fast_stepper():
     # the distributed fused scan (run + CFL controller) reproduces the
     # single-chip FastStepper scan to solver tolerance
@@ -110,6 +112,7 @@ def test_halo_run_scan_matches_fast_stepper():
     assert np.all(np.asarray(telb["t"]) > 0)
 
 
+@pytest.mark.slow
 def test_halo_step_3d_matches_single_chip():
     # dof-partitioned full NS step on a tet mesh (3-D was 2-D-only in
     # round 1) vs the single-chip scheme path

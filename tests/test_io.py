@@ -211,3 +211,40 @@ def test_profiling_utilities(tmp_path):
     for root, _dirs, files in os.walk(logdir):
         found += files
     assert found, "no trace files written"
+
+
+def test_xdmf_viz_series_read(tmp_path):
+    # write -> read round-trip of the visualization series (dolfin XDMFFile
+    # is read/write; `write` stores vertex values, exact on a P1 space) —
+    # including re-opening the file cold (series index recovered from XML)
+    import os
+
+    import jax.numpy as jnp
+
+    from flow_tpu import unit_square_mesh, FunctionSpace, VectorFunctionSpace, project
+    from flow_tpu.io import XDMFFile
+
+    mesh = unit_square_mesh(5)
+    Q = FunctionSpace(mesh, 1)
+    W = VectorFunctionSpace(mesh, 1)
+    path = os.path.join(tmp_path, "series.xdmf")
+    with XDMFFile(path) as xf:
+        for k, t in enumerate([0.0, 0.5, 1.0]):
+            p = project(lambda x: (1 + t) * x[..., 0], Q)
+            u = project((lambda x: x[..., 1] + t, 0.0), W)
+            xf.write(p.rename("pressure"), t)
+            xf.write(u.rename("velocity"), t)
+
+    xf2 = XDMFFile(path)  # cold open: no in-memory series
+    m2 = xf2.read_mesh()
+    assert m2.n_points == mesh.n_points and m2.n_cells == mesh.n_cells
+    Q2 = FunctionSpace(m2, 1)
+    W2 = VectorFunctionSpace(m2, 1)
+    pr, t = xf2.read(Q2, "pressure", counter=1)
+    assert t == 0.5
+    want = 1.5 * m2.points_np[:, 0]
+    assert jnp.allclose(pr.vector, jnp.asarray(want), atol=1e-12)
+    ur, t = xf2.read(W2, "velocity", counter=-1)
+    assert t == 1.0
+    assert ur.vector.shape == (m2.n_points, 2)
+    assert jnp.allclose(ur.vector[:, 0], jnp.asarray(m2.points_np[:, 1] + 1.0), atol=1e-12)

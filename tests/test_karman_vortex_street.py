@@ -4,8 +4,10 @@
 import numpy as np
 
 from flow_tpu.models import karman
+import pytest
 
 
+@pytest.mark.slow
 def test_karman(num_steps=2, lcar=0.02):
     out = karman.run_karman(
         num_steps=num_steps, lcar=lcar, collect_forces=True, verbose=False

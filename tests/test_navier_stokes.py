@@ -221,6 +221,7 @@ def test_problem_catalog_consistency():
 @pytest.mark.parametrize(
     "problem", [problem_flat, problem_guermond1, problem_guermond2]
 )
+@pytest.mark.slow
 def test_chorin(problem):
     assert_time_order(
         problem, navsto.Chorin(), Dt=[1.0e-3, 0.5e-3], mesh_sizes=[16, 32]
@@ -228,6 +229,7 @@ def test_chorin(problem):
 
 
 @pytest.mark.parametrize("problem", [problem_guermond2])
+@pytest.mark.slow
 def test_ipcs(problem):
     assert_time_order(
         problem,
@@ -238,6 +240,7 @@ def test_ipcs(problem):
 
 
 @pytest.mark.parametrize("problem", [problem_guermond1])
+@pytest.mark.slow
 def test_rotational(problem):
     assert_time_order(
         problem,
@@ -248,6 +251,7 @@ def test_rotational(problem):
 
 
 @pytest.mark.parametrize("problem", [problem_guermond1])
+@pytest.mark.slow
 def test_rotational_bdf2(problem):
     # BDF2 (the reference's commented-out scheme, pressure_correction.py
     # :191-197, realized here): second order in velocity at backward-Euler

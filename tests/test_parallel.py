@@ -54,6 +54,7 @@ def test_partition_covers_all_cells():
     assert n_local * 8 >= mesh.n_cells
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     import sys, pathlib
 
