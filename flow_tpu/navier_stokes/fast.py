@@ -112,6 +112,12 @@ class FastStepper:
         self.forces_probe = forces_probe  # callable (U, P) -> array or None
         self.divergence_probe = divergence_probe
 
+        # assembled ELL pressure-Poisson operator (constant matrix): one
+        # row-gather per CG matvec instead of the full quadrature pipeline
+        from ..fem.ell import ell_stiffness
+
+        self._K_Q = ell_stiffness(Q, self.ctx.geom)
+
         self.step = jax.jit(self._step_impl)
         self.run = jax.jit(self._run_impl, static_argnames=("n_steps",))
         if self.bdf2:
@@ -242,7 +248,7 @@ class FastStepper:
         if not self.has_p_bcs:
 
             def K(p):
-                return assembly.stiffness_apply(Q, geom, p)
+                return self._K_Q.apply(p)
 
             L2 = L2 + K(P)
             p1, sinfo = krylov.cg(
@@ -257,10 +263,10 @@ class FastStepper:
             free = 1.0 - mask
 
             def K_bc(p):
-                return free * assembly.stiffness_apply(Q, geom, free * p) + mask * p
+                return free * self._K_Q.apply(free * p) + mask * p
 
             def K_raw(p):
-                return assembly.stiffness_apply(Q, geom, p)
+                return self._K_Q.apply(p)
 
             L2 = L2 + K_raw(P)
             rhs = free * (L2 - K_raw(mask * gvals)) + mask * gvals

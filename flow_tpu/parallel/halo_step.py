@@ -309,9 +309,13 @@ class HaloProjection:
         self.rho = float(rho)
         self.mu = float(mu)
         self.rotational = rotational_form
+        self.bdf2 = time_step_method == "bdf2"
         if time_step_method == "forward euler":
             self.theta = (1.0, 0.0)
-        elif time_step_method == "backward euler":
+        elif time_step_method in ("backward euler", "bdf2"):
+            # BDF2 through the BE machinery via the u-hat reformulation
+            # (same trick as FastStepper._bdf2_hat): a BE step from
+            # uhat = ((1+r)^2 U - r^2 Um1)/(1+2r) with dt* = dt(1+r)/(1+2r)
             self.theta = (0.0, 1.0)
         else:
             assert time_step_method == "crank-nicolson"
@@ -354,6 +358,7 @@ class HaloProjection:
             )
         )
         self._run_cache = {}
+        self._step_bdf2_fn = None
 
     # ---- boundary facets, partitioned by owning cell -----------------------
     def _build_boundary(self, V, Q, mesh, dev_of_cell, geomg):
@@ -598,12 +603,132 @@ class HaloProjection:
             *self._table_args(),
         )
 
-    def run(self, U_part, P_part, dt0, n_steps):
+    @staticmethod
+    def _bdf2_hat(U, Um1, dt, dtp):
+        r = dt / dtp
+        uhat = ((1.0 + r) ** 2 * U - r * r * Um1) / (1.0 + 2.0 * r)
+        dt_eff = dt * (1.0 + r) / (1.0 + 2.0 * r)
+        return uhat, dt_eff, r
+
+    def step_bdf2(self, U_part, Um1_part, P_part, dt, dtp):
+        """One variable-step BDF2 step on partitioned state."""
+        assert self.bdf2
+        if self._step_bdf2_fn is None:
+            spec_c = P(AXIS)
+            spec_r = P()
+
+            def _one(U, Um1, Pv, dt, dtp, *tables):
+                uhat, dt_eff, r = self._bdf2_hat(U, Um1, dt, dtp)
+                x0 = (1.0 + r) * U - r * Um1
+                U1, P1, _ = self._substep_core(uhat, Pv, dt_eff, *tables, x0=x0)
+                return U1, P1
+
+            self._step_bdf2_fn = jax.jit(
+                jax.shard_map(
+                    _one,
+                    mesh=self.jmesh,
+                    in_specs=(spec_c, spec_c, spec_c, spec_r, spec_r)
+                    + self._in_specs[3:],
+                    out_specs=(spec_c, spec_c),
+                    check_vma=False,
+                )
+            )
+        return self._step_bdf2_fn(
+            U_part,
+            Um1_part,
+            P_part,
+            jnp.asarray(dt, dtype=self.dtype),
+            jnp.asarray(dtp, dtype=self.dtype),
+            *self._table_args(),
+        )
+
+    def _run_bdf2(self, U_part, P_part, dt0, n_steps, Um1_part, dtp0):
+        """Fused BDF2 scan: carry additionally holds (Um1, dtp); defaults
+        re-bootstrap (Um1=U, dtp=dt0 makes the first step BE-consistent).
+        Returns (U, P, dt, telemetry, (Um1, dtp))."""
+        if Um1_part is None:
+            Um1_part = U_part
+        if dtp0 is None:
+            dtp0 = dt0
+        fn = self._run_cache.get(("bdf2", n_steps))
+        if fn is None:
+            spec_c = P(AXIS)
+            spec_r = P()
+
+            def _run(U, Um1, Pv, dt0, dtp0, *tables):
+                valid_V = tables[9]
+
+                def body(carry, _):
+                    U, Um1, Pv, dt, dtp, t = carry
+                    uhat, dt_eff, r = self._bdf2_hat(U, Um1, dt, dtp)
+                    x0 = (1.0 + r) * U - r * Um1
+                    U1, P1, stats = self._substep_core(
+                        uhat, Pv, dt_eff, *tables, x0=x0
+                    )
+                    t = t + dt
+                    um2 = jax.lax.pmax(
+                        jnp.max(jnp.sum(U1 * U1, axis=1) * valid_V), AXIS
+                    )
+                    umax = jnp.sqrt(um2)
+                    target_dt = (
+                        self.cfl_target * self.hmax / jnp.maximum(umax, 1e-30)
+                    )
+                    dt_new = jnp.minimum(
+                        self.dt_max_run,
+                        dt * jnp.minimum(2.0, 1.0 + 0.5 * (target_dt - dt) / dt),
+                    )
+                    out = {
+                        "t": t,
+                        "dt": dt,
+                        "pressure_iters": stats["pressure_iters"],
+                        "correction_iters": stats["correction_iters"],
+                    }
+                    return (U1, U, P1, dt_new, dt, t), out
+
+                (U, Um1, Pv, dt, dtp, t), tel = jax.lax.scan(
+                    body,
+                    (U, Um1, Pv, dt0, dtp0, jnp.asarray(0.0, dtype=U.dtype)),
+                    None,
+                    length=n_steps,
+                )
+                return U, Um1, Pv, dt, dtp, tel
+
+            tel_spec = {
+                "t": spec_r,
+                "dt": spec_r,
+                "pressure_iters": spec_r,
+                "correction_iters": spec_r,
+            }
+            fn = jax.jit(
+                jax.shard_map(
+                    _run,
+                    mesh=self.jmesh,
+                    in_specs=(spec_c, spec_c, spec_c, spec_r, spec_r)
+                    + self._in_specs[3:],
+                    out_specs=(spec_c, spec_c, spec_c, spec_r, spec_r, tel_spec),
+                    check_vma=False,
+                )
+            )
+            self._run_cache[("bdf2", n_steps)] = fn
+        U, Um1, Pv, dt, dtp, tel = fn(
+            U_part,
+            Um1_part,
+            P_part,
+            jnp.asarray(dt0, dtype=self.dtype),
+            jnp.asarray(dtp0, dtype=self.dtype),
+            *self._table_args(),
+        )
+        return U, Pv, dt, tel, (Um1, dtp)
+
+    def run(self, U_part, P_part, dt0, n_steps, Um1=None, dtp0=None):
         """Fused lax.scan over n_steps full projection steps with the
         on-device CFL dt controller — the distributed twin of
         FastStepper._run_impl. Returns (U, P, dt, telemetry) with
         telemetry arrays (t, dt, pressure_iters, correction_iters)
-        replicated across devices."""
+        replicated across devices; BDF2 returns a 5th element (Um1, dtp)
+        for checkpoint chaining."""
+        if self.bdf2:
+            return self._run_bdf2(U_part, P_part, dt0, n_steps, Um1, dtp0)
         fn = self._run_cache.get(n_steps)
         if fn is None:
             spec_c = P(AXIS)
@@ -729,6 +854,7 @@ class HaloProjection:
         b_wl=None,
         b_normals=None,
         b_Gb=None,
+        x0=None,
     ):
         dtype = self.dtype
         Vh, Qh = self.Vh, self.Qh
@@ -816,7 +942,7 @@ class HaloProjection:
         w_im = self.theta[1]
         diag = mass_diag_V + (dt / rho) * w_im * (2.0 * mu) * stiff_diag_V
         diag = free_u * diag + mask_u + (1.0 - valid_V)[:, None]
-        x0 = free_u * U + mask_u * val_u
+        x0 = free_u * (U if x0 is None else x0) + mask_u * val_u
 
         def newton_body(state):
             x, rnorm, k = state

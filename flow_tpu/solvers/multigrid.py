@@ -71,16 +71,23 @@ class P1Hierarchy:
 
             space, geom = L.space, L.geom
 
+            # assembled padded-ELL level operator: one row-gather per apply
+            # instead of gather -> einsum -> dof-sum (values identical to the
+            # quadrature path; ELL halves the smoother's HBM traffic)
+            from ..fem.ell import ell_stiffness
+
+            ellK = ell_stiffness(space, geom)
+            L.ell = ellK
+
             if mask is None:
 
-                def K(x, space=space, geom=geom):
-                    return assembly.stiffness_apply(space, geom, x)
+                def K(x, ellK=ellK):
+                    return ellK.apply(x)
 
             else:
 
-                def K(x, space=space, geom=geom, free=free, mask=mask):
-                    y = assembly.stiffness_apply(space, geom, free * x)
-                    return free * y + mask * x
+                def K(x, ellK=ellK, free=free, mask=mask):
+                    return free * ellK.apply(free * x) + mask * x
 
             L.K = K
             diag = assembly.stiffness_diag(space, geom)

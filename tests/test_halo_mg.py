@@ -154,3 +154,48 @@ def test_halo_step_3d_matches_single_chip():
     p1v = p1r.vector - jnp.mean(p1r.vector)
     np.testing.assert_allclose(np.asarray(U1), np.asarray(u1r.vector), atol=1e-10)
     np.testing.assert_allclose(np.asarray(P1), np.asarray(p1v), atol=1e-9)
+
+
+@pytest.mark.slow
+def test_halo_bdf2_run_matches_fast_stepper():
+    # the distributed BDF2 scan (u-hat reformulation, extrapolated Newton
+    # guess, (Um1, dtp) carry) reproduces the single-chip FastStepper BDF2
+    meshes, V, Q, u_bcs = _cavity_hierarchy(n0=5, n_refine=1)
+    devs = jax.devices()[:4]
+    hp = HaloProjection(
+        V, Q, u_bcs, [], rho=1.0, mu=0.1, devices=devs,
+        rotational_form=True, mesh_hierarchy=meshes,
+        time_step_method="bdf2",
+    )
+    st = FastStepper(
+        V, Q, u_bcs, [], rho=1.0, mu=0.1, rotational_form=True,
+        time_step_method="bdf2",
+    )
+
+    U0, P0 = V.zeros(), Q.zeros()
+    dt0 = jnp.asarray(1e-3, dtype=U0.dtype)
+    Ua, Pa, dta, tela, (Um1a, dtpa) = st.run(U0, P0, dt0, n_steps=3)
+
+    Up = hp.Vh.to_partitioned(np.asarray(U0))
+    Pp = hp.Qh.to_partitioned(np.asarray(P0))
+    Ub_p, Pb_p, dtb, telb, (Um1b_p, dtpb) = hp.run(Up, Pp, dt0, n_steps=3)
+    Ub = hp.Vh.from_partitioned(Ub_p)
+    Pb = hp.Qh.from_partitioned(Pb_p)
+    Um1b = hp.Vh.from_partitioned(Um1b_p)
+
+    np.testing.assert_allclose(np.asarray(Ua), np.asarray(Ub), atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(Pa - jnp.mean(Pa)), np.asarray(Pb - jnp.mean(Pb)), atol=1e-8
+    )
+    np.testing.assert_allclose(np.asarray(Um1a), np.asarray(Um1b), atol=1e-9)
+    np.testing.assert_allclose(float(dta), float(dtb), rtol=1e-9)
+    np.testing.assert_allclose(float(dtpa), float(dtpb), rtol=1e-9)
+
+    # chaining: a second segment continues at full second order
+    Uc_p, Pc_p, dtc, _, _ = hp.run(
+        Ub_p, Pb_p, dtb, n_steps=2, Um1=Um1b_p, dtp0=dtpb
+    )
+    Uc2, Pc2, dtc2, _, _ = st.run(Ua, Pa, dta, n_steps=2, Um1=Um1a, dtp0=dtpa)
+    np.testing.assert_allclose(
+        np.asarray(Uc2), np.asarray(hp.Vh.from_partitioned(Uc_p)), atol=1e-9
+    )
