@@ -19,11 +19,13 @@ _TRI = 2  # gmsh element type: 3-node triangle
 _TET = 4  # gmsh element type: 4-node tetrahedron
 
 
-def read_msh(path, dtype=None):
+def read_msh(path, dtype=None, rcm=True):
     """Read an ASCII gmsh .msh file (v2.2 or v4.1) -> Mesh or TetMesh.
 
     Picks tets if any are present, else triangles. Raises ValueError for
-    binary files or other versions.
+    binary files or other versions. Triangle meshes get a bandwidth-reducing
+    RCM renumbering by default (gmsh numbering is arbitrary; gather locality
+    on TPU follows the dof ordering) — pass rcm=False to keep file order.
     """
     with open(path) as f:
         lines = f.read().splitlines()
@@ -77,9 +79,12 @@ def read_msh(path, dtype=None):
         )
         if np.ptp(pts[:, 2]) > 1e-12 * max(1.0, np.abs(pts).max()):
             raise ValueError("triangle mesh is not planar in z")
-        from ..mesh import Mesh
+        from ..mesh import Mesh, reorder_rcm
 
-        return Mesh(pts[:, :2], cells, dtype=dtype)
+        p2 = pts[:, :2]
+        if rcm:
+            p2, cells = reorder_rcm(p2, cells)
+        return Mesh(p2, cells, dtype=dtype)
     raise ValueError(f"{path}: no triangles or tets found")
 
 

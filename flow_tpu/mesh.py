@@ -258,8 +258,41 @@ def refine_uniform(mesh: Mesh, snap_boundary=None):
     return Mesh(new_pts, new_cells, dtype=mesh.dtype)
 
 
+def reorder_rcm(points, cells, only_if_better=True):
+    """Bandwidth-reducing host-side reorder: vertices by reverse
+    Cuthill-McKee on the edge graph (native.rcm_order), cells sorted by
+    their minimum new vertex id. Gathers over `cells`/dof tables then sweep
+    memory near-monotonically — the locality lever for the TPU gather-bound
+    assembly hot path. Pure renumbering: the discrete operators are
+    permutation-equivalent.
+
+    With only_if_better (default), the RCM vertex permutation is kept only
+    when it reduces the mean edge bandwidth — grid-generated meshes are
+    already near-optimally banded and RCM can be slightly worse there; the
+    cell sort is always applied (Delaunay emits cells in quasi-random
+    order)."""
+    from . import native
+
+    points = np.asarray(points)
+    cells = np.asarray(cells, dtype=np.int32)
+    edges, _, _ = native.build_edges(cells)
+
+    def mean_bw(e):
+        return float(np.mean(np.abs(e[:, 0].astype(np.int64) - e[:, 1])))
+
+    perm = np.asarray(native.rcm_order(len(points), edges))  # new -> old
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm), dtype=perm.dtype)
+    if only_if_better and mean_bw(inv[edges]) >= mean_bw(edges):
+        points2, cells2 = points, cells  # keep the existing banded order
+    else:
+        points2, cells2 = points[perm], inv[cells].astype(np.int32)
+    order = np.argsort(cells2.min(axis=1), kind="stable")
+    return points2, cells2[order]
+
+
 def rectangle_with_hole_mesh(
-    x0, x1, y0, y1, cx, cy, r, lcar, dtype=None, smooth_iters=30
+    x0, x1, y0, y1, cx, cy, r, lcar, dtype=None, smooth_iters=30, rcm=True
 ):
     """Unstructured-quality triangle mesh of a rectangle with a circular hole.
 
@@ -338,6 +371,8 @@ def rectangle_with_hole_mesh(
         np.add.at(cnt, e_all[:, 1], 1)
         new = acc / np.maximum(cnt, 1)[:, None]
         pk = np.where(fixed[:, None], pk, new)
+    if rcm:
+        pk, cells = reorder_rcm(pk, cells)
     return Mesh(pk, cells, dtype=dtype)
 
 

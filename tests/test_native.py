@@ -67,3 +67,65 @@ def test_mesh_save_load(tmp_path):
     r3 = load_mesh(p3)
     assert r3.dim == 3
     np.testing.assert_array_equal(r3.cells_np, m3.cells_np)
+
+
+def test_reorder_rcm_bandwidth_and_invariance():
+    # reorder_rcm is a pure renumbering: same triangulation (as a set of
+    # vertex-coordinate triangles), reduced edge-graph bandwidth
+    import numpy as np
+    from flow_tpu.mesh import rectangle_with_hole_mesh
+    from flow_tpu import native
+
+    kw = dict(x0=0.0, x1=2.2, y0=0.0, y1=0.41, cx=0.2, cy=0.2, r=0.05,
+              lcar=0.05)
+    m0 = rectangle_with_hole_mesh(rcm=False, **kw)
+    m1 = rectangle_with_hole_mesh(rcm=True, **kw)
+    assert m0.n_points == m1.n_points and m0.n_cells == m1.n_cells
+
+    def tri_set(m):
+        pts = np.round(m.points_np[m.cells_np], 9)  # [nc,3,2]
+        # canonical per-cell: sort the 3 vertices lexicographically
+        keys = [tuple(sorted(map(tuple, c))) for c in pts]
+        return set(keys)
+
+    assert tri_set(m0) == tri_set(m1)
+
+    def bandwidth(m):
+        e = m.edges_np
+        return int(np.max(np.abs(e[:, 0].astype(int) - e[:, 1]))), \
+            float(np.mean(np.abs(e[:, 0].astype(int) - e[:, 1])))
+
+    bw0, avg0 = bandwidth(m0)
+    bw1, avg1 = bandwidth(m1)
+    # grid-generated meshes are already banded: reorder must never worsen
+    assert avg1 <= avg0 + 1e-12, (avg0, avg1)
+    # cells must sweep vertex memory monotonically (Delaunay order is
+    # quasi-random): min-vertex sequence is sorted after reorder
+    mins1 = m1.cells_np.min(axis=1)
+    assert np.all(np.diff(mins1.astype(int)) >= 0)
+    # ... and RCM genuinely reduces bandwidth on a scrambled numbering
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(m0.n_points)
+    inv = np.empty_like(perm); inv[perm] = np.arange(len(perm))
+    from flow_tpu.mesh import reorder_rcm
+    p_s, c_s = m0.points_np[perm], inv[m0.cells_np].astype(np.int32)
+    e_s = np.sort(np.concatenate([c_s[:, [1, 2]], c_s[:, [2, 0]], c_s[:, [0, 1]]]), axis=1)
+    avg_scrambled = float(np.mean(np.abs(e_s[:, 0].astype(int) - e_s[:, 1])))
+    p_r, c_r = reorder_rcm(p_s, c_s)
+    e_r = np.sort(np.concatenate([c_r[:, [1, 2]], c_r[:, [2, 0]], c_r[:, [0, 1]]]), axis=1)
+    avg_rcm = float(np.mean(np.abs(e_r[:, 0].astype(int) - e_r[:, 1])))
+    assert avg_rcm < 0.2 * avg_scrambled, (avg_scrambled, avg_rcm)
+
+    # physics invariance: total area and stiffness action norm match
+    from flow_tpu import FunctionSpace, project
+    from flow_tpu.fem import assembly
+    from flow_tpu.fem.assembly import geometry
+
+    for m in (m0, m1):
+        Q = FunctionSpace(m, 1)
+        f = project(lambda x: x[..., 0] ** 2 + x[..., 1], Q)
+        y = assembly.stiffness_apply(Q, geometry(m), f.vector)
+        m._stiff_norm = float(np.linalg.norm(np.asarray(y)))
+        m._area = float(np.sum(np.asarray(m.cell_volumes())))
+    assert abs(m0._area - m1._area) < 1e-12
+    assert abs(m0._stiff_norm - m1._stiff_norm) < 1e-9 * m0._stiff_norm
