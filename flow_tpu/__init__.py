@@ -17,7 +17,10 @@ from .mesh import (  # noqa: F401
     rectangle_mesh,
     refine_uniform,
     rectangle_with_hole_mesh,
+    reorder_rcm,
 )
+from .io import read_msh  # noqa: F401
+from .fem import formlang  # noqa: F401
 from .fem.spaces import FunctionSpace, VectorFunctionSpace, Function  # noqa: F401
 from .fem.bc import DirichletBC  # noqa: F401
 from .fem.interpolate import project, interpolate, errornorm, norm  # noqa: F401

@@ -365,11 +365,11 @@ class HaloProjection:
         from ..fem.assembly import BoundaryTab, BoundaryFaceTab
 
         if self.dim == 2:
-            btV = BoundaryTab(V, rule_degree=5)
-            btQ = BoundaryTab(Q, rule_degree=5)
+            btV = BoundaryTab(V, rule_degree=6)
+            btQ = BoundaryTab(Q, rule_degree=6)
         else:
-            btV = BoundaryFaceTab(V, rule_degree=4)
-            btQ = BoundaryFaceTab(Q, rule_degree=4)
+            btV = BoundaryFaceTab(V, rule_degree=6)
+            btQ = BoundaryFaceTab(Q, rule_degree=6)
         ndev = self.ndev
         cells_b = np.asarray(mesh.boundary_cells_np, dtype=np.int64)
         dev_b = dev_of_cell[cells_b]
@@ -895,6 +895,12 @@ class HaloProjection:
             # + mu (grad u)^T n: out_a = sum_m du_m/dx_a n_m (matches the
             # single-chip _rhs_weak_bnd after the transposed-einsum fix)
             val = val + mu * jnp.einsum("bqma,bm->bqa", gw, b_normals)
+            # directional do-nothing outflow flux (single-chip parity:
+            # _rhs_weak_bnd) — restores the skew form's boundary
+            # compensation where w.n > 0, energy-stable under backflow
+            wb = jnp.einsum("bqi,bim->bqm", b_phiV, wloc)
+            wn = jnp.einsum("bqm,bm->bq", wb, b_normals)
+            val = val - 0.5 * rho * jnp.maximum(wn, 0.0)[:, :, None] * wb
             loc = jnp.einsum("bqm,bq,bqi->bim", val, b_wl, b_phiV)
             out = jnp.zeros((Vh.n_ext, self.ncomp), dtype=dtype)
             return out.at[b_cdV].add(loc)

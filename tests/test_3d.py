@@ -311,10 +311,12 @@ def test_open_boundary_3d_poiseuille_residual_identity():
     un = jnp.einsum("bqd,bd->bq", uq, bt.normals)        # u.n per face point
     gw = bt.grads(U0, geometry(mesh))                    # [b,q,a,d]
     gradun = jnp.einsum("bqad,bd->bqa", gw, bt.normals)  # (grad u) n
-    # skew compensation (all faces) + the do-nothing remainder (nonzero only
-    # on the z-walls, where those rows are Dirichlet-masked in the solve)
+    # uncompensated INFLOW part of the skew flux (the directional
+    # do-nothing term restores it where u.n > 0) + the do-nothing remainder
+    # (nonzero only on the z-walls); both live on Dirichlet-masked rows in
+    # a real solve
     expected = -(dt / 2.0) * bt.integrate_rhs(
-        un[:, :, None] * uq
+        jnp.minimum(un, 0.0)[:, :, None] * uq
     ) + dt * bt.integrate_rhs(gradun)
     np.testing.assert_allclose(np.asarray(r), np.asarray(expected), atol=1e-13)
 

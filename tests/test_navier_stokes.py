@@ -267,12 +267,15 @@ def test_rotational_bdf2(problem):
 def test_open_boundary_2d_poiseuille_residual_identity():
     # 2-D plane Poiseuille with an OPEN outflow:
     #   u = (y(1-y), 0),  p = 2(2-x) + 1,  mu = rho = 1
-    # exact steady NS solution, exactly representable (P2/P1). The momentum
-    # residual at the exact state must equal EXACTLY
-    #   -(dt/2) oint (u.n)(u.phi_i) ds + dt oint (grad u) n . phi_i ds
-    # (skew-convection compensation + the do-nothing remainder on the walls)
-    # — every volume term integrates by parts against the ds-terms
-    # (-p n + mu (grad u)^T n, /root/reference/flow/navier_stokes/
+    # exact steady NS solution, exactly representable (P2/P1). With the
+    # directional do-nothing term (which restores the skew-convection
+    # boundary flux wherever u.n > 0 — outlet here), the momentum residual
+    # at the exact state must equal EXACTLY
+    #   -(dt/2) oint (u.n)_- (u.phi_i) ds + dt oint (grad u) n . phi_i ds
+    # (the uncompensated INFLOW part of the skew flux + the do-nothing
+    # remainder on the walls; both live on rows a real solve masks with
+    # Dirichlet BCs) — every volume term integrates by parts against the
+    # ds-terms (-p n + mu (grad u)^T n, /root/reference/flow/navier_stokes/
     # pressure_correction.py:142-143). The 2-D twin of the 3-D test that
     # caught the transposed ds-term einsum.
     import jax.numpy as jnp
@@ -295,6 +298,6 @@ def test_open_boundary_2d_poiseuille_residual_identity():
     gw = bt.grads(U0, geometry(mesh))
     gradun = jnp.einsum("bqad,bd->bqa", gw, bt.normals)
     expected = -(dt / 2.0) * bt.integrate_rhs(
-        un[:, :, None] * uq
+        jnp.minimum(un, 0.0)[:, :, None] * uq
     ) + dt * bt.integrate_rhs(gradun)
     np.testing.assert_allclose(np.asarray(r), np.asarray(expected), atol=1e-13)
