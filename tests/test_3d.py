@@ -216,6 +216,7 @@ def test_open_boundary_3d_hydrostatic():
     assert norm(p1.vector - p0.vector, "linf") < 1e-9
 
 
+@pytest.mark.slow
 def test_ns_3d_mms_single_step_accuracy():
     # 3-D manufactured solution (div-free by construction via a curl):
     #   u = m(t) * (sin(pi y), sin(pi z), sin(pi x)),  div u = 0

@@ -53,6 +53,7 @@ def test_halo_step_matches_single_chip(ndev):
     np.testing.assert_allclose(np.asarray(P1), np.asarray(p1r_v), atol=1e-10)
 
 
+@pytest.mark.slow
 def test_halo_step_with_pressure_bc():
     mesh = unit_square_mesh(8, diagonal="right")
     V = VectorFunctionSpace(mesh, 2)
@@ -89,6 +90,7 @@ def test_halo_step_with_pressure_bc():
     np.testing.assert_allclose(np.asarray(P1), np.asarray(p1r.vector), atol=1e-10)
 
 
+@pytest.mark.slow
 def test_halo_step_with_body_force():
     # stationary non-constant body force through the partitioned path:
     # matches the single-chip stepper to machine precision on 4 devices

@@ -63,6 +63,7 @@ def test_karman_with_xdmf_writer(tmp_path):
     assert {g.get("Name") for g in grids} == {"velocity", "pressure"}
 
 
+@pytest.mark.slow
 def test_karman_fast_checkpoint_resume(tmp_path):
     import os
     from flow_tpu.models.karman import run_karman_fast
