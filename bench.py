@@ -90,10 +90,12 @@ def _measure_steps(prob, stepper, n_steps):
     return n_steps / elapsed, float(dtf), tel, (U, P)
 
 
-def _measure_assembly(prob, stepper, state, reps=20):
+def _measure_assembly(prob, stepper, state, reps=50):
     """Assembly-throughput axis: momentum dofs processed per second by ONE
     full weak-form residual assembly (the gather -> einsum chain -> dof-sum
-    pipeline that replaces FFC+DOLFIN assembly; BASELINE 'assembly GDoF/s')."""
+    pipeline that replaces FFC+DOLFIN assembly; BASELINE 'assembly GDoF/s').
+    Amortized inside a single jitted fori_loop — per-call dispatch through
+    the axon tunnel is ~1 ms and would swamp the kernel time."""
     import jax
     import jax.numpy as jnp
 
@@ -102,26 +104,29 @@ def _measure_assembly(prob, stepper, state, reps=20):
     dt = jnp.asarray(1.0e-3, dtype=U.dtype)
 
     @jax.jit
-    def resid(x):
-        return ctx._residual(
-            x, U, None, None, P, stepper.rho, stepper.mu, dt, stepper.theta
-        )
+    def loop(x0):
+        def body(_, x):
+            r = ctx._residual(
+                x, U, None, None, P, stepper.rho, stepper.mu, dt, stepper.theta
+            )
+            return x + 1e-30 * r
 
-    r = resid(U)
-    r.block_until_ready()
+        return jax.lax.fori_loop(0, reps, body, x0)
+
+    out = loop(U)
+    out.block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(reps):
-        r = resid(U)
-    r.block_until_ready()
+    out = loop(U)
+    out.block_until_ready()
     per_apply = (time.perf_counter() - t0) / reps
     n_momentum_dofs = prob.V.n_dofs * prob.V.n_components
     return n_momentum_dofs / per_apply / 1.0e9, per_apply
 
 
-def _measure_poisson(prob, stepper, state, reps=5):
+def _measure_poisson(prob, stepper, state, reps=10):
     """Pressure-Poisson axis: one MG-preconditioned CG solve to the bench
-    tolerance, in milliseconds (the PETSc+BoomerAMG replacement;
-    reference pressure solve: pressure_correction.py:407-419)."""
+    tolerance, in milliseconds (the PETSc+BoomerAMG replacement; reference
+    pressure solve: pressure_correction.py:407-419). Amortized in-loop."""
     import jax
     import jax.numpy as jnp
 
@@ -129,18 +134,21 @@ def _measure_poisson(prob, stepper, state, reps=5):
     dt = jnp.asarray(1.0e-3, dtype=U.dtype)
 
     @jax.jit
-    def solve(u, p):
-        p1, iters = stepper._pressure_solve_mg(u, p, dt)
-        return p1, iters
+    def loop(p0):
+        def body(_, carry):
+            p, acc = carry
+            p1, iters = stepper._pressure_solve_mg(U, p, dt)
+            return (p0 + 1e-30 * p1, acc + iters)
 
-    p1, iters = solve(U, P)
+        return jax.lax.fori_loop(0, reps, body, (p0, jnp.array(0)))
+
+    (p1, iters) = loop(P * 0.0)
     p1.block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(reps):
-        p1, iters = solve(U, P * 0.0)
+    (p1, iters) = loop(P * 0.0)
     p1.block_until_ready()
     ms = (time.perf_counter() - t0) / reps * 1.0e3
-    return ms, int(iters)
+    return ms, int(iters) // reps
 
 
 def main():

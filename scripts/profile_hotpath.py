@@ -12,14 +12,29 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def timeit(fn, *args, reps=50):
-    out = fn(*args)
-    _leaf = out[0] if isinstance(out, tuple) else out
-    _leaf.block_until_ready()
+    """Time fn amortized INSIDE one jitted fori_loop — per-call dispatch
+    through the axon tunnel is ~0.5-1 ms, which swamps sub-ms kernels when
+    timed call-by-call. The loop carries the output back through fn (via a
+    tiny perturbation) so iterations can't be collapsed."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def loop(x0, *rest):
+        def body(_, x):
+            y = fn(x, *rest)
+            leaf = y[0] if isinstance(y, tuple) else y
+            # re-derive an input-shaped value so the loop chain is dependent
+            s = jnp.sum(leaf) * 1e-30
+            return x + s.astype(x.dtype)
+
+        return jax.lax.fori_loop(0, reps, body, x0)
+
+    out = loop(args[0], *args[1:])
+    out.block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    _leaf = out[0] if isinstance(out, tuple) else out
-    _leaf.block_until_ready()
+    out = loop(args[0], *args[1:])
+    out.block_until_ready()
     return (time.perf_counter() - t0) / reps
 
 
@@ -92,6 +107,14 @@ def main():
     dof_sumQ = jax.jit(lambda l: Q.dof_sum(l))
     t_dofsumQ = timeit(dof_sumQ, Ploc)
 
+    # assembled ELL variants (the constant-operator fast path)
+    from flow_tpu.fem.ell import ell_stiffness
+
+    Kq_ell = ell_stiffness(Q, geom)
+    t_ellQ = timeit(jax.jit(Kq_ell.apply), P)
+    Kv_ell = ell_stiffness(V, geom)
+    t_ellV = timeit(jax.jit(Kv_ell.apply), U)
+
     mom_dofs = V.n_dofs * 2
     print(f"momentum residual : {t_resid*1e3:8.3f} ms  "
           f"({mom_dofs/t_resid/1e9:.3f} GDoF/s)")
@@ -102,6 +125,10 @@ def main():
           f"({Q.n_dofs/t_stiffQ/1e9:.3f} GDoF/s)")
     print(f"  Q.gather        : {t_gatherQ*1e3:8.3f} ms")
     print(f"  Q.dof_sum       : {t_dofsumQ*1e3:8.3f} ms")
+    print(f"Q ELL apply       : {t_ellQ*1e3:8.3f} ms  "
+          f"({Q.n_dofs/t_ellQ/1e9:.3f} GDoF/s)")
+    print(f"V ELL apply (vec) : {t_ellV*1e3:8.3f} ms  "
+          f"({2*V.n_dofs/t_ellV/1e9:.3f} GDoF/s)")
 
     # ---- one full fused step (for reference) -------------------------------
     step = jax.jit(st._step_impl)
