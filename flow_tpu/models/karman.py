@@ -409,12 +409,14 @@ def run_karman_fast(
 
     def _run_chunk(n):
         nonlocal U, P, dt, Um1, dtp
+        # dt_max rides along as a TRACED scalar: dt-cap sweeps (e.g. the
+        # shedding dt-ladder) reuse the compiled scan program
         if stepper.bdf2:
             U, P, dt, tel, (Um1, dtp) = stepper.run(
-                U, P, dt, n_steps=n, Um1=Um1, dtp0=dtp
+                U, P, dt, n_steps=n, Um1=Um1, dtp0=dtp, dt_max=dt_max
             )
         else:
-            U, P, dt, tel = stepper.run(U, P, dt, n_steps=n)
+            U, P, dt, tel = stepper.run(U, P, dt, n_steps=n, dt_max=dt_max)
         return tel
 
     import time as _time

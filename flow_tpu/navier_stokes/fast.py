@@ -280,14 +280,28 @@ class FastStepper:
         return p1, sinfo.iters
 
     # -- scan loop with on-device CFL dt controller --------------------------
-    def _run_impl(self, U, P, dt0, n_steps, Fq=None, Um1=None, dtp0=None):
+    def _run_impl(
+        self, U, P, dt0, n_steps, Fq=None, Um1=None, dtp0=None,
+        dt_max=None, cfl_target=None,
+    ):
         """n_steps fused steps. For BDF2 the carry additionally holds the
         previous state/step (Um1, dtp); pass them to chain checkpointed
         segments at full second order (defaults re-bootstrap: Um1=U, dtp=dt0
         makes the first step a backward-Euler-like consistent step). BDF2
-        returns a 5th element (Um1, dtp) for the next segment."""
+        returns a 5th element (Um1, dtp) for the next segment.
+
+        dt_max/cfl_target override the constructor values as TRACED scalars
+        — changing them between runs does not recompile the scan program."""
         if self.bdf2:
-            return self._run_impl_bdf2(U, P, dt0, n_steps, Fq, Um1, dtp0)
+            return self._run_impl_bdf2(
+                U, P, dt0, n_steps, Fq, Um1, dtp0, dt_max, cfl_target
+            )
+        dt_cap = jnp.asarray(
+            self.dt_max if dt_max is None else dt_max, dtype=U.dtype
+        )
+        cfl = jnp.asarray(
+            self.cfl_target if cfl_target is None else cfl_target, dtype=U.dtype
+        )
 
         def body(carry, _):
             U, P, dt, t = carry
@@ -297,9 +311,9 @@ class FastStepper:
             # /root/reference/tests/test_karman_vortex_street.py:261-287,
             # computed on device)
             umax = jnp.sqrt(jnp.max(jnp.sum(U1 * U1, axis=1)))
-            target_dt = self.cfl_target * self.hmax / jnp.maximum(umax, 1e-30)
+            target_dt = cfl * self.hmax / jnp.maximum(umax, 1e-30)
             dt_new = jnp.minimum(
-                self.dt_max,
+                dt_cap,
                 dt * jnp.minimum(2.0, 1.0 + 0.5 * (target_dt - dt) / dt),
             )
             out = {
@@ -333,20 +347,29 @@ class FastStepper:
         )
         return U, P, dt, telemetry
 
-    def _run_impl_bdf2(self, U, P, dt0, n_steps, Fq=None, Um1=None, dtp0=None):
+    def _run_impl_bdf2(
+        self, U, P, dt0, n_steps, Fq=None, Um1=None, dtp0=None,
+        dt_max=None, cfl_target=None,
+    ):
         if Um1 is None:
             Um1 = U
         if dtp0 is None:
             dtp0 = dt0
+        dt_cap = jnp.asarray(
+            self.dt_max if dt_max is None else dt_max, dtype=U.dtype
+        )
+        cfl = jnp.asarray(
+            self.cfl_target if cfl_target is None else cfl_target, dtype=U.dtype
+        )
 
         def body(carry, _):
             U, Um1, P, dt, dtp, t = carry
             U1, P1, stats = self._step_impl_bdf2(U, Um1, P, dt, dtp, Fq)
             t = t + dt
             umax = jnp.sqrt(jnp.max(jnp.sum(U1 * U1, axis=1)))
-            target_dt = self.cfl_target * self.hmax / jnp.maximum(umax, 1e-30)
+            target_dt = cfl * self.hmax / jnp.maximum(umax, 1e-30)
             dt_new = jnp.minimum(
-                self.dt_max,
+                dt_cap,
                 dt * jnp.minimum(2.0, 1.0 + 0.5 * (target_dt - dt) / dt),
             )
             out = {
