@@ -53,6 +53,13 @@ class Geometry:
     stiffness geometric factor. Works for 2-D triangles and 3-D tets."""
 
     def __init__(self, mesh):
+        # one-time per-mesh setup: keep it off the (remote-compiling) TPU
+        from ..utils.hostsetup import setup_on_cpu
+
+        with setup_on_cpu():
+            self._build(mesh)
+
+    def _build(self, mesh):
         p = mesh.points
         c = mesh.cells
         dim = getattr(mesh, "dim", 2)
@@ -302,6 +309,12 @@ class BoundaryTab:
     """
 
     def __init__(self, space: FunctionSpace, rule_degree=4):
+        from ..utils.hostsetup import setup_on_cpu
+
+        with setup_on_cpu():
+            self._build(space, rule_degree)
+
+    def _build(self, space: FunctionSpace, rule_degree):
         mesh = space.mesh
         dtype = mesh.dtype
         s, w1 = quadrature.edge_rule(rule_degree)
@@ -398,6 +411,12 @@ class BoundaryFaceTab:
     )
 
     def __init__(self, space: FunctionSpace, rule_degree=4):
+        from ..utils.hostsetup import setup_on_cpu
+
+        with setup_on_cpu():
+            self._build(space, rule_degree)
+
+    def _build(self, space: FunctionSpace, rule_degree):
         mesh = space.mesh
         assert getattr(mesh, "dim", 2) == 3
         dtype = mesh.dtype

@@ -92,4 +92,7 @@ def combine_bcs(space: FunctionSpace, bcs):
                 mask[bc.dofs, bc.component] = 1.0
                 vals[bc.dofs, bc.component] = v.reshape(-1)
     dt = space.mesh.dtype
-    return jnp.asarray(mask, dtype=dt), jnp.asarray(vals, dtype=dt)
+    from ..utils.hostsetup import setup_on_cpu
+
+    with setup_on_cpu():
+        return jnp.asarray(mask, dtype=dt), jnp.asarray(vals, dtype=dt)

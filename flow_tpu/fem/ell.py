@@ -88,8 +88,10 @@ def ell_stiffness(space: FunctionSpace, geom, coeff=None) -> ELLMatrix:
     """Assembled stiffness K_ij = int c grad(phi_i).grad(phi_j) as ELL
     (identical values to assembly.stiffness_apply — exact factored tensors)."""
     from . import assembly
+    from ..utils.hostsetup import setup_on_cpu
 
-    loc = assembly.stiffness_local(space, geom, coeff=coeff)
+    with setup_on_cpu():
+        loc = assembly.stiffness_local(space, geom, coeff=coeff)
     return ell_from_local(space, np.asarray(loc))
 
 

@@ -35,7 +35,18 @@ def interpolate(f, space: FunctionSpace) -> Function:
 
 
 def project(f, space: FunctionSpace, rtol=1e-14, maxiter=2000) -> Function:
-    """L2 projection: solve M x = (f, phi_i) by Jacobi-preconditioned CG."""
+    """L2 projection: solve M x = (f, phi_i) by Jacobi-preconditioned CG.
+
+    Runs on the host CPU backend: projection is setup work (initial/boundary
+    data), and its unique shapes would each cold-compile on the TPU tunnel.
+    """
+    from ..utils.hostsetup import setup_on_cpu
+
+    with setup_on_cpu():
+        return _project_impl(f, space, rtol, maxiter)
+
+
+def _project_impl(f, space: FunctionSpace, rtol, maxiter) -> Function:
     geom = assembly.geometry(space.mesh)
     tab = assembly.tabulation(space, 2 * space.degree + 2)
     xq = geom.physical_points(tab.ref_pts)  # [nc,nq,2]

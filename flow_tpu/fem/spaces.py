@@ -25,6 +25,14 @@ __all__ = ["FunctionSpace", "VectorFunctionSpace", "Function", "SubSpace"]
 
 class FunctionSpace:
     def __init__(self, mesh: Mesh, degree: int, n_components: int = 1):
+        # index-structure construction is host work; the jnp mirrors are
+        # created on the CPU backend (see utils/hostsetup.py)
+        from ..utils.hostsetup import setup_on_cpu
+
+        with setup_on_cpu():
+            self._build(mesh, degree, n_components)
+
+    def _build(self, mesh: Mesh, degree: int, n_components: int):
         assert degree in (1, 2)
         self.mesh = mesh
         self.degree = degree

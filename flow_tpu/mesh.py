@@ -112,16 +112,22 @@ class Mesh:
         self.boundary_normals_np = normals
         self.boundary_lengths_np = lengths
 
-        # device arrays
-        self.points = jnp.asarray(points, dtype=dtype)
-        self.cells = jnp.asarray(cells)
-        self.edges = jnp.asarray(self.edges_np)
-        self.cell_edges = jnp.asarray(cell_edges)
-        self.boundary_edges = jnp.asarray(bnd_edge_ids)
-        self.boundary_cells = jnp.asarray(boundary_cells)
-        self.boundary_local = jnp.asarray(boundary_local)
-        self.boundary_normals = jnp.asarray(normals, dtype=dtype)
-        self.boundary_lengths = jnp.asarray(lengths, dtype=dtype)
+        # device arrays — created on the host CPU backend: setup-time eager
+        # consumers (geometry, tabulations, adjacency) then stay off the TPU
+        # tunnel (whose per-op dispatch/transfer cost is enormous); jitted
+        # hot-path programs move them to the accelerator once as constants
+        from .utils.hostsetup import setup_on_cpu
+
+        with setup_on_cpu():
+            self.points = jnp.asarray(points, dtype=dtype)
+            self.cells = jnp.asarray(cells)
+            self.edges = jnp.asarray(self.edges_np)
+            self.cell_edges = jnp.asarray(cell_edges)
+            self.boundary_edges = jnp.asarray(bnd_edge_ids)
+            self.boundary_cells = jnp.asarray(boundary_cells)
+            self.boundary_local = jnp.asarray(boundary_local)
+            self.boundary_normals = jnp.asarray(normals, dtype=dtype)
+            self.boundary_lengths = jnp.asarray(lengths, dtype=dtype)
 
     @property
     def n_points(self):

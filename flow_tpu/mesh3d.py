@@ -103,10 +103,14 @@ class TetMesh:
         self.edges_np = edges.astype(np.int32)
         self.cell_edges_np = cell_edges
 
-        self.points = jnp.asarray(points, dtype=dtype)
-        self.cells = jnp.asarray(cells)
-        self.edges = jnp.asarray(self.edges_np)
-        self.cell_edges = jnp.asarray(cell_edges)
+        # device mirrors on the CPU backend (see mesh.py / utils/hostsetup.py)
+        from .utils.hostsetup import setup_on_cpu
+
+        with setup_on_cpu():
+            self.points = jnp.asarray(points, dtype=dtype)
+            self.cells = jnp.asarray(cells)
+            self.edges = jnp.asarray(self.edges_np)
+            self.cell_edges = jnp.asarray(cell_edges)
 
     @property
     def n_points(self):

@@ -68,6 +68,26 @@ class FastStepper:
         forces_probe=None,
         divergence_probe=False,
     ):
+        # setup work (context diagonals, BC masks, ELL assembly) runs on the
+        # host CPU backend — see utils/hostsetup.py
+        from ..utils.hostsetup import setup_on_cpu
+
+        with setup_on_cpu():
+            self._build_setup(
+                V, Q, u_bcs, p_bcs, rho, mu, time_step_method,
+                rotational_form, newton_tol, newton_rtol, newton_maxiter,
+                linear_rtol, ew_forcing, pressure_rtol, pressure_maxiter,
+                pressure_precond, correction_rtol, cfl_target, dt_max,
+                forces_probe, divergence_probe,
+            )
+
+    def _build_setup(
+        self, V, Q, u_bcs, p_bcs, rho, mu, time_step_method,
+        rotational_form, newton_tol, newton_rtol, newton_maxiter,
+        linear_rtol, ew_forcing, pressure_rtol, pressure_maxiter,
+        pressure_precond, correction_rtol, cfl_target, dt_max,
+        forces_probe, divergence_probe,
+    ):
         self.V, self.Q = V, Q
         self.ctx = _get_ctx(V, Q)
         self.rho = float(rho)

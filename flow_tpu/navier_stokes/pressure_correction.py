@@ -56,6 +56,12 @@ class _Context:
     """Per-(V, Q) jitted substep solvers (compile once, reuse every step)."""
 
     def __init__(self, V: FunctionSpace, Q: FunctionSpace):
+        from ..utils.hostsetup import setup_on_cpu
+
+        with setup_on_cpu():
+            self._build(V, Q)
+
+    def _build(self, V: FunctionSpace, Q: FunctionSpace):
         self.V = V
         self.Q = Q
         mesh = V.mesh

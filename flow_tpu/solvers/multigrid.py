@@ -46,6 +46,15 @@ class P1Hierarchy:
         coarse_dense_max=3000,
         lmin_ratio=0.30,
     ):
+        # hierarchy construction = dozens of small unique-shape programs
+        # (level operators, diagonals, power iterations); keep them off the
+        # remote-compiling TPU backend
+        from ..utils.hostsetup import setup_on_cpu
+
+        with setup_on_cpu():
+            self._build(meshes, bc_mask, smoother_degree, coarse_dense_max, lmin_ratio)
+
+    def _build(self, meshes, bc_mask, smoother_degree, coarse_dense_max, lmin_ratio):
         assert len(meshes) >= 1
         self.nlevels = len(meshes)
         self.neumann = bc_mask is None
