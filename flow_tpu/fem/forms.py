@@ -198,6 +198,38 @@ def skew_convection_combined_loc(V, geom, Wloc, rule_degree=5):
     return loc
 
 
+def conv_jacobian_loc(V, geom, Wloc, rule_degree=5):
+    """Element Jacobian of skew_convection_combined_loc wrt the velocity
+    dofs: d(conv_loc[e, i, a]) / d(U[j, b]) -> [nc, nl, nl, d, d]
+    (index order [e, i, j, a, b]).
+
+    Same quadrature rule as the residual, so assembling this tensor yields
+    the exact discrete volume Jacobian (the analytic replacement for
+    re-evaluating the jax.linearize tangent through the quadrature pipeline
+    on every Krylov matvec). Terms, from c(w; phi_i e_a) =
+    0.5 (w.grad w_a, phi_i) - 0.5 (w_a w, grad phi_i):
+       0.5 phi_i phi_j d_b w_a
+     + 0.5 delta_ab phi_i (w.grad phi_j)
+     - 0.5 delta_ab phi_j (w.grad phi_i)
+     - 0.5 w_a phi_j d_b phi_i
+    """
+    tab = assembly.tabulation(V, rule_degree)
+    Wq = assembly.values_at_qp(tab, Wloc)  # [e,q,d]
+    gradW = assembly.grads_at_qp(tab, geom, Wloc)  # [e,q,a,d] = dw_a/dx_d
+    wd = tab.w[None, :] * geom.detJ[:, None]
+    phi = jnp.asarray(tab.phi, dtype=Wloc.dtype)
+    dphi = jnp.asarray(tab.dphi, dtype=Wloc.dtype)
+    G = geom.G  # [e,d,k]: grad_phys[d] = G[d,k] grad_ref[k]
+    A = jnp.einsum("eqd,qmk,edk->eqm", Wq, dphi, G)  # (w.grad phi_m) at qp
+    t1 = jnp.einsum("eq,qi,qj,eqab->eijab", wd, phi, phi, gradW)
+    s23 = jnp.einsum("eq,qi,eqj->eij", wd, phi, A)
+    s23 = s23 - jnp.einsum("eq,qj,eqi->eij", wd, phi, A)
+    t4 = jnp.einsum("eq,eqa,qj,qik,ebk->eijab", wd, Wq, phi, dphi, G)
+    d = Wq.shape[-1]
+    eye = jnp.eye(d, dtype=Wloc.dtype)
+    return 0.5 * (t1 - t4 + s23[:, :, :, None, None] * eye)
+
+
 def body_force_loc(V, geom, Fq, rule_degree=6):
     tab = assembly.tabulation(V, rule_degree)
     wd = tab.w[None, :] * geom.detJ[:, None]

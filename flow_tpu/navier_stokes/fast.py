@@ -23,7 +23,7 @@ from ..fem import assembly, forms
 from ..fem.spaces import FunctionSpace
 from ..fem.bc import combine_bcs
 from ..solvers import krylov
-from .pressure_correction import _get_ctx
+from .pressure_correction import _get_ctx, CONV_RULE
 
 __all__ = ["FastStepper"]
 
@@ -67,6 +67,7 @@ class FastStepper:
         dt_max=1.0,
         forces_probe=None,
         divergence_probe=False,
+        assembled_jacobian="auto",
     ):
         # setup work (context diagonals, BC masks, ELL assembly) runs on the
         # host CPU backend — see utils/hostsetup.py
@@ -78,7 +79,7 @@ class FastStepper:
                 rotational_form, newton_tol, newton_rtol, newton_maxiter,
                 linear_rtol, ew_forcing, pressure_rtol, pressure_maxiter,
                 pressure_precond, correction_rtol, cfl_target, dt_max,
-                forces_probe, divergence_probe,
+                forces_probe, divergence_probe, assembled_jacobian,
             )
 
     def _build_setup(
@@ -86,7 +87,7 @@ class FastStepper:
         rotational_form, newton_tol, newton_rtol, newton_maxiter,
         linear_rtol, ew_forcing, pressure_rtol, pressure_maxiter,
         pressure_precond, correction_rtol, cfl_target, dt_max,
-        forces_probe, divergence_probe,
+        forces_probe, divergence_probe, assembled_jacobian,
     ):
         self.V, self.Q = V, Q
         self.ctx = _get_ctx(V, Q)
@@ -138,6 +139,33 @@ class FastStepper:
 
         self._K_Q = ell_stiffness(Q, self.ctx.geom)
 
+        # assembled momentum Jacobian (ELL, rebuilt on device once per
+        # Newton iteration): BiCGStab matvecs become row-gather ELL applies
+        # instead of full quadrature-pipeline tangent evaluations. "auto":
+        # on for 2-D implicit schemes below a memory gate (the [nc,nl,nl,d,d]
+        # element tensor + two [n,W,d,d] ELL value tables must fit alongside
+        # the solver state). The ds-term Jacobian (open-boundary stress +
+        # directional do-nothing) is NOT assembled — the Krylov operator is
+        # then an O(surface) perturbation of the exact Jacobian, which
+        # inexact Newton absorbs (residuals stay exact; see test_fast).
+        if assembled_jacobian == "auto":
+            assembled_jacobian = (
+                getattr(V.mesh, "dim", 2) == 2
+                and self.theta[1] > 0.0
+                and V.mesh.n_cells <= 600_000
+            )
+        self._mom_graph = None
+        if assembled_jacobian:
+            from ..fem.ell import ELLGraph, momentum_const_ell
+
+            g = ELLGraph(V)
+            mass_v, visc1_v, visc2_v = momentum_const_ell(V, self.ctx.geom, g)
+            dtp = V.mesh.dtype
+            self._mom_graph = g
+            self._mom_mass = jnp.asarray(mass_v, dtype=dtp)
+            self._mom_visc1 = jnp.asarray(visc1_v, dtype=dtp)
+            self._mom_visc2 = jnp.asarray(visc2_v, dtype=dtp)
+
         self.step = jax.jit(self._step_impl)
         self.run = jax.jit(self._run_impl, static_argnames=("n_steps",))
         if self.bdf2:
@@ -180,9 +208,31 @@ class FastStepper:
 
         def newton_body(state):
             x, rnorm, k, lin, eta = state
-            # linearize once per Newton iteration: Krylov then evaluates the
-            # tangent only (jvp would recompute the full primal every matvec)
-            r, Jv = jax.linearize(res_bc, x)
+            if self._mom_graph is not None:
+                # assembled-Jacobian path: one residual + one quadrature
+                # pass (convection element Jacobian) + one scatter-add per
+                # Newton iteration; every Krylov matvec is then an ELL
+                # row-gather apply
+                g = self._mom_graph
+                r = res_bc(x)
+                conv_el = forms.conv_jacobian_loc(
+                    ctx.V, ctx.geom, ctx.V.gather(x), rule_degree=CONV_RULE
+                )
+                s = (dt / rho) * w_im
+                vals = (s * rho) * g.assemble(conv_el)
+                vals = vals + (s * mu) * self._mom_visc2
+                sc = self._mom_mass + (s * mu) * self._mom_visc1
+                eye = jnp.eye(vals.shape[-1], dtype=vals.dtype)
+                vals = vals + sc[:, :, None, None] * eye
+
+                def Jv(v):
+                    return free_u * g.apply(vals, v) + self.mask_u * v
+
+            else:
+                # linearize once per Newton iteration: Krylov then evaluates
+                # the tangent only (jvp would recompute the full primal
+                # every matvec)
+                r, Jv = jax.linearize(res_bc, x)
 
             dx, sinfo = krylov.bicgstab(
                 Jv,

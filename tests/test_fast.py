@@ -145,3 +145,67 @@ def test_fast_run_divergence_probe():
     dn = np.asarray(tel["div_norm"])
     assert dn.shape == (3,)
     assert np.isfinite(dn).all() and (dn >= 0).all()
+
+
+def test_assembled_jacobian_matches_linearize():
+    # On a fully-Dirichlet problem the ds-terms hit only masked rows, so the
+    # assembled ELL Jacobian must equal the jax.linearize tangent exactly.
+    mesh, V, Q, u_bcs = _cavity(8)
+    st = FastStepper(V, Q, u_bcs, [], rho=1.0, mu=0.1, rotational_form=True)
+    assert st._mom_graph is not None
+
+    from flow_tpu.fem import forms
+    from flow_tpu.fem.bc import combine_bcs
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((V.n_dofs, 2)))
+    v = jnp.asarray(rng.standard_normal((V.n_dofs, 2)))
+    P = jnp.asarray(rng.standard_normal(Q.n_dofs))
+    dt = jnp.asarray(2.5e-2)
+    ctx = st.ctx
+    free = 1.0 - st.mask_u
+
+    def res_bc(y):
+        r = ctx._residual(y, x, None, None, P, st.rho, st.mu, dt, st.theta)
+        return free * r + st.mask_u * (y - st.val_u)
+
+    _, Jv_lin = jax.linearize(res_bc, x)
+    want = Jv_lin(v)
+
+    g = st._mom_graph
+    conv_el = forms.conv_jacobian_loc(V, ctx.geom, V.gather(x), rule_degree=5)
+    s = (dt / st.rho) * st.theta[1]
+    vals = (s * st.rho) * g.assemble(conv_el)
+    vals = vals + (s * st.mu) * st._mom_visc2
+    sc = st._mom_mass + (s * st.mu) * st._mom_visc1
+    vals = vals + sc[:, :, None, None] * jnp.eye(2, dtype=vals.dtype)
+    got = free * g.apply(vals, v) + st.mask_u * v
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-12)
+
+
+def test_assembled_jacobian_step_matches_matrix_free_open_boundary():
+    # Open outflow (free ds rows): the assembled Jacobian omits the ds-term
+    # Jacobian, so the Krylov operator is approximate — but the residual is
+    # exact, so Newton converges to the same root at tight tolerance.
+    from flow_tpu.models.karman import KarmanProblem
+
+    prob = KarmanProblem(lcar=0.15)
+    u0 = project((0.0, 0.0), prob.V)
+    p0 = project(0.0, prob.Q)
+    kw = dict(
+        rho=prob.rho, mu=prob.mu, rotational_form=True, newton_tol=1e-11,
+    )
+    st_mf = FastStepper(
+        prob.V, prob.Q, prob.u_bcs, prob.p_bcs, assembled_jacobian=False, **kw
+    )
+    st_el = FastStepper(
+        prob.V, prob.Q, prob.u_bcs, prob.p_bcs, assembled_jacobian=True, **kw
+    )
+    assert st_mf._mom_graph is None and st_el._mom_graph is not None
+    dt = jnp.asarray(1e-2)
+    U1a, P1a, stats_a = st_mf.step(u0.vector, p0.vector, dt)
+    U1b, P1b, stats_b = st_el.step(u0.vector, p0.vector, dt)
+    np.testing.assert_allclose(np.asarray(U1b), np.asarray(U1a), atol=2e-9)
+    np.testing.assert_allclose(np.asarray(P1b), np.asarray(P1a), atol=2e-8)
+    # the approximate Jacobian may cost at most a couple extra iterations
+    assert int(stats_b.newton_iters) <= int(stats_a.newton_iters) + 2
