@@ -151,47 +151,86 @@ def _measure_poisson(prob, stepper, state, reps=10):
     return ms, int(iters) // reps
 
 
-def main():
+def _run_single(lcar, n_refine, n_steps, with_axes):
+    """Measure one size; prints one JSON line (consumed by the parent)."""
     _setup_jax()
+    prob, stepper = _build(lcar, n_refine)
+    n_dofs = 2 * prob.V.n_dofs + prob.Q.n_dofs
+    sps, dtf, tel, state = _measure_steps(prob, stepper, n_steps)
+    entry = {"n_dofs": n_dofs, "steps_per_sec": round(sps, 3)}
+    if with_axes:
+        gdofs, per_apply = _measure_assembly(prob, stepper, state)
+        pms, piters = _measure_poisson(prob, stepper, state)
+        entry["assembly_gdof_s"] = round(gdofs, 3)
+        entry["poisson_ms"] = round(pms, 3)
+        entry["poisson_iters"] = piters
+    print("BENCH_ENTRY " + json.dumps(entry))
+    print(
+        f"n_dofs={n_dofs} n_cells={prob.mesh.n_cells} "
+        f"newton_iters={np.asarray(tel['newton_iters']).tolist()} "
+        f"linear_iters={np.asarray(tel['linear_iters']).tolist()} "
+        f"pressure_iters={np.asarray(tel['pressure_iters']).tolist()} "
+        f"dt_final={dtf:.3e}",
+        file=sys.stderr,
+    )
 
+
+def main():
     lcar = float(os.environ.get("BENCH_LCAR", "0.02"))
     n_steps = int(os.environ.get("BENCH_STEPS", "20"))
     mode = os.environ.get("BENCH_MODE", "karman")
 
+    if len(sys.argv) > 1 and sys.argv[1] == "--single":
+        _run_single(lcar, int(sys.argv[2]), n_steps, sys.argv[3] == "1")
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
+
     if mode == "cavity3d":
+        _setup_jax()
         _bench_cavity3d(n_steps)
         return
 
-    # candidate sizes, largest first; fall back if a size fails to build/run
+    # candidate sizes, SMALLEST first, each in its own subprocess: a device
+    # fault / OOM at a large size must not poison the sizes already measured
+    # (observed: one refine-5 'TPU device error' left the in-process client
+    # broken for every subsequent size). Headline = largest success.
     # (refine 5 = 1.92M DoF, 4 = 481k, 3 = 120k at lcar 0.02)
-    refines = [
-        int(x)
-        for x in os.environ.get("BENCH_REFINES", "5,4,3").split(",")
-    ]
+    import subprocess
+
+    refines = sorted(
+        int(x) for x in os.environ.get("BENCH_REFINES", "3,4,5").split(",")
+    )
+    per_size_timeout = float(os.environ.get("BENCH_SIZE_TIMEOUT", "2400"))
     series = {}
-    headline = None
-    for n_refine in refines:
+    headline = None  # (n_refine, entry) — largest size that succeeded
+    for i, n_refine in enumerate(refines):
         try:
-            prob, stepper = _build(lcar, n_refine)
-            n_dofs = 2 * prob.V.n_dofs + prob.Q.n_dofs
-            sps, dtf, tel, state = _measure_steps(prob, stepper, n_steps)
-            entry = {"n_dofs": n_dofs, "steps_per_sec": round(sps, 3)}
-            if headline is None:
-                gdofs, per_apply = _measure_assembly(prob, stepper, state)
-                pms, piters = _measure_poisson(prob, stepper, state)
-                entry["assembly_gdof_s"] = round(gdofs, 3)
-                entry["poisson_ms"] = round(pms, 3)
-                entry["poisson_iters"] = piters
-                headline = (n_refine, entry, tel, dtf, prob)
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--single",
+                 str(n_refine), "1"],
+                capture_output=True,
+                text=True,
+                timeout=per_size_timeout,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            sys.stderr.write(r.stderr[-2000:])
+            line = [
+                l for l in r.stdout.splitlines() if l.startswith("BENCH_ENTRY ")
+            ]
+            if not line:
+                raise RuntimeError(
+                    f"rc={r.returncode} no entry; tail={r.stdout[-200:]!r}"
+                )
+            entry = json.loads(line[-1][len("BENCH_ENTRY "):])
             series[n_refine] = entry
-            if os.environ.get("BENCH_SCALING", "1") != "1":
-                break
-        except Exception as e:  # OOM / compile failure at this size
+            headline = (n_refine, entry)
+        except Exception as e:  # OOM / compile failure / timeout at this size
             print(f"refine={n_refine} failed: {e!r}", file=sys.stderr)
             series[n_refine] = {"error": str(e)[:200]}
 
     assert headline is not None, "no benchmark size succeeded"
-    n_refine, entry, tel, dtf, prob = headline
+    n_refine, entry = headline
     baseline = 50.0  # BASELINE.json north-star: >50 steps/s @10M DoF, v5p-8
     print(
         json.dumps(
@@ -205,19 +244,11 @@ def main():
                 "work_vs_baseline": round(
                     entry["steps_per_sec"] * entry["n_dofs"] / 5.0e8, 5
                 ),
-                "assembly_gdof_s": entry["assembly_gdof_s"],
-                "poisson_ms": entry["poisson_ms"],
+                "assembly_gdof_s": entry.get("assembly_gdof_s"),
+                "poisson_ms": entry.get("poisson_ms"),
                 "series": {str(k): v for k, v in series.items()},
             }
         )
-    )
-    # diagnostics to stderr (driver only parses stdout)
-    print(
-        f"n_dofs={entry['n_dofs']} n_cells={prob.mesh.n_cells} "
-        f"newton_iters={np.asarray(tel['newton_iters']).tolist()} "
-        f"pressure_iters={np.asarray(tel['pressure_iters']).tolist()} "
-        f"dt_final={dtf:.3e}",
-        file=sys.stderr,
     )
 
 

@@ -106,15 +106,15 @@ def ell_scaled_ZtMZ(space: FunctionSpace, loc) -> ELLMatrix:
 # ---------------------------------------------------------------------------
 class ELLGraph:
     """Sparsity structure of the scalar dof-connectivity graph as padded ELL,
-    plus the (cell, i, j) -> flat ELL-slot map that lets element tensors be
-    assembled ON DEVICE with one scatter-add.
+    plus gather tables that let element tensors be assembled ON DEVICE
+    without any scatter in the compiled graph.
 
     This is what makes a per-Newton-iteration ASSEMBLED momentum Jacobian
-    viable on TPU: the graph and slot map are host-precomputed once; each
-    rebuild is `zeros.at[dest].add(element_tensor.ravel())` — O(nc*nl^2)
-    scatter work amortized over the ~2 matvecs/Krylov-iteration x O(10)
-    iterations that then run as cheap row-gather ELL applies (the TPU analog
-    of PETSc's MatSetValues+assembled AIJ inside SNES; reference Newton:
+    viable on TPU: the graph and source tables are host-precomputed once;
+    each rebuild is a handful of gathers + adds, amortized over the ~2
+    matvecs/Krylov-iteration x O(10) iterations that then run as cheap
+    row-gather ELL applies (the TPU analog of PETSc's
+    MatSetValues+assembled AIJ inside SNES; reference Newton:
     /root/reference/flow/navier_stokes/pressure_correction.py:224-254).
     """
 
@@ -142,11 +142,50 @@ class ELLGraph:
         # flat destination slot for every (cell, i, j) entry
         slot_of_uniq = (r * width + pos).astype(np.int32)
         self.dest_np = slot_of_uniq[inv].reshape(nc, nl, nl)
-        self.dest = jnp.asarray(self.dest_np)
         self.cols_np = cols_pad
         self.cols = jnp.asarray(cols_pad)
         self.n, self.width = n, width
         self.n_local = nl
+
+        # gather-based device assembly (TPU executes scatter-adds serially —
+        # measured ~100 ms per rebuild at 26k cells — so the scatter is
+        # turned into gathers, the same trick as FunctionSpace.dof_sum):
+        # each occupied ELL slot gathers its source element-tensor entries
+        # from a padded flat buffer; slots are multiplicity-split (almost
+        # all have <= 2 sources, diagonal slots have up to the dof valence);
+        # one final permutation gather lays results out in [n, W] order.
+        n_entries = nc * nl * nl
+        U = len(uniq)
+        mult = np.bincount(inv, minlength=U)
+        order2 = np.argsort(inv, kind="stable").astype(np.int64)
+        lo = mult <= 2
+        maxhi = int(mult.max()) if U else 1
+
+        def src_table_v(sel, w):
+            ids = np.nonzero(sel)[0]
+            if len(ids) == 0:
+                return ids, np.full((0, w), n_entries, dtype=np.int32)
+            sub = np.isin(inv[order2], ids)
+            src = order2[sub]
+            owner = inv[order2][sub]
+            remap = np.full(U, -1, dtype=np.int64)
+            remap[ids] = np.arange(len(ids))
+            rowpos = np.arange(len(src)) - np.concatenate(
+                [[0], np.cumsum(mult[ids])]
+            )[remap[owner]]
+            tab = np.full((len(ids), w), n_entries, dtype=np.int32)
+            tab[remap[owner], rowpos] = src
+            return ids, tab
+
+        ids_lo, tab_lo = src_table_v(lo, 2)
+        ids_hi, tab_hi = src_table_v(~lo, maxhi)
+        # permutation: concat(res_lo, res_hi, zero-pad) -> [n*W] slot order
+        perm_src = np.full(n * width, len(ids_lo) + len(ids_hi), dtype=np.int32)
+        perm_src[slot_of_uniq[ids_lo]] = np.arange(len(ids_lo))
+        perm_src[slot_of_uniq[ids_hi]] = len(ids_lo) + np.arange(len(ids_hi))
+        self._tab_lo = jnp.asarray(tab_lo)
+        self._tab_hi = jnp.asarray(tab_hi)
+        self._perm = jnp.asarray(perm_src)
 
     def assemble_np(self, loc):
         """Host (numpy) assembly of element tensors — for constant operator
@@ -162,19 +201,22 @@ class ELLGraph:
         return flat.reshape(self.n, self.width, m, m)
 
     def assemble(self, loc):
-        """Element tensors -> padded ELL values, on device.
+        """Element tensors -> padded ELL values, on device — pure gathers
+        (multiplicity-split source tables + one permutation gather; no
+        scatter in the compiled graph).
 
         loc [nc, nl, nl]        -> vals [n, W]
         loc [nc, nl, nl, m, m]  -> vals [n, W, m, m]  (component blocks)
         """
-        if loc.ndim == 3:
-            flat = jnp.zeros(self.n * self.width, dtype=loc.dtype)
-            flat = flat.at[self.dest.ravel()].add(loc.ravel())
-            return flat.reshape(self.n, self.width)
-        m = loc.shape[-1]
-        flat = jnp.zeros((self.n * self.width, m, m), dtype=loc.dtype)
-        flat = flat.at[self.dest.ravel()].add(loc.reshape(-1, m, m))
-        return flat.reshape(self.n, self.width, m, m)
+        block = loc.shape[3:]
+        flat = loc.reshape((-1,) + block)
+        pad = jnp.zeros((1,) + block, dtype=loc.dtype)
+        flat = jnp.concatenate([flat, pad], axis=0)
+        r_lo = flat[self._tab_lo].sum(axis=1)  # [n_lo(,m,m)]
+        r_hi = flat[self._tab_hi].sum(axis=1)  # [n_hi(,m,m)]
+        cat = jnp.concatenate([r_lo, r_hi, pad], axis=0)
+        out = cat[self._perm]
+        return out.reshape((self.n, self.width) + block)
 
     def apply(self, vals, x):
         """vals [n,W] @ x [n(,m)] or vals [n,W,m,m] @ x [n,m].
@@ -235,3 +277,30 @@ def momentum_const_ell(V: FunctionSpace, geom, graph: ELLGraph):
             visc2_vals, graph.dest_np[s:e].ravel(), el.reshape(-1, d, d)
         )
     return mass_vals, visc1_vals, visc2_vals.reshape(graph.n, graph.width, d, d)
+
+
+def momentum_bnd_stress_ell_vals(V: FunctionSpace, geom, btab, graph: ELLGraph):
+    """Constant ELL values of the boundary stress-term Jacobian: the ds-term
+    mu (grad u)^T n in the momentum residual (pressure_correction.
+    _rhs_weak_bnd) is LINEAR in u, so its Jacobian
+
+        B[f, i, j, a, b] = int_facet phi_i (d_a phi_j) n_b ds
+
+    assembles once (host numpy) into the cell ELL graph [n, W, d, d]; the
+    stepper adds it scaled by the scheme/viscosity factor at runtime. (The
+    nonlinear directional do-nothing term is the only ds Jacobian left
+    out.)"""
+    phi = np.asarray(btab.phi, dtype=np.float64)
+    dphi = np.asarray(btab.dphi, dtype=np.float64)
+    wl = np.asarray(btab.wl, dtype=np.float64)
+    nrm = np.asarray(btab.normals, dtype=np.float64)
+    cells = np.asarray(btab.cells)
+    Gb = np.asarray(geom.G, dtype=np.float64)[cells]
+
+    gphi = np.einsum("fqjk,fak->fqja", dphi, Gb)
+    core = np.einsum("fq,fqi,fqja->fija", wl, phi, gphi)  # [nb,i,j,a]
+    el = core[:, :, :, :, None] * nrm[:, None, None, None, :]  # [nb,i,j,a,b]
+    d = el.shape[-1]
+    vals = np.zeros((graph.n * graph.width, d, d))
+    np.add.at(vals, graph.dest_np[cells].ravel(), el.reshape(-1, d, d))
+    return vals.reshape(graph.n, graph.width, d, d)

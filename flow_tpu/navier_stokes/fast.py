@@ -141,25 +141,34 @@ class FastStepper:
 
         # assembled momentum Jacobian (ELL, rebuilt on device once per
         # Newton iteration): BiCGStab matvecs become row-gather ELL applies
-        # instead of full quadrature-pipeline tangent evaluations. "auto":
-        # on for 2-D implicit schemes below a memory gate (the [nc,nl,nl,d,d]
-        # element tensor + two [n,W,d,d] ELL value tables must fit alongside
-        # the solver state). The ds-term Jacobian (open-boundary stress +
-        # directional do-nothing) is NOT assembled — the Krylov operator is
-        # then an O(surface) perturbation of the exact Jacobian, which
-        # inexact Newton absorbs (residuals stay exact; see test_fast).
+        # instead of quadrature-pipeline tangent evaluations. MEASURED
+        # RESULT (TPU v5e, 120k DoF): a negative trade — TPU gathers are
+        # row-count-bound (~1e8-3e8 rows/s), and the ELL apply gathers
+        # n_dofs*W (~1.3M) rows vs the tangent pipeline's nc*nl (~0.3M), so
+        # the "cheap" matvec costs 3.9 ms vs the tangent's 5.2 ms while the
+        # per-iteration rebuild adds ~32 ms and the missing do-nothing
+        # ds-Jacobian costs ~2 extra Newton iterations (net: 5.8 -> 2.7
+        # steps/s). Kept as an opt-in capability (exactness verified in
+        # test_fast); "auto" resolves to OFF. Full analysis: BENCH_NOTES.md.
         if assembled_jacobian == "auto":
-            assembled_jacobian = (
-                getattr(V.mesh, "dim", 2) == 2
-                and self.theta[1] > 0.0
-                and V.mesh.n_cells <= 600_000
-            )
+            assembled_jacobian = False
         self._mom_graph = None
         if assembled_jacobian:
-            from ..fem.ell import ELLGraph, momentum_const_ell
+            from ..fem.ell import (
+                ELLGraph,
+                momentum_const_ell,
+                momentum_bnd_stress_ell_vals,
+            )
 
             g = ELLGraph(V)
             mass_v, visc1_v, visc2_v = momentum_const_ell(V, self.ctx.geom, g)
+            if self.ctx.btab is not None:
+                # the mu (grad u)^T n ds-term is linear in u: fold its
+                # Jacobian into the constant viscous block (the residual
+                # SUBTRACTS the boundary term, hence the minus)
+                visc2_v = visc2_v - momentum_bnd_stress_ell_vals(
+                    V, self.ctx.geom, self.ctx.btab, g
+                )
             dtp = V.mesh.dtype
             self._mom_graph = g
             self._mom_mass = jnp.asarray(mass_v, dtype=dtp)

@@ -151,7 +151,10 @@ def test_assembled_jacobian_matches_linearize():
     # On a fully-Dirichlet problem the ds-terms hit only masked rows, so the
     # assembled ELL Jacobian must equal the jax.linearize tangent exactly.
     mesh, V, Q, u_bcs = _cavity(8)
-    st = FastStepper(V, Q, u_bcs, [], rho=1.0, mu=0.1, rotational_form=True)
+    st = FastStepper(
+        V, Q, u_bcs, [], rho=1.0, mu=0.1, rotational_form=True,
+        assembled_jacobian=True,
+    )
     assert st._mom_graph is not None
 
     from flow_tpu.fem import forms
