@@ -79,13 +79,37 @@ def _measure_steps(prob, stepper, n_steps):
     U = prob.V.zeros()
     P = prob.Q.zeros()
     dt0 = jnp.asarray(1.0e-4, dtype=U.dtype)
-    # warmup call compiles the scan program AND ramps dt toward CFL;
-    # the timed call reuses the compiled program (same static n_steps)
-    U, P, dtw, _ = stepper.run(U, P, dt0, n_steps=n_steps)
-    U.block_until_ready()
+    # chunk the scan so one device execution stays under ~8 s: the axon
+    # worker watchdog kills long single executions (a 20-step scan at
+    # refine-5 is a single ~300 s execution -> 'TPU device error'; every
+    # substep verified fine in isolation). Estimate steps/s from problem
+    # size, pick the largest divisor of n_steps under the cap.
+    n_dofs = 2 * prob.V.n_dofs + prob.Q.n_dofs
+    est_sps = 7.0e5 / n_dofs
+    chunk = 1
+    for c in sorted({d for d in range(1, n_steps + 1) if n_steps % d == 0}):
+        if c <= max(1.0, 8.0 * est_sps):
+            chunk = c
+
+    def run_n(U, P, dt, total):
+        tels = []
+        for _ in range(total // chunk):
+            U, P, dt, tel = stepper.run(U, P, dt, n_steps=chunk)
+            tels.append(tel)
+        # axon quirk: block_until_ready on a chain of queued executions
+        # returns early (~0.4 ms for a 70 s chain) — only an actual value
+        # readback synchronizes. dt depends on every step; pull it.
+        float(dt)
+        import jax
+
+        tel = jax.tree.map(lambda *xs: jnp.concatenate(xs), *tels)
+        return U, P, dt, tel
+
+    # warmup pass compiles the chunk program AND ramps dt toward CFL;
+    # the timed pass reuses the compiled program (same static chunk)
+    U, P, dtw, _ = run_n(U, P, dt0, n_steps)
     t0 = time.perf_counter()
-    U, P, dtf, tel = stepper.run(U, P, dtw, n_steps=n_steps)
-    U.block_until_ready()
+    U, P, dtf, tel = run_n(U, P, dtw, n_steps)
     elapsed = time.perf_counter() - t0
     return n_steps / elapsed, float(dtf), tel, (U, P)
 
@@ -197,37 +221,76 @@ def main():
     # broken for every subsequent size). Headline = largest success.
     # (refine 5 = 1.92M DoF, 4 = 481k, 3 = 120k at lcar 0.02)
     import subprocess
+    import time as _time
+
+    def wait_device_claimable(max_wait=600.0):
+        # The tunnel daemon holds the device grant for a while after a
+        # client dies abruptly (each --single child exits via os._exit);
+        # a client that claims during that window wedges FOREVER on its
+        # first op while later fresh clients succeed. Gate each size on a
+        # cheap fresh-process probe.
+        deadline = _time.time() + max_wait
+        while _time.time() < deadline:
+            try:
+                p = subprocess.run(
+                    [sys.executable, "-c",
+                     "import jax, jax.numpy as jnp;"
+                     "jnp.zeros(8).block_until_ready()"],
+                    capture_output=True,
+                    timeout=90,
+                )
+                if p.returncode == 0:
+                    return True
+            except subprocess.TimeoutExpired:
+                pass
+            _time.sleep(10)
+        return False
 
     refines = sorted(
         int(x) for x in os.environ.get("BENCH_REFINES", "3,4,5").split(",")
     )
-    per_size_timeout = float(os.environ.get("BENCH_SIZE_TIMEOUT", "2400"))
+    per_size_timeout = float(os.environ.get("BENCH_SIZE_TIMEOUT", "1500"))
     series = {}
     headline = None  # (n_refine, entry) — largest size that succeeded
     for i, n_refine in enumerate(refines):
-        try:
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--single",
-                 str(n_refine), "1"],
-                capture_output=True,
-                text=True,
-                timeout=per_size_timeout,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            sys.stderr.write(r.stderr[-2000:])
-            line = [
-                l for l in r.stdout.splitlines() if l.startswith("BENCH_ENTRY ")
-            ]
-            if not line:
-                raise RuntimeError(
-                    f"rc={r.returncode} no entry; tail={r.stdout[-200:]!r}"
+        # up to 2 attempts: the TPU tunnel client occasionally wedges during
+        # its handshake (observed: child stuck on a futex with the device
+        # responsive to fresh processes) and a device fault at one size must
+        # not sink the size (a fresh client recovers)
+        for attempt in (1, 2):
+            try:
+                if not wait_device_claimable():
+                    raise RuntimeError("TPU never became claimable")
+                log = f"/tmp/bench_single_r{n_refine}_a{attempt}.log"
+                with open(log, "w") as fh:
+                    r = subprocess.run(
+                        [sys.executable, os.path.abspath(__file__),
+                         "--single", str(n_refine), "1"],
+                        stdout=fh,
+                        stderr=subprocess.STDOUT,
+                        timeout=per_size_timeout,
+                        cwd=os.path.dirname(os.path.abspath(__file__)),
+                    )
+                out = open(log).read()
+                sys.stderr.write(out[-2000:])
+                line = [
+                    l for l in out.splitlines()
+                    if l.startswith("BENCH_ENTRY ")
+                ]
+                if not line:
+                    raise RuntimeError(
+                        f"rc={r.returncode} no entry; tail={out[-200:]!r}"
+                    )
+                entry = json.loads(line[-1][len("BENCH_ENTRY "):])
+                series[n_refine] = entry
+                headline = (n_refine, entry)
+                break
+            except Exception as e:  # OOM / compile fail / timeout / wedge
+                print(
+                    f"refine={n_refine} attempt {attempt} failed: {e!r}",
+                    file=sys.stderr,
                 )
-            entry = json.loads(line[-1][len("BENCH_ENTRY "):])
-            series[n_refine] = entry
-            headline = (n_refine, entry)
-        except Exception as e:  # OOM / compile failure / timeout at this size
-            print(f"refine={n_refine} failed: {e!r}", file=sys.stderr)
-            series[n_refine] = {"error": str(e)[:200]}
+                series[n_refine] = {"error": str(e)[:200]}
 
     assert headline is not None, "no benchmark size succeeded"
     n_refine, entry = headline

@@ -31,7 +31,14 @@ class DirichletBC:
         ncomp = self.space.n_components if self.component is None else 1
 
         vals = _eval_value(value, x, ncomp)
-        self.values = jnp.asarray(vals, dtype=self.space.mesh.dtype)
+        # keep the device mirror on the CPU backend: BC values are consumed
+        # host-side by combine_bcs (a D2H pull of an accelerator-resident
+        # array through the axon tunnel measured 140 s at refine-5)
+        from ..utils.hostsetup import setup_on_cpu
+
+        with setup_on_cpu():
+            self.values = jnp.asarray(vals, dtype=self.space.mesh.dtype)
+        self.values_np = vals
 
     def __repr__(self):
         return f"DirichletBC(n_dofs={len(self.dofs)}, component={self.component})"

@@ -133,9 +133,12 @@ class KarmanProblem:
         self.btabV = BoundaryTab(self.V, rule_degree=4)
         self.btabQ = BoundaryTab(self.Q, rule_degree=4)
         mids = self.btabV.x_np.mean(axis=1)  # [nb, 2] facet qp centroid
-        self.obstacle_facets = jnp.asarray(
-            np.asarray(obstacle(mids), dtype=np.float64), dtype=mesh.dtype
-        )
+        from ..utils.hostsetup import setup_on_cpu
+
+        with setup_on_cpu():
+            self.obstacle_facets = jnp.asarray(
+                np.asarray(obstacle(mids), dtype=np.float64), dtype=mesh.dtype
+            )
 
         self.reynolds = self.u_ref * diameter * self.rho / mu
 

@@ -42,6 +42,12 @@ class ConsistentForceProbe:
 
     def __init__(self, V: FunctionSpace, Q: FunctionSpace, where, rho, mu,
                  rule_degree=5):
+        from ..utils.hostsetup import setup_on_cpu
+
+        with setup_on_cpu():
+            self._build(V, Q, where, rho, mu, rule_degree)
+
+    def _build(self, V, Q, where, rho, mu, rule_degree):
         self.rho, self.mu = float(rho), float(mu)
         mesh = V.mesh
         dim = getattr(mesh, "dim", 2)
