@@ -85,10 +85,15 @@ def _measure_steps(prob, stepper, n_steps):
     # substep verified fine in isolation). Estimate steps/s from problem
     # size, pick the largest divisor of n_steps under the cap.
     n_dofs = 2 * prob.V.n_dofs + prob.Q.n_dofs
-    est_sps = 7.0e5 / n_dofs
+    # throughput estimate for watchdog-safe chunking. The 7e5 constant is a
+    # v5e measurement; a config slower than the calibration would produce a
+    # chunk exceeding the ~8 s watchdog and kill the whole size (ADVICE r02)
+    # — budget 6 s for margin and allow an env override for slow configs.
+    est_sps = float(os.environ.get("BENCH_EST_SPS", 0)) or 7.0e5 / n_dofs
+    budget_s = float(os.environ.get("BENCH_CHUNK_BUDGET_S", "6"))
     chunk = 1
     for c in sorted({d for d in range(1, n_steps + 1) if n_steps % d == 0}):
-        if c <= max(1.0, 8.0 * est_sps):
+        if c <= max(1.0, budget_s * est_sps):
             chunk = c
 
     def run_n(U, P, dt, total):

@@ -30,15 +30,18 @@ class DirichletBC:
         n = len(self.dofs)
         ncomp = self.space.n_components if self.component is None else 1
 
-        vals = _eval_value(value, x, ncomp)
-        # keep the device mirror on the CPU backend: BC values are consumed
-        # host-side by combine_bcs (a D2H pull of an accelerator-resident
-        # array through the axon tunnel measured 140 s at refine-5)
+        # values stay host-side numpy: they are consumed by combine_bcs on
+        # the host (a D2H pull of an accelerator-resident array through the
+        # axon tunnel measured 140 s at refine-5)
+        self.values_np = _eval_value(value, x, ncomp)
+
+    @property
+    def values(self):
+        """jnp view of the BC values (host CPU backend)."""
         from ..utils.hostsetup import setup_on_cpu
 
         with setup_on_cpu():
-            self.values = jnp.asarray(vals, dtype=self.space.mesh.dtype)
-        self.values_np = vals
+            return jnp.asarray(self.values_np, dtype=self.space.mesh.dtype)
 
     def __repr__(self):
         return f"DirichletBC(n_dofs={len(self.dofs)}, component={self.component})"
@@ -86,12 +89,12 @@ def combine_bcs(space: FunctionSpace, bcs):
         for bc in bcs:
             assert bc.space is space or bc.space.n_dofs == space.n_dofs
             mask[bc.dofs] = 1.0
-            vals[bc.dofs] = np.asarray(bc.values)
+            vals[bc.dofs] = bc.values_np
     else:
         mask = np.zeros((space.n_dofs, space.n_components))
         vals = np.zeros((space.n_dofs, space.n_components))
         for bc in bcs:
-            v = np.asarray(bc.values)
+            v = bc.values_np
             if bc.component is None:
                 mask[bc.dofs, :] = 1.0
                 vals[bc.dofs, :] = v

@@ -30,10 +30,14 @@ class ELLMatrix:
     apply(x) supports x [n] or [n, m] (component-diagonal vector apply).
     """
 
-    def __init__(self, cols, vals, dtype):
+    def __init__(self, cols, vals, dtype, valid=None):
         self.cols = jnp.asarray(cols)
         self.vals = jnp.asarray(vals, dtype=dtype)
         self.n, self.width = cols.shape
+        # slot-validity mask: padding slots carry cols==0, and row 0's
+        # padding would otherwise alias its diagonal test if external vals
+        # violate the zero-padding invariant
+        self._valid = None if valid is None else jnp.asarray(valid)
 
     def apply(self, x):
         xg = x[self.cols]  # [n, K(,m)]
@@ -44,6 +48,8 @@ class ELLMatrix:
     def diag(self):
         """Operator diagonal (for Jacobi/Chebyshev smoothers)."""
         eye = self.cols == jnp.arange(self.n, dtype=self.cols.dtype)[:, None]
+        if self._valid is not None:
+            eye = jnp.logical_and(eye, self._valid)
         return jnp.sum(jnp.where(eye, self.vals, 0.0), axis=1)
 
     def __call__(self, x):
@@ -81,7 +87,8 @@ def ell_from_local(space: FunctionSpace, loc) -> ELLMatrix:
     vals_pad = np.zeros((n, width), dtype=np.float64)
     cols_pad[r, pos] = c
     vals_pad[r, pos] = sums
-    return ELLMatrix(cols_pad, vals_pad, space.mesh.dtype)
+    valid = np.arange(width)[None, :] < counts[:, None]
+    return ELLMatrix(cols_pad, vals_pad, space.mesh.dtype, valid=valid)
 
 
 def ell_stiffness(space: FunctionSpace, geom, coeff=None) -> ELLMatrix:
@@ -128,6 +135,13 @@ class ELLGraph:
         cd = space.cell_dofs_np.astype(np.int64)
         nc, nl = cd.shape
         n = space.n_dofs
+        # the gather tables below store flat element-entry indices
+        # (0..nc*nl*nl) as int32; a 3-D P2 problem near ~200M cells would
+        # silently overflow and corrupt assembly
+        assert nc * nl * nl < 2**31, (
+            f"ELLGraph gather tables need int64: nc*nl^2 = {nc * nl * nl} "
+            f">= 2^31 (nc={nc}, nl={nl})"
+        )
         rows = np.repeat(cd, nl, axis=1).ravel()
         cols = np.tile(cd, (1, nl)).ravel()
         key = rows * n + cols
@@ -139,6 +153,9 @@ class ELLGraph:
         pos = np.arange(len(r)) - np.concatenate([[0], np.cumsum(counts)])[r]
         cols_pad = np.zeros((n, width), dtype=np.int32)
         cols_pad[r, pos] = c
+        # slot-validity mask (diag() correctness does not depend on the
+        # zero-padding invariant of externally-constructed vals)
+        self._valid = jnp.asarray(np.arange(width)[None, :] < counts[:, None])
         # flat destination slot for every (cell, i, j) entry
         slot_of_uniq = (r * width + pos).astype(np.int32)
         self.dest_np = slot_of_uniq[inv].reshape(nc, nl, nl)
@@ -203,7 +220,8 @@ class ELLGraph:
     def assemble(self, loc):
         """Element tensors -> padded ELL values, on device — pure gathers
         (multiplicity-split source tables + one permutation gather; no
-        scatter in the compiled graph).
+        scatter in the compiled graph). Padding slots come out exactly zero
+        (apply() relies on this zero-padding invariant).
 
         loc [nc, nl, nl]        -> vals [n, W]
         loc [nc, nl, nl, m, m]  -> vals [n, W, m, m]  (component blocks)
@@ -234,6 +252,7 @@ class ELLGraph:
     def diag(self, vals):
         """Block diagonal: [n] from [n,W], [n,m] from [n,W,m,m]."""
         eye = self.cols == jnp.arange(self.n, dtype=self.cols.dtype)[:, None]
+        eye = jnp.logical_and(eye, self._valid)
         if vals.ndim == 2:
             return jnp.sum(jnp.where(eye, vals, 0.0), axis=1)
         d = jnp.einsum("nkaa->nka", vals)

@@ -53,6 +53,7 @@ class KarmanProblem:
         u_in=ENTRANCE_VELOCITY,
         u_ref=None,
         outflow_velocity_bc=True,
+        snap=True,
     ):
         self.x0, self.x1, self.y0, self.y1 = x0, x1, y0, y1
         self.center = center
@@ -67,7 +68,7 @@ class KarmanProblem:
             x0, x1, y0, y1, cx=cx, cy=cy, r=r, lcar=lcar, dtype=dtype
         )
 
-        def snap(p):
+        def snap_fn(p):
             th = np.arctan2(p[:, 1] - cy, p[:, 0] - cx)
             d = np.linalg.norm(p - [cx, cy], axis=1)
             on_circ = np.abs(d - r) < 0.3 * r
@@ -77,9 +78,12 @@ class KarmanProblem:
             )
             return out
 
+        # snap=False keeps refined boundary midpoints on the coarse polygon
+        # (diagnostic: separates curved-geometry effects from the PDE
+        # discretization under refinement — scripts/stability_probe.py)
         self.mesh_hierarchy = [mesh]
         for _ in range(n_refine):
-            mesh = refine_uniform(mesh, snap_boundary=snap)
+            mesh = refine_uniform(mesh, snap_boundary=snap_fn if snap else None)
             self.mesh_hierarchy.append(mesh)
 
         self.mesh = mesh
@@ -191,7 +195,7 @@ class KarmanProblem:
         return 0.5 * self.rho * self.u_ref**2 * self.diameter
 
 
-def schafer_turek_problem(lcar=0.03, n_refine=2, dtype=None):
+def schafer_turek_problem(lcar=0.03, n_refine=2, dtype=None, snap=True):
     """DFG 2D-2 benchmark (Schaefer & Turek 1996): channel 2.2 x 0.41,
     cylinder d=0.1 at (0.2, 0.2), parabolic inflow Um=1.5 (mean 1.0),
     mu=0.001, rho=1 -> Re=100. Published values: St ~ 0.300, Cd ~ 3.22-3.24,
@@ -213,6 +217,7 @@ def schafer_turek_problem(lcar=0.03, n_refine=2, dtype=None):
         u_in=Um,
         u_ref=2.0 * Um / 3.0,
         outflow_velocity_bc=False,
+        snap=snap,
     )
 
 

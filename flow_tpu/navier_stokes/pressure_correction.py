@@ -77,6 +77,14 @@ class _Context:
             self.btabQ = BoundaryFaceTab(Q, rule_degree=6)
         dtype = mesh.dtype
 
+        # Diagnostic ablation knobs (scripts/stability_probe.py): drop
+        # individual ds-terms of rhs_weak to isolate their effect on the
+        # discrete stability of the Schafer-Turek base flow. Default: all on.
+        import os
+
+        self._ds_stress = os.environ.get("FLOW_ABLATE_BND_STRESS", "") != "1"
+        self._ds_dn = os.environ.get("FLOW_ABLATE_DN", "") != "1"
+
         geom = self.geom
         ncomp = V.n_components
         # diagonals for Jacobi preconditioning
@@ -127,8 +135,9 @@ class _Context:
         # + mu (grad u)^T n: out_a = sum_m du_m/dx_a n_m
         # (/root/reference/flow/navier_stokes/pressure_correction.py:143,
         # `mu*inner(grad(u).T*normal, v)*ds`)
-        gw = bt.grads(W, geom)  # [b,q,a,d] = du_a/dx_d
-        val = val + mu * jnp.einsum("bqma,bm->bqa", gw, bt.normals)
+        if self._ds_stress:
+            gw = bt.grads(W, geom)  # [b,q,a,d] = du_a/dx_d
+            val = val + mu * jnp.einsum("bqma,bm->bqa", gw, bt.normals)
         # directional do-nothing (Braack & Mucha): the skew-symmetric
         # convection form is the true convective term MINUS the boundary
         # flux 0.5 (w.n)(w.v) ds; restore it where the flow LEAVES
@@ -140,9 +149,10 @@ class _Context:
         # backflow by NOT injecting the incoming flux. On Dirichlet facets
         # every facet test dof is masked downstream, so applying it on all
         # facets only acts on open boundaries.
-        wb = bt.values(W)  # [b,q,m]
-        wn = jnp.einsum("bqm,bm->bq", wb, bt.normals)
-        val = val - 0.5 * rho * jnp.maximum(wn, 0.0)[:, :, None] * wb
+        if self._ds_dn:
+            wb = bt.values(W)  # [b,q,m]
+            wn = jnp.einsum("bqm,bm->bq", wb, bt.normals)
+            val = val - 0.5 * rho * jnp.maximum(wn, 0.0)[:, :, None] * wb
         return bt.integrate_rhs(val)
 
     def _residual(self, Ui, U0, Fq_expl, Fq_impl, P0, rho, mu, dt, theta_explicit):

@@ -218,6 +218,16 @@ def test_problem_catalog_consistency():
         assert mesh.n_cells > 0
 
 
+def test_chorin_flat_quick():
+    # the one NS time-order MMS test in the DEFAULT gate (VERDICT r02 weak
+    # #3): coarsest-grid Chorin x flat — cheap (<1 min) but still exercises
+    # the full projection step + order harness, so a time-accuracy
+    # regression cannot sail through `make test`
+    assert_time_order(
+        problem_flat, navsto.Chorin(), Dt=[1.0e-3, 0.5e-3], mesh_sizes=[16]
+    )
+
+
 @pytest.mark.parametrize(
     "problem", [problem_flat, problem_guermond1, problem_guermond2]
 )
