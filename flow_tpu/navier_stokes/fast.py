@@ -68,6 +68,7 @@ class FastStepper:
         forces_probe=None,
         divergence_probe=False,
         assembled_jacobian="auto",
+        hoist_constants=True,
     ):
         # setup work (context diagonals, BC masks, ELL assembly) runs on the
         # host CPU backend — see utils/hostsetup.py
@@ -80,6 +81,7 @@ class FastStepper:
                 linear_rtol, ew_forcing, pressure_rtol, pressure_maxiter,
                 pressure_precond, correction_rtol, cfl_target, dt_max,
                 forces_probe, divergence_probe, assembled_jacobian,
+                hoist_constants,
             )
 
     def _build_setup(
@@ -88,6 +90,7 @@ class FastStepper:
         linear_rtol, ew_forcing, pressure_rtol, pressure_maxiter,
         pressure_precond, correction_rtol, cfl_target, dt_max,
         forces_probe, divergence_probe, assembled_jacobian,
+        hoist_constants=True,
     ):
         self.V, self.Q = V, Q
         self.ctx = _get_ctx(V, Q)
@@ -176,9 +179,51 @@ class FastStepper:
             self._mom_visc2 = jnp.asarray(visc2_v, dtype=dtp)
 
         self.step = jax.jit(self._step_impl)
-        self.run = jax.jit(self._run_impl, static_argnames=("n_steps",))
+        # run: the scan program. Default path hoists every closed-over
+        # constant (mesh index tables, ELL values, boundary tabs, geometry
+        # factors) into jit ARGUMENTS (utils/hoist.py): at refine-6+ the
+        # embedded-constant program exceeds the remote-compile request cap
+        # (HTTP 413, BENCH_NOTES round-2), and hoisting also removes
+        # per-program constant re-uploads. FLOW_NO_HOIST=1 or
+        # hoist_constants=False restores plain jit.
+        import os as _os
+
+        self._hoist_cache = {}
+        self.hoist_constants = (
+            hoist_constants and _os.environ.get("FLOW_NO_HOIST", "") != "1"
+        )
+        self._run_jit = jax.jit(self._run_impl, static_argnames=("n_steps",))
+        self.run = self._run_hoisted if self.hoist_constants else self._run_jit
         if self.bdf2:
             self.step_bdf2 = jax.jit(self._step_impl_bdf2)
+
+    def _run_hoisted(
+        self, U, P, dt0, n_steps, Fq=None, Um1=None, dtp0=None,
+        dt_max=None, cfl_target=None,
+    ):
+        from ..utils.hoist import HoistedFunction
+
+        opt = {
+            "Fq": Fq, "Um1": Um1, "dtp0": dtp0,
+            "dt_max": dt_max, "cfl_target": cfl_target,
+        }
+        names = tuple(k for k, v in opt.items() if v is not None)
+        args = (U, P, dt0) + tuple(opt[k] for k in names)
+        sig = tuple(
+            (jnp.shape(a), str(jnp.result_type(a))) for a in jax.tree.leaves(args)
+        )
+        key = (n_steps, names, sig)
+        hf = self._hoist_cache.get(key)
+        if hf is None:
+
+            def g(U, P, dt0, *rest):
+                return self._run_impl(
+                    U, P, dt0, n_steps, **dict(zip(names, rest))
+                )
+
+            hf = HoistedFunction(g, args)
+            self._hoist_cache[key] = hf
+        return hf(*args)
 
     # -- BDF2 as a backward-Euler step from a modified state ---------------
     @staticmethod
