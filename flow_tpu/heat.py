@@ -120,6 +120,7 @@ class Heat:
         self.A_loc = A_loc
         self.b_vec = V.dof_sum(b_loc)
         self.mask, self.bc_vals = combine_bcs(V, bcs)
+        self._lu_cache = {}  # (alpha, beta) -> factorized sparse operator
 
     # -- operator actions -----------------------------------------------------
     def _apply_loc(self, loc, u):
@@ -138,10 +139,18 @@ class Heat:
         beta = float(beta)
         return alpha * self.M_apply(uvec) + beta * (self.A_apply(uvec) + self.b_vec)
 
-    def solve_alpha_M_beta_F(self, alpha, beta, b, t):
+    def solve_alpha_M_beta_F(self, alpha, beta, b, t, solver="direct"):
         """Solve (alpha M + beta A) u = b - beta*b_vec with Dirichlet rows
         replaced (row-replacement semantics of dolfin bc.apply,
-        reference heat.py:113-121)."""
+        reference heat.py:113-121).
+
+        solver='direct' (default): dense LU below DENSE_THRESHOLD, cached
+        sparse LU above — the reference's own choice ("Krylov doesn't
+        converge" for convection-dominated systems, heat.py:116-121); the
+        factorization is host-side setup work reused across time steps with
+        the same (alpha, beta). solver='gmres': the matrix-free
+        Jacobi-GMRES path (jit-compatible; fragile when convection
+        dominates at large scale)."""
         alpha = float(alpha)
         beta = float(beta)
         S_loc = alpha * self.M_loc + beta * self.A_loc
@@ -149,7 +158,7 @@ class Heat:
         mask, vals = self.mask, self.bc_vals
         rhs = (1.0 - mask) * rhs + mask * vals
 
-        if self.V.n_dofs <= DENSE_THRESHOLD:
+        if solver == "direct" and self.V.n_dofs <= DENSE_THRESHOLD:
             from .fem import dense
 
             S = dense.scalar_dense(self.V, S_loc)
@@ -157,7 +166,13 @@ class Heat:
             S[m, :] = 0.0
             S[m, m] = 1.0
             x = jnp.asarray(np.linalg.solve(S, np.asarray(rhs)))
+        elif solver == "direct":
+            lu = self._sparse_lu(alpha, beta, S_loc)
+            x = jnp.asarray(
+                lu.solve(np.asarray(rhs, dtype=np.float64)), dtype=rhs.dtype
+            )
         else:
+            assert solver == "gmres"
             free = 1.0 - mask
 
             def op(x):
@@ -175,3 +190,31 @@ class Heat:
             if not bool(sinfo.converged):
                 raise RuntimeError("Heat solve did not converge")
         return Function(self.V, x)
+
+    def _sparse_lu(self, alpha, beta, S_loc):
+        """Cached scipy splu of the BC-constrained operator (host-side
+        setup work, like all one-time assembly; reused every step with the
+        same (alpha, beta) — the parabolic steppers call with fixed
+        coefficients)."""
+        key = (alpha, beta)
+        lu = self._lu_cache.get(key)
+        if lu is None:
+            import scipy.sparse
+            import scipy.sparse.linalg
+
+            cd = self.V.cell_dofs_np.astype(np.int64)
+            nl = cd.shape[1]
+            n = self.V.n_dofs
+            rows = np.repeat(cd, nl, axis=1).ravel()
+            cols = np.tile(cd, (1, nl)).ravel()
+            vals = np.asarray(S_loc, dtype=np.float64).ravel()
+            S = scipy.sparse.csr_matrix(
+                (vals, (rows, cols)), shape=(n, n)
+            )
+            m = np.asarray(self.mask) == 1.0
+            # Dirichlet row replacement: zero the rows, unit diagonal
+            D = scipy.sparse.diags(np.where(m, 0.0, 1.0))
+            S = D @ S + scipy.sparse.diags(m.astype(np.float64))
+            lu = scipy.sparse.linalg.splu(S.tocsc())
+            self._lu_cache[key] = lu
+        return lu

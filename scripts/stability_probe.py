@@ -92,6 +92,8 @@ def make_stepper(prob, method, tight):
             pressure_rtol=1.0e-10,
             correction_rtol=1.0e-10,
         )
+    if os.environ.get("SP_NEWTON_MAXIT"):
+        kw["newton_maxiter"] = int(os.environ["SP_NEWTON_MAXIT"])
     st = FastStepper(
         prob.V, prob.Q, prob.u_bcs, prob.p_bcs, prob.rho, prob.mu, **kw
     )
