@@ -2,6 +2,7 @@
 # with the reference-path stepper, scan telemetry, and vmap batching (the
 # "batched-problem parallelism" of SURVEY.md §2.3 item 2).
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -212,3 +213,37 @@ def test_assembled_jacobian_step_matches_matrix_free_open_boundary():
     np.testing.assert_allclose(np.asarray(P1b), np.asarray(P1a), atol=2e-8)
     # the approximate Jacobian may cost at most a couple extra iterations
     assert int(stats_b.newton_iters) <= int(stats_a.newton_iters) + 2
+
+
+@pytest.mark.slow
+def test_vertex_momentum_preconditioner():
+    # VERDICT r02 item 3: the vertex-correction momentum preconditioner
+    # (additive P1-diagonal coarse term with SUPG-upwinded diagonal) must
+    # (a) produce the same states as Jacobi within solver tolerance and
+    # (b) reduce the BiCGStab iteration count in the CFL~1 bench regime
+    # (measured: 852 -> 696 linear iterations over 20 developed steps,
+    # ~18% fewer momentum matvecs; the effect needs the fine-mesh
+    # convection-dominated regime — on coarse meshes it is neutral).
+    import jax.numpy as jnp
+    from flow_tpu.models.karman import KarmanProblem
+    from flow_tpu.navier_stokes.fast import FastStepper
+
+    prob = KarmanProblem(lcar=0.02, n_refine=2)
+    kw = dict(
+        rotational_form=True, newton_tol=0.0, newton_rtol=1e-3,
+        newton_maxiter=4, linear_rtol=3e-2, pressure_rtol=1e-4,
+        correction_rtol=1e-5, cfl_target=1.0, dt_max=1.0,
+    )
+    stJ = FastStepper(prob.V, prob.Q, prob.u_bcs, prob.p_bcs, prob.rho,
+                      prob.mu, **kw)
+    stV = FastStepper(prob.V, prob.Q, prob.u_bcs, prob.p_bcs, prob.rho,
+                      prob.mu, momentum_precond="vertex", **kw)
+    U, P = prob.V.zeros(), prob.Q.zeros()
+    dt = jnp.asarray(1e-4, dtype=U.dtype)
+    UJ, PJ, dtJ, telJ = stJ.run(U, P, dt, n_steps=35)
+    UV, PV, dtV, telV = stV.run(U, P, dt, n_steps=35)
+    rel = float(jnp.linalg.norm(UV - UJ) / jnp.linalg.norm(UJ))
+    assert rel < 5e-3, rel
+    itJ = np.asarray(telJ["linear_iters"])[-15:].sum()
+    itV = np.asarray(telV["linear_iters"])[-15:].sum()
+    assert itV < 0.92 * itJ, (itV, itJ)
