@@ -19,7 +19,9 @@ from __future__ import annotations
 
 from typing import NamedTuple, Callable, Optional
 
+import jax
 import jax.numpy as jnp
+import jax.scipy.linalg
 from jax import lax
 
 __all__ = ["SolveInfo", "cg", "bicgstab", "minres", "gmres"]
@@ -288,24 +290,129 @@ def gmres(
     atol=0.0,
     maxiter=1000,
     restart=40,
+    dot: Optional[Callable] = None,
 ):
-    """Restarted GMRES(m) with left preconditioning, via jax.scipy."""
-    import jax.scipy.sparse.linalg as jsla
+    """Restarted GMRES(m), first-class implementation (replaces the earlier
+    jax.scipy delegate, which reported iters=-1).
 
-    x0 = jnp.zeros_like(b) if x0 is None else x0
-    x, _ = jsla.gmres(
-        A,
-        b,
-        x0=x0,
-        tol=rtol,
-        atol=atol,
-        maxiter=maxiter,
-        restart=restart,
-        M=M,
-        solve_method="batched",
-    )
-    r = b - A(x)
-    rnorm = jnp.sqrt(_dot(r, r))
-    bnorm = jnp.sqrt(_dot(b, b))
+    RIGHT preconditioning (A M z = b, x = M z): the Givens-rotation
+    recurrence then tracks the TRUE residual norm, matching this module's
+    unpreconditioned stopping convention. Arnoldi uses batched modified
+    Gram-Schmidt — the basis lives as one [m+1, N] matrix so each
+    orthogonalization is a single MXU matmul against the full (masked)
+    basis rather than a j-term loop. Fixed shapes throughout; inner and
+    outer loops are lax.while_loops. `dot` overrides the inner product for
+    SPMD-partitioned vectors (psum-reducing, as in bicgstab)."""
+    M = M or _identity
+    _dot_ = dot or _dot
+    x = jnp.zeros_like(b) if x0 is None else x0
+    dtype = b.dtype
+    shape = b.shape
+    N = b.size
+    m = int(restart)
+
+    bnorm = jnp.sqrt(_dot_(b, b))
     target = jnp.maximum(rtol * bnorm, atol)
-    return x, SolveInfo(jnp.array(-1), rnorm, rnorm <= target)
+
+    def flat(v):
+        return v.reshape(N)
+
+    def unflat(v):
+        return v.reshape(shape)
+
+    def dotf(u, v):
+        return _dot_(unflat(u), unflat(v))
+
+    r0 = b - A(x)
+    rnorm0 = jnp.sqrt(_dot_(r0, r0))
+
+    def inner(x, r, beta):
+        """One restart cycle from residual r (norm beta). Returns
+        (x_new, rnorm, n_iters)."""
+        V = jnp.zeros((m + 1, N), dtype=dtype)
+        V = V.at[0].set(flat(r) / _nz(beta))
+        H = jnp.zeros((m + 1, m), dtype=dtype)
+        cs = jnp.zeros(m, dtype=dtype)
+        sn = jnp.zeros(m, dtype=dtype)
+        g = jnp.zeros(m + 1, dtype=dtype).at[0].set(beta)
+
+        def cond(s):
+            V, H, cs, sn, g, j, brk = s
+            return (j < m) & (jnp.abs(g[j]) > target) & (~brk)
+
+        def body(s):
+            V, H, cs, sn, g, j, brk = s
+            w = flat(A(M(unflat(V[j]))))
+            # batched MGS: project against the whole stored basis; rows
+            # > j are zero so the mask is implicit in V itself
+            h = V @ w  # [m+1]
+            rowmask = jnp.arange(m + 1) <= j
+            h = jnp.where(rowmask, h, 0.0)
+            w = w - h @ V
+            # one re-orthogonalization pass (classical DGKS condition
+            # skipped — fixed single pass keeps shapes/trace static and is
+            # the standard practical choice)
+            h2 = jnp.where(rowmask, V @ w, 0.0)
+            w = w - h2 @ V
+            h = h + h2
+            hj1 = jnp.sqrt(dotf(w, w))
+            brk = hj1 <= jnp.finfo(dtype).tiny * 10.0
+            V = V.at[j + 1].set(jnp.where(brk, 0.0, w / _nz(hj1)))
+
+            # apply the accumulated Givens rotations to the new column
+            col = h.at[j + 1].set(hj1)
+
+            def rot(i, c):
+                ci, si = cs[i], sn[i]
+                hi, hi1 = c[i], c[i + 1]
+                c = c.at[i].set(ci * hi + si * hi1)
+                c = c.at[i + 1].set(-si * hi + ci * hi1)
+                return c
+
+            col = lax.fori_loop(0, j, rot, col)
+            denom = _nz(jnp.sqrt(col[j] ** 2 + hj1**2))
+            cj = col[j] / denom
+            sj = hj1 / denom
+            cs = cs.at[j].set(cj)
+            sn = sn.at[j].set(sj)
+            col = col.at[j].set(cj * col[j] + sj * hj1)
+            col = col.at[j + 1].set(0.0)
+            H = H.at[:, j].set(col)
+            g = g.at[j + 1].set(-sj * g[j])
+            g = g.at[j].set(cj * g[j])
+            return (V, H, cs, sn, g, j + 1, brk)
+
+        V, H, cs, sn, g, j, brk = lax.while_loop(
+            cond, body, (V, H, cs, sn, g, jnp.array(0), jnp.array(False))
+        )
+
+        # solve the (padded) upper-triangular system H[:m,:m] y = g[:m]:
+        # unused columns get unit diagonal and zero rhs so the dense solve
+        # is exact for the first j unknowns
+        colmask = jnp.arange(m) < j
+        Hm = jnp.where(colmask[None, :] & colmask[:, None], H[:m, :m], 0.0)
+        Hm = Hm + jnp.diag(jnp.where(colmask, 0.0, jnp.ones(m, dtype=dtype)))
+        gm = jnp.where(colmask, g[:m], 0.0)
+        y = jax.scipy.linalg.solve_triangular(Hm, gm, lower=False)
+        dx = y @ V[:m]
+        x = x + M(unflat(dx))
+        return x, jnp.abs(g[j]), j
+
+    def outer_cond(s):
+        x, rnorm, k, it_prev = s
+        return (rnorm > target) & (k < maxiter) & (it_prev != 0)
+
+    def outer_body(s):
+        x, rnorm, k, _ = s
+        r = b - A(x)
+        beta = jnp.sqrt(_dot_(r, r))
+        x, rn, j = inner(x, r, beta)
+        return (x, rn, k + j, j)
+
+    x, rnorm, iters, _ = lax.while_loop(
+        outer_cond, outer_body, (x, rnorm0, jnp.array(0), jnp.array(-1))
+    )
+    # true residual (the Givens estimate can drift over restarts)
+    rtrue = b - A(x)
+    rnorm = jnp.sqrt(_dot_(rtrue, rtrue))
+    return x, SolveInfo(iters, rnorm, rnorm <= target)
