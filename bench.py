@@ -51,6 +51,9 @@ def _build(lcar, n_refine):
         prob.p_bcs,
         prob.rho,
         prob.mu,
+        # BENCH_MOMENTUM_PRECOND=vertex enables the SUPG-diagonal vertex
+        # correction (A/B measured on the real chip; see BENCH_NOTES r03)
+        momentum_precond=os.environ.get("BENCH_MOMENTUM_PRECOND") or None,
         rotational_form=True,
         # f32 benchmark tolerances (physics-accuracy checked in the f64
         # suite). Inexact Newton: a loose inner solve with one extra outer
@@ -79,6 +82,21 @@ def _measure_steps(prob, stepper, n_steps):
     U = prob.V.zeros()
     P = prob.Q.zeros()
     dt0 = jnp.asarray(1.0e-4, dtype=U.dtype)
+
+    # granular (host-orchestrated) mode: at >=7.6M DoF one fused step
+    # exceeds the tunnel worker's ~10 s execution watchdog — run one
+    # bounded execution per Newton iteration / pressure / correction
+    # instead (BENCH_GRANULAR=1 or automatically above 4M DoF)
+    n_dofs_g = 2 * prob.V.n_dofs + prob.Q.n_dofs
+    granular = os.environ.get("BENCH_GRANULAR")
+    if granular is None:
+        granular = "1" if n_dofs_g > 4_000_000 else "0"
+    if granular == "1":
+        U, P, dtw, _ = stepper.run_granular(U, P, 1.0e-4, n_steps=n_steps)
+        t0 = time.perf_counter()
+        U, P, dtf, tel = stepper.run_granular(U, P, dtw, n_steps=n_steps)
+        elapsed = time.perf_counter() - t0
+        return n_steps / elapsed, float(dtf), tel, (U, P)
     # chunk the scan so one device execution stays under ~8 s: the axon
     # worker watchdog kills long single executions (a 20-step scan at
     # refine-5 is a single ~300 s execution -> 'TPU device error'; every

@@ -517,6 +517,134 @@ class FastStepper:
             )
         return p1, sinfo.iters
 
+    # -- granular (host-orchestrated) stepping -------------------------------
+    # One device execution per Newton iteration / pressure solve / velocity
+    # correction, with bounded inner Krylov iteration caps. At >=7.6M DoF a
+    # single fused step exceeds the remote worker's ~10 s execution watchdog
+    # (a 13 s execution is killed); splitting at substep granularity keeps
+    # every execution under the cap at ~1 ms/call host dispatch cost —
+    # negligible against multi-second kernels. Also the preemption-friendly
+    # serving mode: state is host-visible between substeps.
+    def _gran_cached(self, name, fn, *args):
+        from ..utils.hoist import HoistedFunction
+
+        key = (name,) + tuple(
+            (jnp.shape(a), str(jnp.result_type(a))) for a in jax.tree.leaves(args)
+        )
+        hf = self._hoist_cache.get(key)
+        if hf is None:
+            hf = HoistedFunction(fn, args)
+            self._hoist_cache[key] = hf
+        return hf(*args)
+
+    def _gran_newton_iter(self, x, U, P, dt, kry_maxiter):
+        ctx = self.ctx
+        rho, mu = self.rho, self.mu
+        free_u = 1.0 - self.mask_u
+
+        def res_bc(z):
+            r = ctx._residual(z, U, None, None, P, rho, mu, dt, self.theta)
+            return free_u * r + self.mask_u * (z - self.val_u)
+
+        w_im = self.theta[1]
+        diag = ctx.mass_diag_V + (dt / rho) * w_im * (2.0 * mu) * ctx.stiff_diag_V
+        diag = free_u * diag + self.mask_u
+        if self.momentum_precond == "vertex":
+            M_mom = self._vertex_precond_M(U, dt, free_u, diag)
+        else:
+            M_mom = lambda t: t / diag
+        r, Jv = jax.linearize(res_bc, x)
+        dx, sinfo = krylov.bicgstab(
+            Jv, -r, M=M_mom, rtol=self.linear_rtol,
+            atol=0.05 * self.newton_tol, maxiter=kry_maxiter,
+        )
+        x1 = x + dx
+        r1 = res_bc(x1)
+        return x1, jnp.sqrt(jnp.sum(r1 * r1)), sinfo.iters
+
+    def step_granular(self, U, P, dt, kry_maxiter=10):
+        """One projection step as a sequence of watchdog-sized executions.
+        Returns (U1, P1, stats-dict of host ints)."""
+        x = U
+        rnorm0 = None
+        n_newton = 0
+        lin_total = 0
+        for _ in range(self.newton_maxiter):
+            x, rnorm, li = self._gran_cached(
+                f"newton{kry_maxiter}",
+                lambda x, U, P, dt: self._gran_newton_iter(
+                    x, U, P, dt, kry_maxiter
+                ),
+                x, U, P, dt,
+            )
+            n_newton += 1
+            lin_total += int(li)
+            rn = float(rnorm)
+            if rnorm0 is None:
+                # the target mirrors _step_impl: absolute OR relative to the
+                # FIRST post-update residual (a conservative stand-in for
+                # the initial residual, which granular mode never evaluates
+                # separately — one fewer execution)
+                rnorm0 = rn
+            if rn <= max(self.newton_tol, self.newton_rtol * rnorm0):
+                break
+        Ui = x
+        P1, piters = self._gran_cached(
+            "pressure",
+            lambda Ui, P, dt: self._pressure_solve_mg(Ui, P, dt)
+            if self.pressure_precond is not None
+            else self.ctx._pressure_solve_impl(
+                Ui, P, 1.0, self.rho, dt, self.mu, self.mask_p, self.val_p,
+                self.pressure_rtol, neumann=not self.has_p_bcs,
+                rotational=self.rotational,
+            )[:2],
+            Ui, P, dt,
+        )
+        U1, citers, _ = self._gran_cached(
+            "correction",
+            lambda Ui, P1, P, dt: self.ctx._velocity_correction_impl(
+                Ui, P1, P, self.rho, self.mu, dt, self.mask_u, self.val_u,
+                self.correction_rtol, rotational=self.rotational,
+            ),
+            Ui, P1, P, dt,
+        )
+        return U1, P1, {
+            "newton_iters": n_newton,
+            "linear_iters": lin_total,
+            "pressure_iters": int(piters),
+            "correction_iters": int(citers),
+        }
+
+    def run_granular(self, U, P, dt0, n_steps, kry_maxiter=10):
+        """Host-orchestrated time loop (the huge-size twin of run): CFL
+        controller on host, telemetry as numpy arrays."""
+        import numpy as np
+
+        dt = float(dt0)
+        tel = {k: [] for k in (
+            "t", "dt", "newton_iters", "linear_iters", "pressure_iters",
+            "correction_iters",
+        )}
+        t = 0.0
+        for _ in range(n_steps):
+            U, P, stats = self.step_granular(
+                U, P, jnp.asarray(dt, dtype=U.dtype), kry_maxiter
+            )
+            t += dt
+            umax = float(self._gran_cached(
+                "umax", lambda U: jnp.sqrt(jnp.max(jnp.sum(U * U, axis=1))), U
+            ))
+            target_dt = self.cfl_target * self.hmax / max(umax, 1e-30)
+            dt = min(
+                self.dt_max, dt * min(2.0, 1.0 + 0.5 * (target_dt - dt) / dt)
+            )
+            tel["t"].append(t)
+            tel["dt"].append(dt)
+            for k in ("newton_iters", "linear_iters", "pressure_iters",
+                      "correction_iters"):
+                tel[k].append(stats[k])
+        return U, P, dt, {k: np.asarray(v) for k, v in tel.items()}
+
     # -- scan loop with on-device CFL dt controller --------------------------
     def _run_impl(
         self, U, P, dt0, n_steps, Fq=None, Um1=None, dtp0=None,

@@ -155,7 +155,7 @@ def cmd_base(refine, start=None):
 
     def on_chunk(done, U1, P1, tel):
         dU = float(jnp.linalg.norm(U1 - prev["U"]))
-        nrm = float(jnp.linalg.norm(U1))
+        nrm = max(float(jnp.linalg.norm(U1)), 1e-300)
         cl = np.asarray(tel["forces"])[-1, 1] / prob.force_scale
         cd = np.asarray(tel["forces"])[-1, 0] / prob.force_scale
         print(

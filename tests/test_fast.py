@@ -247,3 +247,39 @@ def test_vertex_momentum_preconditioner():
     itJ = np.asarray(telJ["linear_iters"])[-15:].sum()
     itV = np.asarray(telV["linear_iters"])[-15:].sum()
     assert itV < 0.92 * itJ, (itV, itJ)
+
+
+def test_granular_step_matches_fused():
+    # watchdog-granular mode (one execution per Newton iteration /
+    # pressure / correction, for problem sizes whose fused step exceeds
+    # the remote worker's execution cap) must reproduce the fused step
+    # within solver tolerance.
+    import jax.numpy as jnp
+    from flow_tpu.models.karman import KarmanProblem
+    from flow_tpu.navier_stokes.fast import FastStepper
+
+    prob = KarmanProblem(lcar=0.05, n_refine=1)
+    kw = dict(
+        rotational_form=True, newton_tol=0.0, newton_rtol=1e-6,
+        newton_maxiter=6, linear_rtol=1e-8, pressure_rtol=1e-10,
+        correction_rtol=1e-10, cfl_target=1.0, dt_max=1.0,
+    )
+    st = FastStepper(prob.V, prob.Q, prob.u_bcs, prob.p_bcs, prob.rho,
+                     prob.mu, **kw)
+    U, P = prob.V.zeros(), prob.Q.zeros()
+    dt = jnp.asarray(1e-4, dtype=U.dtype)
+    # ramp a few fused steps to a nontrivial state
+    U, P, dt, _ = st.run(U, P, dt, n_steps=8)
+    U1f, P1f, _ = st.step(U, P, dt)
+    U1g, P1g, stats = st.step_granular(U, P, dt, kry_maxiter=40)
+    rel = float(jnp.linalg.norm(U1g - U1f) / jnp.linalg.norm(U1f))
+    assert rel < 1e-6, rel
+    relp = float(jnp.linalg.norm(P1g - P1f) / max(float(jnp.linalg.norm(P1f)), 1e-30))
+    assert relp < 1e-5, relp
+    assert stats["newton_iters"] >= 1 and stats["pressure_iters"] >= 1
+    # bounded-Krylov truncation: tiny caps still converge via extra
+    # host-side Newton sweeps
+    U1t, P1t, stats_t = st.step_granular(U, P, dt, kry_maxiter=4)
+    relt = float(jnp.linalg.norm(U1t - U1f) / jnp.linalg.norm(U1f))
+    assert relt < 1e-5, relt
+    assert stats_t["newton_iters"] >= stats["newton_iters"]
