@@ -93,6 +93,10 @@ class FastStepper:
         forces_probe, divergence_probe, assembled_jacobian,
         hoist_constants=True, momentum_precond=None,
     ):
+        import os as _os0
+
+        # tangent storage policy for granular Newton (see _gran_newton_iter)
+        self.tangent_mode = _os0.environ.get("FLOW_TANGENT_MODE", "linearize")
         self.V, self.Q = V, Q
         self.ctx = _get_ctx(V, Q)
         self.rho = float(rho)
@@ -553,7 +557,19 @@ class FastStepper:
             M_mom = self._vertex_precond_M(U, dt, free_u, diag)
         else:
             M_mom = lambda t: t / diag
-        r, Jv = jax.linearize(res_bc, x)
+        if self.tangent_mode == "jvp":
+            # huge-size mode: linearize STORES the [nc, nq, ...]
+            # quadrature intermediates, which TPU tile-padding inflates
+            # 20-60x (measured OOM at 7.6M DoF: 29.4G demanded of 15.75G
+            # HBM); jvp recomputes the primal inside every matvec instead
+            # — ~2x tangent cost, O(state) memory
+            r = res_bc(x)
+
+            def Jv(v):
+                return jax.jvp(res_bc, (x,), (v,))[1]
+
+        else:
+            r, Jv = jax.linearize(res_bc, x)
         dx, sinfo = krylov.bicgstab(
             Jv, -r, M=M_mom, rtol=self.linear_rtol,
             atol=0.05 * self.newton_tol, maxiter=kry_maxiter,
