@@ -87,10 +87,10 @@ def _measure_steps(prob, stepper, n_steps):
     # exceeds the tunnel worker's ~10 s execution watchdog — run one
     # bounded execution per Newton iteration / pressure / correction
     # instead (BENCH_GRANULAR=1 or automatically above 4M DoF)
-    n_dofs_g = 2 * prob.V.n_dofs + prob.Q.n_dofs
-    granular = os.environ.get("BENCH_GRANULAR")
-    if granular is None:
-        granular = "1" if n_dofs_g > 4_000_000 else "0"
+    # with the lane-packed fused path (fem/packed.py) even 7.6M DoF fits
+    # and a single step stays under the watchdog; granular remains the
+    # fallback (BENCH_GRANULAR=1)
+    granular = os.environ.get("BENCH_GRANULAR", "0")
     if granular == "1":
         U, P, dtw, _ = stepper.run_granular(U, P, 1.0e-4, n_steps=n_steps)
         t0 = time.perf_counter()
@@ -137,7 +137,13 @@ def _measure_steps(prob, stepper, n_steps):
     return n_steps / elapsed, float(dtf), tel, (U, P)
 
 
-def _measure_assembly(prob, stepper, state, reps=50):
+def _bench_reps(n_dofs, cap=50):
+    # keep ONE amortizing fori_loop execution under the ~8 s tunnel
+    # watchdog: a residual apply is ~5 ms at 120k dofs and scales ~linearly
+    return max(2, min(cap, int(cap * 4.0e5 / max(n_dofs, 1))))
+
+
+def _measure_assembly(prob, stepper, state, reps=None):
     """Assembly-throughput axis: momentum dofs processed per second by ONE
     full weak-form residual assembly (the gather -> einsum chain -> dof-sum
     pipeline that replaces FFC+DOLFIN assembly; BASELINE 'assembly GDoF/s').
@@ -148,6 +154,8 @@ def _measure_assembly(prob, stepper, state, reps=50):
 
     ctx = stepper.ctx
     U, P = state
+    if reps is None:
+        reps = _bench_reps(prob.V.n_dofs * prob.V.n_components)
     dt = jnp.asarray(1.0e-3, dtype=U.dtype)
 
     @jax.jit
@@ -170,7 +178,7 @@ def _measure_assembly(prob, stepper, state, reps=50):
     return n_momentum_dofs / per_apply / 1.0e9, per_apply
 
 
-def _measure_poisson(prob, stepper, state, reps=10):
+def _measure_poisson(prob, stepper, state, reps=None):
     """Pressure-Poisson axis: one MG-preconditioned CG solve to the bench
     tolerance, in milliseconds (the PETSc+BoomerAMG replacement; reference
     pressure solve: pressure_correction.py:407-419). Amortized in-loop."""
@@ -178,6 +186,8 @@ def _measure_poisson(prob, stepper, state, reps=10):
     import jax.numpy as jnp
 
     U, P = state
+    if reps is None:
+        reps = _bench_reps(prob.Q.n_dofs, cap=10)
     dt = jnp.asarray(1.0e-3, dtype=U.dtype)
 
     @jax.jit

@@ -70,6 +70,7 @@ class FastStepper:
         assembled_jacobian="auto",
         hoist_constants=True,
         momentum_precond=None,
+        packed="auto",
     ):
         # setup work (context diagonals, BC masks, ELL assembly) runs on the
         # host CPU backend — see utils/hostsetup.py
@@ -82,7 +83,7 @@ class FastStepper:
                 linear_rtol, ew_forcing, pressure_rtol, pressure_maxiter,
                 pressure_precond, correction_rtol, cfl_target, dt_max,
                 forces_probe, divergence_probe, assembled_jacobian,
-                hoist_constants, momentum_precond,
+                hoist_constants, momentum_precond, packed,
             )
 
     def _build_setup(
@@ -91,7 +92,7 @@ class FastStepper:
         linear_rtol, ew_forcing, pressure_rtol, pressure_maxiter,
         pressure_precond, correction_rtol, cfl_target, dt_max,
         forces_probe, divergence_probe, assembled_jacobian,
-        hoist_constants=True, momentum_precond=None,
+        hoist_constants=True, momentum_precond=None, packed="auto",
     ):
         import os as _os0
 
@@ -182,6 +183,32 @@ class FastStepper:
             self._mom_mass = jnp.asarray(mass_v, dtype=dtp)
             self._mom_visc1 = jnp.asarray(visc1_v, dtype=dtp)
             self._mom_visc2 = jnp.asarray(visc2_v, dtype=dtp)
+
+        # lane-packed hot path (fem/packed.py): component-major flat state
+        # [2n] + 1-D tables; removes the 10-60x TPU tile-padding overhead
+        # measured on the [n,2]/[nc,small] layouts (BENCH_NOTES round 3).
+        # "auto" enables it for the 2-D Taylor-Hood case when there is no
+        # body force / divergence probe (the packed kernels cover exactly
+        # the projection-step surface); packed=False forces the einsum path.
+        can_pack = (
+            getattr(V.mesh, "dim", 2) == 2
+            and V.degree == 2
+            and Q.degree == 1
+            and momentum_precond is None
+            and not divergence_probe
+            and _os0.environ.get("FLOW_NO_PACKED", "") != "1"
+        )
+        self.packed = can_pack if packed == "auto" else (packed and can_pack)
+        if packed is True and not can_pack:
+            raise ValueError("packed mode unavailable for this configuration")
+        if self.packed:
+            from ..fem.packed import PackedContext
+
+            self.pctx = PackedContext(V, Q, conv_rule=CONV_RULE)
+            self.mask_uf = self.pctx.pack(self.mask_u)
+            self.val_uf = self.pctx.pack(self.val_u)
+            self.mass_diag_f = self.pctx.pack(self.ctx.mass_diag_V)
+            self.stiff_diag_f = self.pctx.pack(self.ctx.stiff_diag_V)
 
         # vertex-correction momentum preconditioner (momentum_precond=
         # "vertex"): additive two-level with a diagonal-only coarse solve,
@@ -353,8 +380,146 @@ class FastStepper:
         x0 = (1.0 + r) * U - r * Um1
         return self._step_impl(uhat, P, dt_eff, Fq, x0=x0)
 
+    # -- packed-path substeps (flat [2n] velocity state) ---------------------
+    def _step_impl_pk(self, Uf, Pf, dt, Fq=None, x0=None):
+        assert Fq is None, "packed path covers the zero-body-force surface"
+        pc = self.pctx
+        ctx = self.ctx
+        rho, mu = self.rho, self.mu
+        w_im = self.theta[1]
+        free = 1.0 - self.mask_uf
+
+        def res_bc(x):
+            r = pc.residual_volume(x, Uf, Pf, rho, mu, dt, w_im)
+            b = pc.boundary_rhs(
+                ctx.btab, ctx.btabQ, x, Pf, rho, mu,
+                ds_stress=ctx._ds_stress, ds_dn=ctx._ds_dn,
+            )
+            r = r - (dt / rho) * w_im * b
+            return free * r + self.mask_uf * (x - self.val_uf)
+
+        diag = self.mass_diag_f + (dt / rho) * w_im * (2.0 * mu) * self.stiff_diag_f
+        diag = free * diag + self.mask_uf
+        if x0 is None:
+            x0 = Uf
+        x0 = free * x0 + self.mask_uf * self.val_uf
+        eta0 = jnp.asarray(self.linear_rtol, dtype=Uf.dtype)
+
+        def newton_body(state):
+            x, rnorm, k, lin, eta = state
+            if self.tangent_mode == "jvp":
+                r = res_bc(x)
+
+                def Jv(v):
+                    return jax.jvp(res_bc, (x,), (v,))[1]
+
+            else:
+                r, Jv = jax.linearize(res_bc, x)
+            dx, sinfo = krylov.bicgstab(
+                Jv, -r, M=lambda t: t / diag, rtol=eta,
+                atol=0.05 * self.newton_tol, maxiter=300,
+            )
+            x = x + dx
+            rn = res_bc(x)
+            rnorm_new = jnp.sqrt(jnp.sum(rn * rn))
+            if self.ew_forcing:
+                gamma = 0.9
+                eta_new = gamma * (rnorm_new / rnorm) ** 2
+                guard = gamma * eta * eta
+                eta_new = jnp.where(guard > 0.1, jnp.maximum(eta_new, guard), eta_new)
+                eta = jnp.clip(eta_new, 1.0e-4, 0.5)
+            return (x, rnorm_new, k + 1, lin + sinfo.iters, eta)
+
+        r0 = res_bc(x0)
+        rnorm0 = jnp.sqrt(jnp.sum(r0 * r0))
+        newton_target = jnp.maximum(self.newton_tol, self.newton_rtol * rnorm0)
+
+        def newton_cond(state):
+            _, rnorm, k, _, _ = state
+            return jnp.logical_and(rnorm > newton_target, k < self.newton_maxiter)
+
+        Uif, nres, niters, lin_iters, _ = jax.lax.while_loop(
+            newton_cond, newton_body,
+            (x0, rnorm0, jnp.array(0), jnp.array(0), eta0),
+        )
+
+        P1, piters = self._pressure_solve_pk(Uif, Pf, dt)
+        U1f, citers = self._correction_pk(Uif, P1, Pf, dt)
+        return U1f, P1, StepStats(niters, nres, lin_iters, piters, citers)
+
+    def _pressure_solve_pk(self, Uif, Pf, dt):
+        pc = self.pctx
+        ctx = self.ctx
+        L2 = -(self.rho / dt) * pc.div_rhs(Uif)
+        if self.rotational:
+            L2 = L2 - self.mu * pc.grad_div_rhs(Uif)
+
+        mask, gvals = self.mask_p, self.val_p
+        diagq = jnp.where(ctx.stiff_diag_Q > 0, ctx.stiff_diag_Q, 1.0)
+        M = self.pressure_precond or (lambda r: r / diagq)
+        if not self.has_p_bcs:
+
+            def K(p):
+                return self._K_Q.apply(p)
+
+            L2 = L2 + K(Pf)
+            p1, sinfo = krylov.cg(
+                K, L2, M=M, rtol=self.pressure_rtol,
+                maxiter=self.pressure_maxiter, nullspace=[ctx.ones_Q],
+            )
+        else:
+            free = 1.0 - mask
+
+            def K_bc(p):
+                return free * self._K_Q.apply(free * p) + mask * p
+
+            L2 = L2 + self._K_Q.apply(Pf)
+            rhs = free * (L2 - self._K_Q.apply(mask * gvals)) + mask * gvals
+            p1, sinfo = krylov.cg(
+                K_bc, rhs, M=M, rtol=self.pressure_rtol,
+                maxiter=self.pressure_maxiter,
+            )
+        return p1, sinfo.iters
+
+    def _correction_pk(self, Uif, P1, Pf, dt):
+        pc = self.pctx
+        phi = P1 - Pf
+        div_part = None
+        if self.rotational:
+            v = pc.grad_div_cell(Uif)
+            div_part = [self.mu * v[0], self.mu * v[1]]
+        L3 = pc.mass_apply(Uif) - (dt / self.rho) * pc.grad_phi_rhs(
+            phi, div_part=div_part
+        )
+        free = 1.0 - self.mask_uf
+
+        def M_bc(u):
+            return free * pc.mass_apply(free * u) + self.mask_uf * u
+
+        rhs = (
+            free * (L3 - pc.mass_apply(self.mask_uf * self.val_uf))
+            + self.mask_uf * self.val_uf
+        )
+        diag = free * self.mass_diag_f + self.mask_uf
+        u1, sinfo = krylov.cg(
+            M_bc, rhs, M=lambda r: r / diag, rtol=self.correction_rtol,
+            maxiter=500,
+        )
+        return u1, sinfo.iters
+
     # -- one projection step (all substeps fused into one XLA program) ------
     def _step_impl(self, U, P, dt, Fq=None, x0=None):
+        if self.packed and Fq is None:
+            if U.ndim == 2:  # public [n, 2] API — convert at the seam
+                x0f = None if x0 is None else self.pctx.pack(x0)
+                U1f, P1, stats = self._step_impl_pk(
+                    self.pctx.pack(U), P, dt, None, x0f
+                )
+                return self.pctx.unpack(U1f), P1, stats
+            return self._step_impl_pk(U, P, dt, None, x0)
+        return self._step_impl_dense(U, P, dt, Fq, x0)
+
+    def _step_impl_dense(self, U, P, dt, Fq=None, x0=None):
         # Fq None means f == 0: the force integral is skipped entirely
         # (saves one dof summation per residual evaluation)
         ctx = self.ctx
@@ -684,6 +849,15 @@ class FastStepper:
         cfl = jnp.asarray(
             self.cfl_target if cfl_target is None else cfl_target, dtype=U.dtype
         )
+        pk = self.packed and Fq is None
+        if pk:
+            U = self.pctx.pack(U)
+
+        def _umax2(U1):
+            if pk:
+                a, b = self.pctx.comps(U1)
+                return jnp.max(a * a + b * b)
+            return jnp.max(jnp.sum(U1 * U1, axis=1))
 
         def body(carry, _):
             U, P, dt, t = carry
@@ -692,7 +866,7 @@ class FastStepper:
             # smooth CFL-style controller (mirrors the host-side logic of
             # /root/reference/tests/test_karman_vortex_street.py:261-287,
             # computed on device)
-            umax = jnp.sqrt(jnp.max(jnp.sum(U1 * U1, axis=1)))
+            umax = jnp.sqrt(_umax2(U1))
             target_dt = cfl * self.hmax / jnp.maximum(umax, 1e-30)
             dt_new = jnp.minimum(
                 dt_cap,
@@ -707,12 +881,14 @@ class FastStepper:
                 "correction_iters": stats.correction_iters,
             }
             if self.forces_probe is not None:
+                U1p = self.pctx.unpack(U1) if pk else U1
                 if getattr(self.forces_probe, "needs_history", False):
                     # consistent force functional: gets the scheme's own
                     # time-derivative stencil (here BE/CN endpoint form)
-                    out["forces"] = self.forces_probe(U1, P1, U, dt)
+                    Up = self.pctx.unpack(U) if pk else U
+                    out["forces"] = self.forces_probe(U1p, P1, Up, dt)
                 else:
-                    out["forces"] = self.forces_probe(U1, P1)
+                    out["forces"] = self.forces_probe(U1p, P1)
             if self.divergence_probe:
                 # ||div u||_L2 — the projection splitting-error monitor
                 ctx = self.ctx
@@ -727,6 +903,8 @@ class FastStepper:
         (U, P, dt, t), telemetry = jax.lax.scan(
             body, (U, P, dt0, jnp.asarray(0.0, dtype=U.dtype)), None, length=n_steps
         )
+        if pk:
+            U = self.pctx.unpack(U)
         return U, P, dt, telemetry
 
     def _run_impl_bdf2(
@@ -743,12 +921,22 @@ class FastStepper:
         cfl = jnp.asarray(
             self.cfl_target if cfl_target is None else cfl_target, dtype=U.dtype
         )
+        pk = self.packed and Fq is None
+        if pk:
+            U = self.pctx.pack(U)
+            Um1 = self.pctx.pack(Um1)
+
+        def _umax2(U1):
+            if pk:
+                a, b = self.pctx.comps(U1)
+                return jnp.max(a * a + b * b)
+            return jnp.max(jnp.sum(U1 * U1, axis=1))
 
         def body(carry, _):
             U, Um1, P, dt, dtp, t = carry
             U1, P1, stats = self._step_impl_bdf2(U, Um1, P, dt, dtp, Fq)
             t = t + dt
-            umax = jnp.sqrt(jnp.max(jnp.sum(U1 * U1, axis=1)))
+            umax = jnp.sqrt(_umax2(U1))
             target_dt = cfl * self.hmax / jnp.maximum(umax, 1e-30)
             dt_new = jnp.minimum(
                 dt_cap,
@@ -763,13 +951,15 @@ class FastStepper:
                 "correction_iters": stats.correction_iters,
             }
             if self.forces_probe is not None:
+                U1p = self.pctx.unpack(U1) if pk else U1
                 if getattr(self.forces_probe, "needs_history", False):
                     # (u_hat, dt_eff) make (U1 - u_hat)/dt_eff exactly the
                     # variable-step BDF2 derivative
                     uhat, dt_eff, _ = self._bdf2_hat(U, Um1, dt, dtp)
-                    out["forces"] = self.forces_probe(U1, P1, uhat, dt_eff)
+                    uhatp = self.pctx.unpack(uhat) if pk else uhat
+                    out["forces"] = self.forces_probe(U1p, P1, uhatp, dt_eff)
                 else:
-                    out["forces"] = self.forces_probe(U1, P1)
+                    out["forces"] = self.forces_probe(U1p, P1)
             if self.divergence_probe:
                 ctx = self.ctx
                 tab = assembly.tabulation(self.V, 2 * self.V.degree)
@@ -786,4 +976,7 @@ class FastStepper:
             None,
             length=n_steps,
         )
+        if pk:
+            U = self.pctx.unpack(U)
+            Um1 = self.pctx.unpack(Um1)
         return U, P, dt, telemetry, (Um1, dtp)
