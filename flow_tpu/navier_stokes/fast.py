@@ -194,7 +194,6 @@ class FastStepper:
             getattr(V.mesh, "dim", 2) == 2
             and V.degree == 2
             and Q.degree == 1
-            and momentum_precond is None
             and not divergence_probe
             and _os0.environ.get("FLOW_NO_PACKED", "") != "1"
         )
@@ -331,11 +330,19 @@ class FastStepper:
     def _vertex_precond_M(self, U, dt, free, diag):
         """Lagged-diagonal vertex-correction preconditioner at (U, dt):
         one extra quadrature pass per STEP; each application is two small
-        gathers + elementwise (~0.3x one tangent apply)."""
+        gathers + elementwise (~0.3x one tangent apply).
+
+        Accepts the velocity state in either layout: [n, 2] (dense path)
+        or flat [2n] (packed path) — the returned M matches the layout."""
         V = self.V
         rho, mu = self.rho, self.mu
         s = (dt / rho) * self.theta[1]
-        Wq = assembly.values_at_qp(self._vp_tabV, V.gather(U))  # [e,q,2]
+        pk = U.ndim == 1
+        if pk:
+            U2 = self.pctx.unpack(U)  # diag build only: once per step
+        else:
+            U2 = U
+        Wq = assembly.values_at_qp(self._vp_tabV, V.gather(U2))  # [e,q,2]
         ugph = jnp.einsum("eqd,eqjd->eqj", Wq, self._vp_gph1)
         conv_d = jnp.einsum("eq,qj,eqj->ej", self._vp_wd1, self._vp_phi1, ugph)
         umag = jnp.sqrt(jnp.sum(Wq * Wq, axis=-1))
@@ -353,7 +360,7 @@ class FastStepper:
         edges = V.mesh.edges
         v2e = self._vp_v2e
 
-        def M(r):
+        def M_dense(r):
             rf = free * r
             rv, rm = rf[:n_pts], rf[n_pts:]
             rmp = jnp.concatenate(
@@ -364,7 +371,29 @@ class FastStepper:
             zm = 0.5 * (z[edges[:, 0]] + z[edges[:, 1]])
             return r / diag + free * jnp.concatenate([z, zm], axis=0)
 
-        return M
+        if not pk:
+            return M_dense
+
+        # packed layout: same correction per component on 1-D arrays
+        n = self.V.n_dofs
+        zpad = None
+
+        def M_packed(r):
+            rf = free * r
+            out = []
+            for c in range(2):
+                rc_full = rf[c * n:(c + 1) * n]
+                rv, rm = rc_full[:n_pts], rc_full[n_pts:]
+                rmp = jnp.concatenate(
+                    [rm, jnp.zeros((1,), dtype=rm.dtype)]
+                )
+                rc = rv + 0.5 * jnp.sum(rmp[v2e], axis=1)
+                z = rc / dd[:, c]
+                zm = 0.5 * (z[edges[:, 0]] + z[edges[:, 1]])
+                out.append(jnp.concatenate([z, zm]))
+            return r / diag + free * jnp.concatenate(out)
+
+        return M_packed
 
     # -- BDF2 as a backward-Euler step from a modified state ---------------
     @staticmethod
@@ -400,6 +429,10 @@ class FastStepper:
 
         diag = self.mass_diag_f + (dt / rho) * w_im * (2.0 * mu) * self.stiff_diag_f
         diag = free * diag + self.mask_uf
+        if self.momentum_precond == "vertex":
+            M_mom = self._vertex_precond_M(Uf, dt, free, diag)
+        else:
+            M_mom = lambda t: t / diag
         if x0 is None:
             x0 = Uf
         x0 = free * x0 + self.mask_uf * self.val_uf
@@ -416,7 +449,7 @@ class FastStepper:
             else:
                 r, Jv = jax.linearize(res_bc, x)
             dx, sinfo = krylov.bicgstab(
-                Jv, -r, M=lambda t: t / diag, rtol=eta,
+                Jv, -r, M=M_mom, rtol=eta,
                 atol=0.05 * self.newton_tol, maxiter=300,
             )
             x = x + dx
@@ -743,9 +776,87 @@ class FastStepper:
         r1 = res_bc(x1)
         return x1, jnp.sqrt(jnp.sum(r1 * r1)), sinfo.iters
 
+    def _gran_newton_iter_pk(self, x, Uf, Pf, dt, kry_maxiter):
+        pc = self.pctx
+        ctx = self.ctx
+        rho, mu = self.rho, self.mu
+        w_im = self.theta[1]
+        free = 1.0 - self.mask_uf
+
+        def res_bc(z):
+            r = pc.residual_volume(z, Uf, Pf, rho, mu, dt, w_im)
+            b = pc.boundary_rhs(
+                ctx.btab, ctx.btabQ, z, Pf, rho, mu,
+                ds_stress=ctx._ds_stress, ds_dn=ctx._ds_dn,
+            )
+            r = r - (dt / rho) * w_im * b
+            return free * r + self.mask_uf * (z - self.val_uf)
+
+        diag = self.mass_diag_f + (dt / rho) * w_im * (2.0 * mu) * self.stiff_diag_f
+        diag = free * diag + self.mask_uf
+        if self.momentum_precond == "vertex":
+            M_mom = self._vertex_precond_M(Uf, dt, free, diag)
+        else:
+            M_mom = lambda t: t / diag
+        if self.tangent_mode == "jvp":
+            r = res_bc(x)
+
+            def Jv(v):
+                return jax.jvp(res_bc, (x,), (v,))[1]
+
+        else:
+            r, Jv = jax.linearize(res_bc, x)
+        dx, sinfo = krylov.bicgstab(
+            Jv, -r, M=M_mom, rtol=self.linear_rtol,
+            atol=0.05 * self.newton_tol, maxiter=kry_maxiter,
+        )
+        x1 = x + dx
+        r1 = res_bc(x1)
+        return x1, jnp.sqrt(jnp.sum(r1 * r1)), sinfo.iters
+
     def step_granular(self, U, P, dt, kry_maxiter=10):
         """One projection step as a sequence of watchdog-sized executions.
-        Returns (U1, P1, stats-dict of host ints)."""
+        Returns (U1, P1, stats-dict of host ints). Accepts [n,2] or (when
+        packed) flat [2n] velocity state; output layout matches input."""
+        if self.packed:
+            was2d = U.ndim == 2
+            Uf = self.pctx.pack(U) if was2d else U
+            x = Uf
+            rnorm0 = None
+            n_newton = 0
+            lin_total = 0
+            for _ in range(self.newton_maxiter):
+                x, rnorm, li = self._gran_cached(
+                    f"newton_pk{kry_maxiter}",
+                    lambda x, Uf, Pf, dt: self._gran_newton_iter_pk(
+                        x, Uf, Pf, dt, kry_maxiter
+                    ),
+                    x, Uf, P, dt,
+                )
+                n_newton += 1
+                lin_total += int(li)
+                rn = float(rnorm)
+                if rnorm0 is None:
+                    rnorm0 = rn
+                if rn <= max(self.newton_tol, self.newton_rtol * rnorm0):
+                    break
+            P1, piters = self._gran_cached(
+                "pressure_pk",
+                lambda Ui, P, dt: self._pressure_solve_pk(Ui, P, dt),
+                x, P, dt,
+            )
+            U1f, citers = self._gran_cached(
+                "correction_pk",
+                lambda Ui, P1, P, dt: self._correction_pk(Ui, P1, P, dt),
+                x, P1, P, dt,
+            )
+            U1 = self.pctx.unpack(U1f) if was2d else U1f
+            return U1, P1, {
+                "newton_iters": n_newton,
+                "linear_iters": lin_total,
+                "pressure_iters": int(piters),
+                "correction_iters": int(citers),
+            }
         x = U
         rnorm0 = None
         n_newton = 0
@@ -801,6 +912,16 @@ class FastStepper:
         controller on host, telemetry as numpy arrays."""
         import numpy as np
 
+        pk = self.packed
+        if pk and U.ndim == 2:
+            U = self.pctx.pack(U)
+
+        def _umax(U):
+            if pk:
+                a, b = self.pctx.comps(U)
+                return jnp.sqrt(jnp.max(a * a + b * b))
+            return jnp.sqrt(jnp.max(jnp.sum(U * U, axis=1)))
+
         dt = float(dt0)
         tel = {k: [] for k in (
             "t", "dt", "newton_iters", "linear_iters", "pressure_iters",
@@ -812,9 +933,7 @@ class FastStepper:
                 U, P, jnp.asarray(dt, dtype=U.dtype), kry_maxiter
             )
             t += dt
-            umax = float(self._gran_cached(
-                "umax", lambda U: jnp.sqrt(jnp.max(jnp.sum(U * U, axis=1))), U
-            ))
+            umax = float(self._gran_cached("umax", _umax, U))
             target_dt = self.cfl_target * self.hmax / max(umax, 1e-30)
             dt = min(
                 self.dt_max, dt * min(2.0, 1.0 + 0.5 * (target_dt - dt) / dt)
@@ -824,6 +943,8 @@ class FastStepper:
             for k in ("newton_iters", "linear_iters", "pressure_iters",
                       "correction_iters"):
                 tel[k].append(stats[k])
+        if pk:
+            U = self.pctx.unpack(U)
         return U, P, dt, {k: np.asarray(v) for k, v in tel.items()}
 
     # -- scan loop with on-device CFL dt controller --------------------------
