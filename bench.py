@@ -54,6 +54,10 @@ def _build(lcar, n_refine):
         # BENCH_MOMENTUM_PRECOND=vertex enables the SUPG-diagonal vertex
         # correction (A/B measured on the real chip; see BENCH_NOTES r03)
         momentum_precond=os.environ.get("BENCH_MOMENTUM_PRECOND") or None,
+        # BENCH_PACKED=0 forces the einsum path (packed-layout A/B)
+        packed=(
+            False if os.environ.get("BENCH_PACKED", "") == "0" else "auto"
+        ),
         rotational_form=True,
         # f32 benchmark tolerances (physics-accuracy checked in the f64
         # suite). Inexact Newton: a loose inner solve with one extra outer

@@ -264,7 +264,7 @@ def refine_uniform(mesh: Mesh, snap_boundary=None):
     return Mesh(new_pts, new_cells, dtype=mesh.dtype)
 
 
-def reorder_rcm(points, cells, only_if_better=True):
+def reorder_rcm(points, cells, only_if_better=True, return_perm=False):
     """Bandwidth-reducing host-side reorder: vertices by reverse
     Cuthill-McKee on the edge graph (native.rcm_order), cells sorted by
     their minimum new vertex id. Gathers over `cells`/dof tables then sweep
@@ -291,9 +291,13 @@ def reorder_rcm(points, cells, only_if_better=True):
     inv[perm] = np.arange(len(perm), dtype=perm.dtype)
     if only_if_better and mean_bw(inv[edges]) >= mean_bw(edges):
         points2, cells2 = points, cells  # keep the existing banded order
+        inv = np.arange(len(points), dtype=perm.dtype)
     else:
         points2, cells2 = points[perm], inv[cells].astype(np.int32)
     order = np.argsort(cells2.min(axis=1), kind="stable")
+    if return_perm:
+        # inv: old -> new vertex id; order: new cell k was cells row order[k]
+        return points2, cells2[order], inv, order
     return points2, cells2[order]
 
 

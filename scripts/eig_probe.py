@@ -288,14 +288,16 @@ def polish_newton(bl, prob, U0, P0, n_iter=25, tol=1e-11):
     Uf = U.reshape(-1)
     Uf = (1.0 - bl.mask_flat) * Uf + bl.mask_flat * bl.val_flat
     U = Uf.reshape(U.shape)
+    # the residual needs only ctx._residual + the constant D — no Jacobian
+    # assembly; Blocks is rebuilt once per ACCEPTED iterate (for the
+    # Jacobian), not per line-search trial
     def res_norm(U, P):
-        blk = Blocks(prob, U)
-        F = blk.residual_F(U, P)
-        Rq = blk.D @ U.reshape(-1)
-        return blk, F, Rq, np.linalg.norm(F[free]) + np.linalg.norm(Rq)
+        F = bl.residual_F(U, P)
+        Rq = bl.D @ U.reshape(-1)
+        return F, Rq, np.linalg.norm(F[free]) + np.linalg.norm(Rq)
 
-    blk, F, Rq, rn = bl, bl.residual_F(U, P), bl.D @ U.reshape(-1), 0.0
-    rn = np.linalg.norm(F[free]) + np.linalg.norm(Rq)
+    blk = bl
+    F, Rq, rn = res_norm(U, P)
     for it in range(n_iter):
         print(f"  newton[{it}]: |F|={np.linalg.norm(F[free]):.3e} "
               f"|div|={np.linalg.norm(Rq):.3e}", flush=True)
@@ -316,12 +318,14 @@ def polish_newton(bl, prob, U0, P0, n_iter=25, tol=1e-11):
             Uf[free] += alpha * d[:len(free)]
             Ut = Uf.reshape(U.shape)
             Pt = P + alpha * d[len(free):]
-            blk_t, F_t, Rq_t, rn_t = res_norm(Ut, Pt)
+            F_t, Rq_t, rn_t = res_norm(Ut, Pt)
             if rn_t < (1.0 - 1e-4 * alpha) * rn or rn_t < tol:
                 break
             alpha *= 0.5
         print(f"    alpha={alpha}", flush=True)
-        U, P, blk, F, Rq, rn = Ut, Pt, blk_t, F_t, Rq_t, rn_t
+        U, P, F, Rq, rn = Ut, Pt, F_t, Rq_t, rn_t
+        if rn >= tol:
+            blk = Blocks(prob, U)
     return U, P
 
 
