@@ -301,7 +301,10 @@ def run_karman_fast(
     cfl_target=1.0,
     use_multigrid=True,
     newton_rtol=1.0e-3,
+    newton_maxiter=3,
+    linear_rtol=1.0e-4,
     pressure_rtol=1.0e-4,
+    correction_rtol=1.0e-5,
     from_rest=True,
     chunk_size=100,
     checkpoint_path=None,
@@ -353,10 +356,10 @@ def run_karman_fast(
         rotational_form=True,
         newton_tol=0.0,
         newton_rtol=newton_rtol,
-        newton_maxiter=3,
-        linear_rtol=1.0e-4,
+        newton_maxiter=newton_maxiter,
+        linear_rtol=linear_rtol,
         pressure_rtol=pressure_rtol,
-        correction_rtol=1.0e-5,
+        correction_rtol=correction_rtol,
         cfl_target=cfl_target,
         dt_max=dt_max,
         forces_probe=forces_probe,

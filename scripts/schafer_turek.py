@@ -109,6 +109,28 @@ def main():
             Ur = Ur + U0  # U0 already zeroed on Dirichlet rows
         initial_state = (Ur, Pr)
 
+    # solver tolerances: the refine-2 exact step map (BENCH_NOTES round 3)
+    # proved the production set damps the Hopf mode by ~4.7/s — more than
+    # its +2.57/s growth — so validation campaigns must run tighter.
+    # ST_TOL=tight selects the f32-achievable tight set; individual env
+    # overrides (ST_NEWTON_RTOL etc.) refine the slop/cost trade.
+    tol_kw = {}
+    if os.environ.get("ST_TOL", "") == "tight":
+        tol_kw = dict(
+            newton_rtol=1.0e-5, newton_maxiter=8, linear_rtol=1.0e-6,
+            pressure_rtol=3.0e-7, correction_rtol=3.0e-7,
+        )
+    for env, key in [
+        ("ST_NEWTON_RTOL", "newton_rtol"),
+        ("ST_LINEAR_RTOL", "linear_rtol"),
+        ("ST_PRESSURE_RTOL", "pressure_rtol"),
+        ("ST_CORRECTION_RTOL", "correction_rtol"),
+    ]:
+        if os.environ.get(env):
+            tol_kw[key] = float(os.environ[env])
+    if os.environ.get("ST_NEWTON_MAXIT"):
+        tol_kw["newton_maxiter"] = int(os.environ["ST_NEWTON_MAXIT"])
+
     t0 = time.time()
     out = karman.run_karman_fast(
         num_steps=n_steps,
@@ -121,6 +143,7 @@ def main():
         checkpoint_path=ckpt,
         resume=False,
         time_step_method=method,
+        **tol_kw,
     )
     elapsed = time.time() - t0
 

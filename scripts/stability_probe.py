@@ -100,6 +100,17 @@ def make_stepper(prob, method, tight):
         )
     if os.environ.get("SP_NEWTON_MAXIT"):
         kw["newton_maxiter"] = int(os.environ["SP_NEWTON_MAXIT"])
+    # per-substep tolerance overrides (slop-source bisection: the refine-2
+    # exact step map proved the production decay is solver slop; these
+    # isolate WHICH substep's inexactness damps the Hopf mode)
+    for env, key in [
+        ("SP_NEWTON_RTOL", "newton_rtol"),
+        ("SP_LINEAR_RTOL", "linear_rtol"),
+        ("SP_PRESSURE_RTOL", "pressure_rtol"),
+        ("SP_CORRECTION_RTOL", "correction_rtol"),
+    ]:
+        if os.environ.get(env):
+            kw[key] = float(os.environ[env])
     st = FastStepper(
         prob.V, prob.Q, prob.u_bcs, prob.p_bcs, prob.rho, prob.mu, **kw
     )
