@@ -98,6 +98,9 @@ class FastStepper:
 
         # tangent storage policy for granular Newton (see _gran_newton_iter)
         self.tangent_mode = _os0.environ.get("FLOW_TANGENT_MODE", "linearize")
+        # increment-form pressure/correction solves (default ON; see
+        # _pressure_solve_mg docstring); FLOW_ABS_SOLVES=1 for A/B
+        self.increment_form = _os0.environ.get("FLOW_ABS_SOLVES", "") != "1"
         self.V, self.Q = V, Q
         self.ctx = _get_ctx(V, Q)
         self.rho = float(rho)
@@ -490,28 +493,41 @@ class FastStepper:
         mask, gvals = self.mask_p, self.val_p
         diagq = jnp.where(ctx.stiff_diag_Q > 0, ctx.stiff_diag_Q, 1.0)
         M = self.pressure_precond or (lambda r: r / diagq)
+        # increment form phi = p1 - p0 (see _pressure_solve_mg docstring)
         if not self.has_p_bcs:
 
             def K(p):
                 return self._K_Q.apply(p)
 
-            L2 = L2 + K(Pf)
+            if not self.increment_form:
+                L2 = L2 + K(Pf)
             p1, sinfo = krylov.cg(
                 K, L2, M=M, rtol=self.pressure_rtol,
                 maxiter=self.pressure_maxiter, nullspace=[ctx.ones_Q],
             )
+            if self.increment_form:
+                p1 = Pf + p1
         else:
             free = 1.0 - mask
 
             def K_bc(p):
                 return free * self._K_Q.apply(free * p) + mask * p
 
-            L2 = L2 + self._K_Q.apply(Pf)
-            rhs = free * (L2 - self._K_Q.apply(mask * gvals)) + mask * gvals
+            if self.increment_form:
+                pin = mask * (gvals - Pf)
+                rhs = free * (L2 - self._K_Q.apply(pin)) + pin
+            else:
+                L2 = L2 + self._K_Q.apply(Pf)
+                rhs = (
+                    free * (L2 - self._K_Q.apply(mask * gvals))
+                    + mask * gvals
+                )
             p1, sinfo = krylov.cg(
                 K_bc, rhs, M=M, rtol=self.pressure_rtol,
                 maxiter=self.pressure_maxiter,
             )
+            if self.increment_form:
+                p1 = Pf + p1
         return p1, sinfo.iters
 
     def _correction_pk(self, Uif, P1, Pf, dt):
@@ -521,19 +537,31 @@ class FastStepper:
         if self.rotational:
             v = pc.grad_div_cell(Uif)
             div_part = [self.mu * v[0], self.mu * v[1]]
-        L3 = pc.mass_apply(Uif) - (dt / self.rho) * pc.grad_phi_rhs(
-            phi, div_part=div_part
-        )
         free = 1.0 - self.mask_uf
 
         def M_bc(u):
             return free * pc.mass_apply(free * u) + self.mask_uf * u
 
+        diag = free * self.mass_diag_f + self.mask_uf
+        if self.increment_form:
+            # solve for d = u1 - u*: M d = -(dt/rho) grad(phi); the CG
+            # stopping rtol*|b| then measures the correction INCREMENT, not
+            # the full velocity field (see _pressure_solve_mg docstring)
+            L3 = -(dt / self.rho) * pc.grad_phi_rhs(phi, div_part=div_part)
+            dmask = self.mask_uf * (self.val_uf - Uif)
+            rhs = free * (L3 - pc.mass_apply(dmask)) + dmask
+            d, sinfo = krylov.cg(
+                M_bc, rhs, M=lambda r: r / diag, rtol=self.correction_rtol,
+                maxiter=500,
+            )
+            return Uif + d, sinfo.iters
+        L3 = pc.mass_apply(Uif) - (dt / self.rho) * pc.grad_phi_rhs(
+            phi, div_part=div_part
+        )
         rhs = (
             free * (L3 - pc.mass_apply(self.mask_uf * self.val_uf))
             + self.mask_uf * self.val_uf
         )
-        diag = free * self.mass_diag_f + self.mask_uf
         u1, sinfo = krylov.cg(
             M_bc, rhs, M=lambda r: r / diag, rtol=self.correction_rtol,
             maxiter=500,
@@ -675,7 +703,17 @@ class FastStepper:
 
     def _pressure_solve_mg(self, Ui, P, dt):
         """Pressure Poisson with a user-supplied (e.g. multigrid) SPD
-        preconditioner — the hot solve of the benchmark path."""
+        preconditioner — the hot solve of the benchmark path.
+
+        Increment form (default): solve K phi = -(rho/dt) div(u*) - [rot]
+        for phi = p1 - p0 instead of K p1 = same + K p0. Algebraically
+        identical, but the CG stopping test rtol*|b| then measures the
+        INCREMENT scale: the full-field form's truncation floor
+        (rtol x |K p0|) acts as a per-step linear filter on small dynamics
+        — measured at refine-2 it damps the physical Hopf shedding mode by
+        ~4.7/s (its growth is only +2.57/s) and froze the wake on the
+        steady branch (BENCH_NOTES round 3, exact step-map analysis).
+        FLOW_ABS_SOLVES=1 restores the full-field form for A/B."""
         ctx = self.ctx
         V, Q, geom = self.V, self.Q, ctx.geom
 
@@ -690,15 +728,26 @@ class FastStepper:
             def K(p):
                 return self._K_Q.apply(p)
 
-            L2 = L2 + K(P)
-            p1, sinfo = krylov.cg(
-                K,
-                L2,
-                M=self.pressure_precond,
-                rtol=self.pressure_rtol,
-                maxiter=self.pressure_maxiter,
-                nullspace=[ctx.ones_Q],
-            )
+            if self.increment_form:
+                phi, sinfo = krylov.cg(
+                    K,
+                    L2,
+                    M=self.pressure_precond,
+                    rtol=self.pressure_rtol,
+                    maxiter=self.pressure_maxiter,
+                    nullspace=[ctx.ones_Q],
+                )
+                p1 = P + phi
+            else:
+                L2 = L2 + K(P)
+                p1, sinfo = krylov.cg(
+                    K,
+                    L2,
+                    M=self.pressure_precond,
+                    rtol=self.pressure_rtol,
+                    maxiter=self.pressure_maxiter,
+                    nullspace=[ctx.ones_Q],
+                )
         else:
             free = 1.0 - mask
 
@@ -708,15 +757,27 @@ class FastStepper:
             def K_raw(p):
                 return self._K_Q.apply(p)
 
-            L2 = L2 + K_raw(P)
-            rhs = free * (L2 - K_raw(mask * gvals)) + mask * gvals
-            p1, sinfo = krylov.cg(
-                K_bc,
-                rhs,
-                M=self.pressure_precond,
-                rtol=self.pressure_rtol,
-                maxiter=self.pressure_maxiter,
-            )
+            if self.increment_form:
+                pin = mask * (gvals - P)
+                rhs = free * (L2 - K_raw(pin)) + pin
+                phi, sinfo = krylov.cg(
+                    K_bc,
+                    rhs,
+                    M=self.pressure_precond,
+                    rtol=self.pressure_rtol,
+                    maxiter=self.pressure_maxiter,
+                )
+                p1 = P + phi
+            else:
+                L2 = L2 + K_raw(P)
+                rhs = free * (L2 - K_raw(mask * gvals)) + mask * gvals
+                p1, sinfo = krylov.cg(
+                    K_bc,
+                    rhs,
+                    M=self.pressure_precond,
+                    rtol=self.pressure_rtol,
+                    maxiter=self.pressure_maxiter,
+                )
         return p1, sinfo.iters
 
     # -- granular (host-orchestrated) stepping -------------------------------

@@ -43,6 +43,22 @@ CONV_RULE = 5  # quadrature degree for the trilinear convection terms
 F_RULE = 6  # quadrature degree for external force integrals
 
 
+def _increment_form():
+    """Pressure/correction solves in increment form (default ON).
+
+    Solving for the increments (phi = p1 - p0, d = u1 - u*) is
+    algebraically identical to the full-field systems but makes the
+    Krylov stopping test rtol*|b| increment-relative: the full-field
+    form's truncation-error floor (rtol x |full field|) acts as a linear
+    per-step filter on small-amplitude dynamics — at refine-2 it damped
+    the DFG 2D-2 Hopf mode by ~4.7/s (growth +2.57/s), freezing the
+    vortex shedding (BENCH_NOTES round-3 exact step-map analysis).
+    FLOW_ABS_SOLVES=1 restores the full-field form (A/B)."""
+    import os
+
+    return os.environ.get("FLOW_ABS_SOLVES", "") != "1"
+
+
 def _get_ctx(V: FunctionSpace, Q: FunctionSpace):
     # cached on the velocity space (id()-keyed dicts break after GC)
     ctx = getattr(V, "_ns_ctx", None)
@@ -242,12 +258,21 @@ class _Context:
         self, Ui, P0, alpha, rho, dt, mu, mask, gvals, tol, neumann, rotational
     ):
         V, Q, geom = self.V, self.Q, self.geom
+        incr = _increment_form()
 
         def K(p):
             return assembly.stiffness_apply(Q, geom, p)
 
+        # increment form (default): solve K phi = RHS for phi = p1 - p0
+        # instead of K p1 = RHS + K p0 — algebraically identical, but the
+        # CG stopping rtol*|b| then measures the increment scale rather
+        # than the full field (the full-field truncation floor acts as a
+        # per-step filter that damps small-amplitude dynamics — it froze
+        # the refine-2 vortex shedding; BENCH_NOTES round-3 step-map
+        # analysis). FLOW_ABS_SOLVES=1 restores the full-field form.
         L2 = -(alpha * rho / dt) * forms.div_rhs(V, Q, geom, Ui)
-        L2 = L2 + K(P0)
+        if not incr:
+            L2 = L2 + K(P0)
         if rotational:
             L2 = L2 - mu * forms.grad_div_ustar_rhs(V, Q, geom, Ui)
 
@@ -270,10 +295,13 @@ class _Context:
             def K_bc(p):
                 return free * K(free * p) + mask * p
 
-            rhs = free * (L2 - K(mask * gvals)) + mask * gvals
+            pin = mask * (gvals - P0) if incr else mask * gvals
+            rhs = free * (L2 - K(pin)) + pin
             p1, sinfo = krylov.cg(
                 K_bc, rhs, M=lambda r: r / (free * diag + mask), rtol=tol, maxiter=1000
             )
+        if incr:
+            p1 = P0 + p1
         return p1, sinfo.iters, sinfo.converged
 
     # ------------------------------------------------------------------
@@ -288,17 +316,29 @@ class _Context:
         if rotational:
             div_part = mu * forms.grad_div_ustar(V, geom, Ui)
 
-        L3 = assembly.mass_apply(V, geom, Ui) - (dt / rho) * forms.grad_phi_rhs(
-            V, Q, geom, phi, div_part=div_part, rule_degree=4
-        )
         free = 1.0 - mask
 
         def M_bc(u):
             y = assembly.mass_apply(V, geom, free * u)
             return free * y + mask * u
 
-        rhs = free * (L3 - assembly.mass_apply(V, geom, mask * gvals)) + mask * gvals
         diag = free * self.mass_diag_V + mask
+        if _increment_form():
+            # solve for d = u1 - u*: M d = -(dt/rho) grad(phi) — identical
+            # algebra, increment-scale CG stopping (see _pressure_solve_impl)
+            L3 = -(dt / rho) * forms.grad_phi_rhs(
+                V, Q, geom, phi, div_part=div_part, rule_degree=4
+            )
+            dmask = mask * (gvals - Ui)
+            rhs = free * (L3 - assembly.mass_apply(V, geom, dmask)) + dmask
+            d, sinfo = krylov.cg(
+                M_bc, rhs, M=lambda r: r / diag, rtol=tol, maxiter=500
+            )
+            return Ui + d, sinfo.iters, sinfo.converged
+        L3 = assembly.mass_apply(V, geom, Ui) - (dt / rho) * forms.grad_phi_rhs(
+            V, Q, geom, phi, div_part=div_part, rule_degree=4
+        )
+        rhs = free * (L3 - assembly.mass_apply(V, geom, mask * gvals)) + mask * gvals
         u1, sinfo = krylov.cg(
             M_bc, rhs, M=lambda r: r / diag, rtol=tol, maxiter=500
         )
