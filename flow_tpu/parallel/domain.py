@@ -314,13 +314,20 @@ class ShardedProjection:
         )
 
         # ---- pressure Poisson -------------------------------------------------
+        # increment form phi = p1 - p0, matching FastStepper (see
+        # navier_stokes/fast.py _pressure_solve_mg: increment-relative
+        # Krylov stopping); FLOW_ABS_SOLVES=1 restores the full-field form
+        import os as _os
+
+        incr = _os.environ.get("FLOW_ABS_SOLVES", "") != "1"
+
         def K(p):
             return psum(forms.assembly.stiffness_apply(Ql, gl, p))
 
         L2 = -(rho / dt) * forms.div_rhs(Vl, Ql, gl, Ui)
         if self.rotational:
             L2 = L2 - mu * forms.grad_div_ustar_rhs(Vl, Ql, gl, Ui)
-        L2 = psum(L2) + K(Pv)
+        L2 = psum(L2) if incr else psum(L2) + K(Pv)
 
         diag_Q = jnp.where(self.stiff_diag_Q > 0, self.stiff_diag_Q, 1.0)
         if not self.has_p_bcs:
@@ -334,35 +341,61 @@ class ShardedProjection:
             def K_bc(p):
                 return free_p * K(free_p * p) + self.mask_p * p
 
-            rhs = free_p * (L2 - K(self.mask_p * self.val_p)) + self.mask_p * self.val_p
+            pin = (
+                self.mask_p * (self.val_p - Pv) if incr
+                else self.mask_p * self.val_p
+            )
+            rhs = free_p * (L2 - K(pin)) + pin
             P1, _ = krylov.cg(
                 K_bc, rhs, M=lambda r: r / (free_p * diag_Q + self.mask_p),
                 rtol=self.pressure_rtol, maxiter=1000,
             )
+        if incr:
+            P1 = Pv + P1
 
         # ---- velocity correction ---------------------------------------------
         phi = P1 - Pv
         div_part = None
         if self.rotational:
             div_part = mu * forms.grad_div_ustar(Vl, gl, Ui)
-        L3 = forms.assembly.mass_apply(Vl, gl, Ui) - (dt / rho) * forms.grad_phi_rhs(
+        gphi = (dt / rho) * forms.grad_phi_rhs(
             Vl, Ql, gl, phi, div_part=div_part, rule_degree=4
         )
-        L3 = psum(L3)
 
         def M_bc(u):
             y = psum(forms.assembly.mass_apply(Vl, gl, free_u * u))
             return free_u * y + self.mask_u * u
 
-        rhs = (
-            free_u
-            * (L3 - psum(forms.assembly.mass_apply(Vl, gl, self.mask_u * self.val_u)))
-            + self.mask_u * self.val_u
-        )
         diag_m = free_u * self.mass_diag_V + self.mask_u
-        U1, _ = krylov.cg(
-            M_bc, rhs, M=lambda r: r / diag_m, rtol=1.0e-10, maxiter=500
-        )
+        if incr:
+            # solve for d = u1 - u* (increment-relative stopping)
+            L3 = psum(-gphi)
+            dmask = self.mask_u * (self.val_u - Ui)
+            rhs = (
+                free_u * (L3 - psum(forms.assembly.mass_apply(Vl, gl, dmask)))
+                + dmask
+            )
+            d, _ = krylov.cg(
+                M_bc, rhs, M=lambda r: r / diag_m, rtol=1.0e-10, maxiter=500
+            )
+            U1 = Ui + d
+        else:
+            L3 = psum(forms.assembly.mass_apply(Vl, gl, Ui) - gphi)
+            rhs = (
+                free_u
+                * (
+                    L3
+                    - psum(
+                        forms.assembly.mass_apply(
+                            Vl, gl, self.mask_u * self.val_u
+                        )
+                    )
+                )
+                + self.mask_u * self.val_u
+            )
+            U1, _ = krylov.cg(
+                M_bc, rhs, M=lambda r: r / diag_m, rtol=1.0e-10, maxiter=500
+            )
         return U1, P1, Ui
 
     def _boundary_terms(self, W, P0):

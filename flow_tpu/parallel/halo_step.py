@@ -325,6 +325,13 @@ class HaloProjection:
         self.linear_rtol = linear_rtol
         self.pressure_rtol = pressure_rtol
         self.correction_rtol = correction_rtol
+        # increment-form pressure/correction solves, matching FastStepper
+        # (see navier_stokes/fast.py _pressure_solve_mg): the Krylov rtol
+        # then measures the increment scale, which keeps small-amplitude
+        # dynamics from being filtered by the truncation floor
+        import os as _os
+
+        self.increment_form = _os.environ.get("FLOW_ABS_SOLVES", "") != "1"
         self.degV, self.degQ = V.degree, Q.degree
         self.ncomp = ncomp
         self.cfl_target = cfl_target
@@ -980,7 +987,8 @@ class HaloProjection:
         L2_ext = -(rho / dt) * forms.div_rhs(Vl, Ql, gm, Ui_ext)
         if self.rotational:
             L2_ext = L2_ext - mu * forms.grad_div_ustar_rhs(Vl, Ql, gm, Ui_ext)
-        L2 = bwd_Q(L2_ext) + K_own(Pv)
+        incr = self.increment_form
+        L2 = bwd_Q(L2_ext) if incr else bwd_Q(L2_ext) + K_own(Pv)
 
         diag_Q = jnp.where(stiff_diag_Q > 0, stiff_diag_Q, 1.0)
         diag_Q = diag_Q + (1.0 - valid_Q)
@@ -1005,7 +1013,8 @@ class HaloProjection:
             def K_bc(p):
                 return free_p * K_own(free_p * p) + mask_p * p
 
-            rhs = free_p * (L2 - K_own(mask_p * val_p)) + mask_p * val_p
+            pin = mask_p * (val_p - Pv) if incr else mask_p * val_p
+            rhs = free_p * (L2 - K_own(pin)) + pin
             dq = free_p * diag_Q + mask_p + (1.0 - valid_Q)
             M = (
                 self._mg_precond(K_bc, dq, valid_Q, None)
@@ -1015,6 +1024,8 @@ class HaloProjection:
             P1, piters = _dist_cg(
                 K_bc, rhs, dq, dot, self.pressure_rtol, 1000, None, M=M
             )
+        if incr:
+            P1 = Pv + P1
 
         # ---- velocity correction ---------------------------------------------
         P1_ext = fwd_Q(P1)
@@ -1022,25 +1033,40 @@ class HaloProjection:
         div_part = None
         if self.rotational:
             div_part = mu * forms.grad_div_ustar(Vl, gm, Ui_ext)
-        L3_ext = assembly.mass_apply(Vl, gm, Ui_ext) - (
-            dt / rho
-        ) * forms.grad_phi_rhs(Vl, Ql, gm, phi_ext, div_part=div_part, rule_degree=4)
-        L3 = bwd_V(L3_ext)
+        gphi_ext = (dt / rho) * forms.grad_phi_rhs(
+            Vl, Ql, gm, phi_ext, div_part=div_part, rule_degree=4
+        )
 
         def M_bc(u):
             u_ext = fwd_V(free_u * u)
             y = bwd_V(assembly.mass_apply(Vl, gm, u_ext))
             return free_u * y + mask_u * u
 
-        gval_ext = fwd_V(mask_u * val_u)
-        rhs_u = (
-            free_u * (L3 - bwd_V(assembly.mass_apply(Vl, gm, gval_ext)))
-            + mask_u * val_u
-        )
         dm = free_u * mass_diag_V + mask_u + (1.0 - valid_V)[:, None]
-        U1, citers = _dist_cg(
-            M_bc, rhs_u, dm, dot, self.correction_rtol, 500, None
-        )
+        if incr:
+            # solve for d = u1 - u*: M d = -(dt/rho) grad(phi); stopping is
+            # increment-relative (same rationale as the pressure solve)
+            L3 = bwd_V(-gphi_ext)
+            dmask = mask_u * (val_u - Ui)
+            dmask_ext = fwd_V(dmask)
+            rhs_u = (
+                free_u * (L3 - bwd_V(assembly.mass_apply(Vl, gm, dmask_ext)))
+                + dmask
+            )
+            d, citers = _dist_cg(
+                M_bc, rhs_u, dm, dot, self.correction_rtol, 500, None
+            )
+            U1 = Ui + d
+        else:
+            L3 = bwd_V(assembly.mass_apply(Vl, gm, Ui_ext) - gphi_ext)
+            gval_ext = fwd_V(mask_u * val_u)
+            rhs_u = (
+                free_u * (L3 - bwd_V(assembly.mass_apply(Vl, gm, gval_ext)))
+                + mask_u * val_u
+            )
+            U1, citers = _dist_cg(
+                M_bc, rhs_u, dm, dot, self.correction_rtol, 500, None
+            )
         return U1, P1, {"pressure_iters": piters, "correction_iters": citers}
 
 
