@@ -338,3 +338,29 @@ def test_open_boundary_3d_poiseuille_residual_identity():
     # not machine-small
     assert norm(u1.vector - U0, "linf") < 0.25
     assert norm(p1.vector - P0, "linf") < 1.0
+
+
+@pytest.mark.slow
+def test_p1_hierarchy_on_tets():
+    # P1Hierarchy works unchanged on tet chains: refine_uniform_tet appends
+    # edge midpoints after the coarse vertices, the exact ordering invariant
+    # the prolongation relies on (multigrid.py "coarse vertices are the
+    # first n_coarse fine vertices"). Pure-Neumann 3-D Poisson: MG-CG must
+    # converge in O(10) iterations where plain CG needs O(100+).
+    from flow_tpu.solvers.multigrid import P1Hierarchy
+    from flow_tpu.solvers import krylov
+
+    meshes = [box_mesh((0, 0, 0), (1, 1, 1), 3, 3, 3)]
+    for _ in range(2):
+        meshes.append(refine_uniform_tet(meshes[-1]))
+    hier = P1Hierarchy(meshes, bc_mask=None, smoother_degree=3)
+    n = meshes[-1].n_points
+    rng = np.random.default_rng(3)
+    b = jnp.asarray(rng.standard_normal(n))
+    b = b - jnp.mean(b)
+    K = hier.levels[-1].K
+    x, info = krylov.cg(K, b, M=hier.v_cycle, rtol=1e-10, maxiter=40)
+    assert bool(info.converged)
+    assert int(info.iters) <= 15, int(info.iters)
+    r = K(x) - b
+    assert float(jnp.linalg.norm(r) / jnp.linalg.norm(b)) < 1e-9

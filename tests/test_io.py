@@ -248,3 +248,29 @@ def test_xdmf_viz_series_read(tmp_path):
     assert t == 1.0
     assert ur.vector.shape == (m2.n_points, 2)
     assert jnp.allclose(ur.vector[:, 0], jnp.asarray(m2.points_np[:, 1] + 1.0), atol=1e-12)
+
+
+def test_dolfin_xml_roundtrip_2d(tmp_path):
+    # the reference's Mesh('test.xml') interchange route
+    # (/root/reference/tests/test_karman_vortex_street.py:52-53)
+    from flow_tpu.io import read_dolfin_xml, write_dolfin_xml
+    from flow_tpu.mesh import unit_square_mesh
+
+    mesh = unit_square_mesh(3, diagonal="crossed")
+    p = tmp_path / "m.xml"
+    write_dolfin_xml(p, mesh)
+    back = read_dolfin_xml(p)
+    np.testing.assert_array_equal(back.cells_np, mesh.cells_np)
+    np.testing.assert_allclose(back.points_np, mesh.points_np, rtol=0, atol=0)
+
+
+def test_dolfin_xml_roundtrip_3d(tmp_path):
+    from flow_tpu.io import read_dolfin_xml, write_dolfin_xml
+    from flow_tpu.mesh3d import box_mesh
+
+    mesh = box_mesh((0, 0, 0), (1, 2, 3), 2, 2, 2)
+    p = tmp_path / "m3.xml"
+    write_dolfin_xml(p, mesh)
+    back = read_dolfin_xml(p)
+    np.testing.assert_array_equal(back.cells_np, mesh.cells_np)
+    np.testing.assert_allclose(back.points_np, mesh.points_np, rtol=0, atol=0)
