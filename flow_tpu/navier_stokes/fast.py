@@ -200,7 +200,18 @@ class FastStepper:
             and not divergence_probe
             and _os0.environ.get("FLOW_NO_PACKED", "") != "1"
         )
-        self.packed = can_pack if packed == "auto" else (packed and can_pack)
+        # measured on the real chip (BENCH_NOTES r03 packed A/B): the
+        # packed kernels are 20-35% SLOWER on wall clock at 120k-1.9M DoF
+        # (XLA fuses the einsum path's gathers well enough), but they are
+        # what makes >=4M DoF fit at all (tile padding OOMs the einsum
+        # path's [nc,small] intermediates). "auto" = packed only where
+        # memory forces it.
+        big = (2 * V.n_dofs + Q.n_dofs) >= int(
+            _os0.environ.get("FLOW_PACKED_MIN_DOFS", "3000000")
+        )
+        self.packed = (
+            (can_pack and big) if packed == "auto" else (packed and can_pack)
+        )
         if packed is True and not can_pack:
             raise ValueError("packed mode unavailable for this configuration")
         if self.packed:
