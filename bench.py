@@ -58,6 +58,11 @@ def _build(lcar, n_refine):
         packed=(
             False if os.environ.get("BENCH_PACKED", "") == "0" else "auto"
         ),
+        # BENCH_CONVECTION=lagged: semi-implicit extrapolated convection —
+        # one linear momentum solve per step (2-3x fewer tangent applies
+        # measured on CPU; trajectory matches Newton far below the
+        # time-discretization error)
+        convection=os.environ.get("BENCH_CONVECTION", "newton"),
         rotational_form=True,
         # f32 benchmark tolerances (physics-accuracy checked in the f64
         # suite). Inexact Newton: a loose inner solve with one extra outer

@@ -198,6 +198,31 @@ def skew_convection_combined_loc(V, geom, Wloc, rule_degree=5):
     return loc
 
 
+def skew_convection_lagged_loc(V, geom, Tloc, Uloc, rule_degree=5):
+    """Skew convection with a FIXED transport field T (linear in U):
+    0.5 [((T.grad)u, v) - ((T.grad)v, u)] at the element level.
+
+    The semi-implicit ("lagged" / extrapolated-convection) momentum
+    linearization: with T = u^n (BE) or the second-order extrapolation
+    (BDF2/CN), the tentative-velocity system becomes one LINEAR solve per
+    step instead of a Newton loop — the classic IPCS treatment the
+    reference's Newton path generalizes
+    (/root/reference/flow/navier_stokes/pressure_correction.py:169-190
+    discretizes the same skew form; lagging T is standard Guermond/IPCS
+    practice). Identical to skew_convection_combined_loc when Tloc==Uloc.
+    """
+    tab = assembly.tabulation(V, rule_degree)
+    Tq = assembly.values_at_qp(tab, Tloc)  # [e,q,d]
+    Uq = assembly.values_at_qp(tab, Uloc)  # [e,q,a]
+    gradU = assembly.grads_at_qp(tab, geom, Uloc)  # [e,q,a,d]
+    val = 0.5 * jnp.einsum("eqd,eqad->eqa", Tq, gradU)
+    grad = -0.5 * jnp.einsum("eqd,eqa->eqad", Tq, Uq)
+    wd = tab.w[None, :] * geom.detJ[:, None]
+    loc = jnp.einsum("eqm,eq,qi->eim", val, wd, tab.phi)
+    loc = loc + jnp.einsum("eqmd,eq,qik,edk->eim", grad, wd, tab.dphi, geom.G)
+    return loc
+
+
 def conv_jacobian_loc(V, geom, Wloc, rule_degree=5):
     """Element Jacobian of skew_convection_combined_loc wrt the velocity
     dofs: d(conv_loc[e, i, a]) / d(U[j, b]) -> [nc, nl, nl, d, d]

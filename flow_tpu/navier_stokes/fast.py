@@ -71,6 +71,7 @@ class FastStepper:
         hoist_constants=True,
         momentum_precond=None,
         packed="auto",
+        convection="newton",
     ):
         # setup work (context diagonals, BC masks, ELL assembly) runs on the
         # host CPU backend — see utils/hostsetup.py
@@ -83,7 +84,7 @@ class FastStepper:
                 linear_rtol, ew_forcing, pressure_rtol, pressure_maxiter,
                 pressure_precond, correction_rtol, cfl_target, dt_max,
                 forces_probe, divergence_probe, assembled_jacobian,
-                hoist_constants, momentum_precond, packed,
+                hoist_constants, momentum_precond, packed, convection,
             )
 
     def _build_setup(
@@ -93,6 +94,7 @@ class FastStepper:
         pressure_precond, correction_rtol, cfl_target, dt_max,
         forces_probe, divergence_probe, assembled_jacobian,
         hoist_constants=True, momentum_precond=None, packed="auto",
+        convection="newton",
     ):
         import os as _os0
 
@@ -101,6 +103,13 @@ class FastStepper:
         # increment-form pressure/correction solves (default ON; see
         # _pressure_solve_mg docstring); FLOW_ABS_SOLVES=1 for A/B
         self.increment_form = _os0.environ.get("FLOW_ABS_SOLVES", "") != "1"
+        # semi-implicit ("lagged") convection: transport the implicit skew
+        # convection with u^n (theta methods) / the second-order
+        # extrapolation (BDF2) — one LINEAR momentum solve per step instead
+        # of a Newton loop (classic IPCS/SBDF2 linearization; O(dt) local
+        # consistency for BE, O(dt^2) for BDF2, same formal scheme orders)
+        assert convection in ("newton", "lagged"), convection
+        self.lagged = convection == "lagged"
         self.V, self.Q = V, Q
         self.ctx = _get_ctx(V, Q)
         self.rho = float(rho)
@@ -198,6 +207,7 @@ class FastStepper:
             and V.degree == 2
             and Q.degree == 1
             and not divergence_probe
+            and not self.lagged  # packed kernels lack the transport variant
             and _os0.environ.get("FLOW_NO_PACKED", "") != "1"
         )
         # measured on the real chip (BENCH_NOTES r03 packed A/B): the
@@ -615,6 +625,31 @@ class FastStepper:
         else:
             M_mom = lambda t: t / diag
 
+        if self.lagged:
+            # semi-implicit: transport with x0 (= u^n for theta methods,
+            # the second-order extrapolation for BDF2 — _step_impl_bdf2
+            # passes it as the initial guess). res_lag is AFFINE in x, so
+            # one linear solve to the Newton target replaces the loop.
+            def res_lag(x):
+                r = ctx._residual(
+                    x, U, Fq, Fq, P, rho, mu, dt, self.theta, transport=x0
+                )
+                return free_u * r + self.mask_u * (x - self.val_u)
+
+            r0 = res_lag(x0)
+            _, Jv = jax.linearize(res_lag, x0)
+            rtol = jnp.maximum(self.newton_rtol, 1.0e-7)
+            dx, sinfo = krylov.bicgstab(
+                Jv, -r0, M=M_mom, rtol=rtol,
+                atol=0.05 * self.newton_tol, maxiter=300,
+            )
+            Ui = x0 + dx
+            rn = res_lag(Ui)
+            nres = jnp.sqrt(jnp.sum(rn * rn))
+            niters = jnp.array(1)
+            lin_iters = sinfo.iters
+            return self._finish_substeps(Ui, U, P, dt, niters, nres, lin_iters)
+
         def newton_body(state):
             x, rnorm, k, lin, eta = state
             if self._mom_graph is not None:
@@ -678,7 +713,13 @@ class FastStepper:
         Ui, nres, niters, lin_iters, _ = jax.lax.while_loop(
             newton_cond, newton_body, (x0, rnorm0, jnp.array(0), jnp.array(0), eta0)
         )
+        return self._finish_substeps(Ui, U, P, dt, niters, nres, lin_iters)
 
+    def _finish_substeps(self, Ui, U, P, dt, niters, nres, lin_iters):
+        """Substeps 2+3 (pressure Poisson, velocity correction) shared by
+        the Newton and lagged momentum branches of the einsum path."""
+        ctx = self.ctx
+        rho, mu = self.rho, self.mu
         # substep 2: pressure Poisson (optionally GMG-preconditioned)
         if self.pressure_precond is None:
             P1, piters, _ = ctx._pressure_solve_impl(

@@ -128,20 +128,33 @@ class _Context:
     # ------------------------------------------------------------------
     # Substep 1: tentative velocity (reference :147-255)
     # ------------------------------------------------------------------
-    def _rhs_weak_loc(self, Wloc, Fq, rho, mu, Ploc):
-        """Local (pre-dof-sum) rhs_weak volume contributions [nc, nl, m]."""
+    def _rhs_weak_loc(self, Wloc, Fq, rho, mu, Ploc, Tloc=None):
+        """Local (pre-dof-sum) rhs_weak volume contributions [nc, nl, m].
+
+        Tloc (optional): fixed transport field for the convection term —
+        the semi-implicit/lagged linearization (see
+        forms.skew_convection_lagged_loc). Default: transport = Wloc
+        (full skew nonlinearity, the reference's Newton semantics)."""
         V, Q, geom = self.V, self.Q, self.geom
-        loc = -rho * forms.skew_convection_combined_loc(
-            V, geom, Wloc, rule_degree=CONV_RULE
-        )
+        if Tloc is None:
+            loc = -rho * forms.skew_convection_combined_loc(
+                V, geom, Wloc, rule_degree=CONV_RULE
+            )
+        else:
+            loc = -rho * forms.skew_convection_lagged_loc(
+                V, geom, Tloc, Wloc, rule_degree=CONV_RULE
+            )
         loc = loc - forms.sym_grad_loc(V, geom, Wloc, mu)
         loc = loc + forms.pressure_grad_loc(V, Q, geom, Ploc)
         if Fq is not None:
             loc = loc + forms.body_force_loc(V, geom, Fq, rule_degree=F_RULE)
         return loc
 
-    def _rhs_weak_bnd(self, W, P0, rho, mu):
-        """Boundary (ds) contributions of rhs_weak at the dof level."""
+    def _rhs_weak_bnd(self, W, P0, rho, mu, T=None):
+        """Boundary (ds) contributions of rhs_weak at the dof level.
+
+        T (optional): fixed transport for the directional do-nothing term
+        (lagged mode: -0.5 rho (T.n)+ u stays linear in u)."""
         if self.btab is None:
             return None
         bt = self.btab
@@ -167,23 +180,33 @@ class _Context:
         # facets only acts on open boundaries.
         if self._ds_dn:
             wb = bt.values(W)  # [b,q,m]
-            wn = jnp.einsum("bqm,bm->bq", wb, bt.normals)
-            val = val - 0.5 * rho * jnp.maximum(wn, 0.0)[:, :, None] * wb
+            tb = wb if T is None else bt.values(T)
+            tn = jnp.einsum("bqm,bm->bq", tb, bt.normals)
+            val = val - 0.5 * rho * jnp.maximum(tn, 0.0)[:, :, None] * wb
         return bt.integrate_rhs(val)
 
-    def _residual(self, Ui, U0, Fq_expl, Fq_impl, P0, rho, mu, dt, theta_explicit):
+    def _residual(
+        self, Ui, U0, Fq_expl, Fq_impl, P0, rho, mu, dt, theta_explicit,
+        transport=None,
+    ):
         """F1(ui) = (ui - u0, v) - dt/rho * [theta-weighted rhs_weak].
 
         Fused evaluation: ONE velocity gather and ONE dof summation cover the
         mass term and every volume term of rhs_weak (the gathers/summations
         are the measured hot-path cost on TPU); the O(surface) boundary terms
-        are added at the dof level."""
+        are added at the dof level.
+
+        transport (optional): fixed convection transport field for the
+        IMPLICIT terms — the semi-implicit/lagged linearization that makes
+        F1 affine in Ui (one linear solve per step, no Newton loop). The
+        explicit terms always transport with U0 (already known)."""
         V, Q, geom = self.V, self.Q, self.geom
         w_ex, w_im = theta_explicit
 
         Uiloc = V.gather(Ui)
         U0loc = V.gather(U0)
         Ploc = Q.gather(P0)
+        Tloc = None if transport is None else V.gather(transport)
 
         loc = forms.mass_loc(V, geom, Uiloc - U0loc)
         if w_ex:
@@ -192,7 +215,7 @@ class _Context:
             )
         if w_im:
             loc = loc - (dt / rho) * w_im * self._rhs_weak_loc(
-                Uiloc, Fq_impl, rho, mu, Ploc
+                Uiloc, Fq_impl, rho, mu, Ploc, Tloc=Tloc
             )
         r = V.dof_sum(loc)
 
@@ -202,7 +225,7 @@ class _Context:
             if b is not None:
                 bnd = (dt / rho) * w_ex * b
         if w_im:
-            b = self._rhs_weak_bnd(Ui, P0, rho, mu)
+            b = self._rhs_weak_bnd(Ui, P0, rho, mu, T=transport)
             if b is not None:
                 bnd = (bnd if bnd is not None else 0.0) + (dt / rho) * w_im * b
         if bnd is not None:

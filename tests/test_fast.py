@@ -283,3 +283,40 @@ def test_granular_step_matches_fused():
     relt = float(jnp.linalg.norm(U1t - U1f) / jnp.linalg.norm(U1f))
     assert relt < 1e-5, relt
     assert stats_t["newton_iters"] >= stats["newton_iters"]
+
+
+def test_lagged_convection_matches_newton():
+    # semi-implicit (lagged/extrapolated transport) momentum solve: one
+    # linear solve per step must (a) track the Newton trajectory far below
+    # the time-discretization error and (b) cost measurably fewer Krylov
+    # iterations. BDF2 transport is the second-order extrapolation
+    # (_step_impl_bdf2's initial guess), so the lagging error is O(dt^2).
+    mesh = unit_square_mesh(8, diagonal="crossed")
+    V = VectorFunctionSpace(mesh, 2)
+    Q = FunctionSpace(mesh, 1)
+
+    def lid(x):
+        return np.where(x[:, 1] > 1 - 1e-12, 1.0, 0.0)
+
+    u_bcs = [DirichletBC(V.sub(0), lid), DirichletBC(V.sub(1), 0.0)]
+    kw = dict(
+        time_step_method="bdf2", rotational_form=True, newton_tol=1e-12,
+        newton_rtol=1e-11, newton_maxiter=10, linear_rtol=1e-10,
+        pressure_rtol=1e-11, correction_rtol=1e-12, cfl_target=1e9,
+        dt_max=1.0,
+    )
+    stN = FastStepper(V, Q, u_bcs, [], 1.0, 0.01, convection="newton", **kw)
+    stL = FastStepper(V, Q, u_bcs, [], 1.0, 0.01, convection="lagged", **kw)
+    assert not stL.packed  # packed kernels lack the transport variant
+
+    n = 16
+    dt = jnp.asarray(0.32 / n)
+    outN = stN.run(V.zeros(), Q.zeros(), dt, n_steps=n, dt_max=dt)
+    outL = stL.run(V.zeros(), Q.zeros(), dt, n_steps=n, dt_max=dt)
+    UN, UL = outN[0], outL[0]
+    # lagging error well below the solution scale and the O(dt) increment
+    rel = float(jnp.linalg.norm(UL - UN) / jnp.linalg.norm(UN))
+    assert rel < 5e-3, rel
+    itN = int(np.asarray(outN[3]["linear_iters"]).sum())
+    itL = int(np.asarray(outL[3]["linear_iters"]).sum())
+    assert itL < 0.75 * itN, (itL, itN)
