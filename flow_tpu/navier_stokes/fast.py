@@ -638,9 +638,11 @@ class FastStepper:
 
             r0 = res_lag(x0)
             _, Jv = jax.linearize(res_lag, x0)
-            rtol = jnp.maximum(self.newton_rtol, 1.0e-7)
+            # the solve IS the step: stop on the Newton target semantics
+            # (rtol on |r0| / absolute newton_tol), not the inexact-Newton
+            # inner linear_rtol
             dx, sinfo = krylov.bicgstab(
-                Jv, -r0, M=M_mom, rtol=rtol,
+                Jv, -r0, M=M_mom, rtol=self.newton_rtol,
                 atol=0.05 * self.newton_tol, maxiter=300,
             )
             Ui = x0 + dx

@@ -208,6 +208,7 @@ class HaloProjection:
         smoother_degree=3,
         cfl_target=1.0,
         dt_max=1.0,
+        convection="newton",
     ):
         mesh = V.mesh
         dtype = mesh.dtype
@@ -323,6 +324,11 @@ class HaloProjection:
         self.newton_tol = newton_tol
         self.newton_maxiter = newton_maxiter
         self.linear_rtol = linear_rtol
+        # semi-implicit (lagged/extrapolated) convection, matching
+        # FastStepper(convection="lagged"): one linear momentum solve per
+        # step (transport = u^n / BDF2 extrapolation) instead of Newton
+        assert convection in ("newton", "lagged"), convection
+        self.lagged = convection == "lagged"
         self.pressure_rtol = pressure_rtol
         self.correction_rtol = correction_rtol
         # increment-form pressure/correction solves, matching FastStepper
@@ -891,7 +897,7 @@ class HaloProjection:
             return psum(jnp.sum(a * b))
 
         # ---- boundary (ds) terms: facets owned by this device --------------
-        def boundary_terms_ext(W_ext, P_ext):
+        def boundary_terms_ext(W_ext, P_ext, T_ext=None):
             if b_cdV is None:
                 return jnp.zeros((Vh.n_ext, self.ncomp), dtype=dtype)
             wloc = W_ext[b_cdV]  # [nb, nlV, m]
@@ -904,10 +910,14 @@ class HaloProjection:
             val = val + mu * jnp.einsum("bqma,bm->bqa", gw, b_normals)
             # directional do-nothing outflow flux (single-chip parity:
             # _rhs_weak_bnd) — restores the skew form's boundary
-            # compensation where w.n > 0, energy-stable under backflow
+            # compensation where w.n > 0, energy-stable under backflow.
+            # T_ext (lagged mode): fixed transport for the (w.n)+ factor
             wb = jnp.einsum("bqi,bim->bqm", b_phiV, wloc)
-            wn = jnp.einsum("bqm,bm->bq", wb, b_normals)
-            val = val - 0.5 * rho * jnp.maximum(wn, 0.0)[:, :, None] * wb
+            tb = wb if T_ext is None else jnp.einsum(
+                "bqi,bim->bqm", b_phiV, T_ext[b_cdV]
+            )
+            tn = jnp.einsum("bqm,bm->bq", tb, b_normals)
+            val = val - 0.5 * rho * jnp.maximum(tn, 0.0)[:, :, None] * wb
             loc = jnp.einsum("bqm,bq,bqi->bim", val, b_wl, b_phiV)
             out = jnp.zeros((Vh.n_ext, self.ncomp), dtype=dtype)
             return out.at[b_cdV].add(loc)
@@ -957,26 +967,82 @@ class HaloProjection:
         diag = free_u * diag + mask_u + (1.0 - valid_V)[:, None]
         x0 = free_u * (U if x0 is None else x0) + mask_u * val_u
 
-        def newton_body(state):
-            x, rnorm, k = state
-            r, Jv = jax.linearize(residual, x)
+        if self.lagged:
+            # affine system: transport the implicit convection (volume +
+            # directional do-nothing ds-term) with x0 = u^n / the BDF2
+            # extrapolation; one psum-dot BiCGStab solve replaces Newton
+            x0_ext = fwd_V(x0)
+            T_loc = x0_ext[cd_V]
+
+            def rhs_weak_loc_lag(Wloc, Ploc):
+                loc = -rho * forms.skew_convection_lagged_loc(
+                    Vl, gm, T_loc, Wloc, rule_degree=5
+                )
+                loc = loc - forms.sym_grad_loc(Vl, gm, Wloc, mu)
+                loc = loc + forms.pressure_grad_loc(Vl, Ql, gm, Ploc)
+                if self.has_f:
+                    loc = loc + forms.body_force_loc(Vl, gm, Fq, rule_degree=6)
+                return loc
+
+            def residual_lag(x):
+                x_ext = fwd_V(x)
+                xloc = x_ext[cd_V]
+                loc = forms.mass_loc(Vl, gm, xloc - U0loc)
+                w_ex, w_im = self.theta
+                if w_ex:
+                    loc = loc - (dt / rho) * w_ex * rhs_weak_loc(U0loc, Ploc0)
+                if w_im:
+                    loc = loc - (dt / rho) * w_im * rhs_weak_loc_lag(xloc, Ploc0)
+                r_ext = Vl.dof_sum(loc)
+                w_tot_bnd = None
+                if w_ex:
+                    w_tot_bnd = (dt / rho) * w_ex * boundary_terms_ext(
+                        U_ext0, P_ext0
+                    )
+                if w_im:
+                    b = (dt / rho) * w_im * boundary_terms_ext(
+                        x_ext, P_ext0, T_ext=x0_ext
+                    )
+                    w_tot_bnd = b if w_tot_bnd is None else w_tot_bnd + b
+                if w_tot_bnd is not None:
+                    r_ext = r_ext - w_tot_bnd
+                r = bwd_V(r_ext)
+                return free_u * r + mask_u * (x - val_u)
+
+            r0 = residual_lag(x0)
+            _, Jv = jax.linearize(residual_lag, x0)
             dx, _ = krylov.bicgstab(
-                Jv, -r, M=lambda t: t / diag,
-                rtol=self.linear_rtol, atol=0.05 * self.newton_tol, maxiter=300,
-                dot=dot,  # psum inner products: SPMD-identical loop decisions
+                Jv, -r0, M=lambda t: t / diag,
+                rtol=self.linear_rtol, atol=0.05 * self.newton_tol,
+                maxiter=300, dot=dot,
             )
-            x = x + dx
-            rn = residual(x)
-            return (x, jnp.sqrt(dot(rn, rn)), k + 1)
+            Ui = x0 + dx
+        else:
 
-        def newton_cond(state):
-            _, rnorm, k = state
-            return jnp.logical_and(rnorm > self.newton_tol, k < self.newton_maxiter)
+            def newton_body(state):
+                x, rnorm, k = state
+                r, Jv = jax.linearize(residual, x)
+                dx, _ = krylov.bicgstab(
+                    Jv, -r, M=lambda t: t / diag,
+                    rtol=self.linear_rtol, atol=0.05 * self.newton_tol,
+                    maxiter=300,
+                    dot=dot,  # psum inner products: SPMD-identical decisions
+                )
+                x = x + dx
+                rn = residual(x)
+                return (x, jnp.sqrt(dot(rn, rn)), k + 1)
 
-        r0 = residual(x0)
-        Ui, _, _ = jax.lax.while_loop(
-            newton_cond, newton_body, (x0, jnp.sqrt(dot(r0, r0)), jnp.array(0))
-        )
+            def newton_cond(state):
+                _, rnorm, k = state
+                return jnp.logical_and(
+                    rnorm > self.newton_tol, k < self.newton_maxiter
+                )
+
+            r0 = residual(x0)
+            Ui, _, _ = jax.lax.while_loop(
+                newton_cond, newton_body,
+                (x0, jnp.sqrt(dot(r0, r0)), jnp.array(0)),
+            )
 
         # ---- pressure Poisson ----------------------------------------------
         def K_own(p):

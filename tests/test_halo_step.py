@@ -122,3 +122,51 @@ def test_halo_step_with_body_force():
     p1r_v = p1r.vector - jnp.mean(p1r.vector)
     np.testing.assert_allclose(np.asarray(U1), np.asarray(u1r.vector), atol=1e-11)
     np.testing.assert_allclose(np.asarray(P1), np.asarray(p1r_v), atol=1e-10)
+
+
+@pytest.mark.slow
+def test_halo_lagged_matches_fast_stepper_lagged():
+    # distributed semi-implicit (lagged) convection reproduces the
+    # single-chip FastStepper(convection="lagged") step bit-near-exactly
+    from flow_tpu.navier_stokes.fast import FastStepper
+
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    mesh = unit_square_mesh(10, diagonal="crossed")
+    V = VectorFunctionSpace(mesh, 2)
+    Q = FunctionSpace(mesh, 1)
+
+    def lid(x):
+        return np.where(x[:, 1] > 1 - 1e-12, 1.0, 0.0)
+
+    u_bcs = [DirichletBC(V.sub(0), lid), DirichletBC(V.sub(1), 0.0)]
+    u0 = project((0.0, 0.0), V)
+    p0 = project(0.0, Q)
+
+    hp = HaloProjection(
+        V, Q, u_bcs, [], rho=1.0, mu=0.1,
+        devices=jax.devices()[:4], rotational_form=True,
+        convection="lagged", linear_rtol=1e-12, newton_tol=1e-12,
+    )
+    st = FastStepper(
+        V, Q, u_bcs, [], 1.0, 0.1, rotational_form=True,
+        convection="lagged", newton_rtol=1e-12, newton_tol=1e-12,
+        linear_rtol=1e-12, pressure_rtol=1e-12, correction_rtol=1e-13,
+        cfl_target=1e9, dt_max=1.0,
+    )
+    dt = 1e-2
+    Up = hp.Vh.to_partitioned(np.asarray(u0.vector))
+    Pp = hp.Qh.to_partitioned(np.asarray(p0.vector))
+    # two steps so the second step's transport is a developed field
+    for _ in range(2):
+        Up, Pp = hp.step(Up, Pp, dt)
+    U1 = hp.Vh.from_partitioned(Up)
+    P1 = hp.Qh.from_partitioned(Pp)
+
+    U, P = u0.vector, p0.vector
+    for _ in range(2):
+        U, P, _ = st.step(U, P, jnp.asarray(dt, U.dtype))
+    np.testing.assert_allclose(np.asarray(U1), np.asarray(U), atol=2e-10)
+    np.testing.assert_allclose(
+        np.asarray(P1 - jnp.mean(P1)), np.asarray(P - jnp.mean(P)), atol=2e-9
+    )
