@@ -288,14 +288,70 @@ class PackedContext:
                     loc[m][i] = loc[m][i] + wdq * contrib
         return loc
 
+    def skew_conv_lagged_loc_acc(self, loc, Tl, Ul, scale=1.0):
+        """loc[a][i] += scale * [skew convection with FIXED transport T]
+        = 0.5 [((T.grad)u, v) - ((T.grad)v, u)] — the semi-implicit/lagged
+        linearization (exact quadrature of forms.skew_convection_lagged_loc,
+        linear in U)."""
+        phi, dphi, w = self.cq_phi, self.cq_dphi, self.cq_w
+        for q in range(self.nq):
+            wdq = (w[q] * scale) * self.detJ
+            Tq = []
+            Uq = []
+            for d in range(2):
+                st = None
+                su = None
+                for i in range(self.nlV):
+                    p = phi[q, i]
+                    if p == 0.0:
+                        continue
+                    tt = p * Tl[d][i]
+                    tu = p * Ul[d][i]
+                    st = tt if st is None else st + tt
+                    su = tu if su is None else su + tu
+                Tq.append(st)
+                Uq.append(su)
+            rg = [[None, None], [None, None]]
+            for a in range(2):
+                for k in range(2):
+                    su = None
+                    for i in range(self.nlV):
+                        dp = dphi[q, i, k]
+                        if dp == 0.0:
+                            continue
+                        t = dp * Ul[a][i]
+                        su = t if su is None else su + t
+                    rg[a][k] = su
+            gU = [
+                [
+                    self.G[d][0] * rg[a][0] + self.G[d][1] * rg[a][1]
+                    for d in range(2)
+                ]
+                for a in range(2)
+            ]
+            val = [
+                0.5 * (Tq[0] * gU[a][0] + Tq[1] * gU[a][1]) for a in range(2)
+            ]
+            for i in range(self.nlV):
+                p = phi[q, i]
+                g0 = self.G[0][0] * dphi[q, i, 0] + self.G[0][1] * dphi[q, i, 1]
+                g1 = self.G[1][0] * dphi[q, i, 0] + self.G[1][1] * dphi[q, i, 1]
+                tdotg = Tq[0] * g0 + Tq[1] * g1
+                for m in range(2):
+                    contrib = val[m] * p - 0.5 * Uq[m] * tdotg
+                    loc[m][i] = loc[m][i] + wdq * contrib
+        return loc
+
     # ------------------------------------------------------------------
     # momentum residual (volume part)
     # ------------------------------------------------------------------
-    def residual_volume(self, Uf_i, Uf_0, Pf, rho, mu, dt, w_im):
+    def residual_volume(self, Uf_i, Uf_0, Pf, rho, mu, dt, w_im, Tf=None):
         """Backward-Euler-family momentum residual volume terms, packed:
         F = M (ui - u0) - (dt/rho) w_im [ -rho conv(ui) - stress(ui)
                                           + pgrad(p0) ]  -> flat [2n].
-        (Mirrors pressure_correction._residual with w_ex = 0, Fq = None.)"""
+        (Mirrors pressure_correction._residual with w_ex = 0, Fq = None.)
+        Tf (optional, flat [2n]): fixed convection transport — the
+        semi-implicit/lagged linearization (residual affine in Uf_i)."""
         Ui = self.comps(Uf_i)
         U0 = self.comps(Uf_0)
         Uli = [self.gatherV(Ui[0]), self.gatherV(Ui[1])]
@@ -308,7 +364,12 @@ class PackedContext:
         loc = self._zero_loc(Uf_i)
         loc = self.mass_loc_acc(loc, dUl)
         # - s * ( -rho*conv - stress + pgrad )
-        loc = self.skew_conv_loc_acc(loc, Uli, scale=s * rho)
+        if Tf is None:
+            loc = self.skew_conv_loc_acc(loc, Uli, scale=s * rho)
+        else:
+            T = self.comps(Tf)
+            Tl = [self.gatherV(T[0]), self.gatherV(T[1])]
+            loc = self.skew_conv_lagged_loc_acc(loc, Tl, Uli, scale=s * rho)
         loc = self.sym_grad_loc_acc(loc, Uli, mu=s * mu * 1.0)
         # stress form is 2 mu eps : the sym_grad term above IS the
         # full grad+gradT pair (forms.sym_grad_loc), scaled by mu
@@ -387,8 +448,9 @@ class PackedContext:
     # (the [nb, ...] arrays are small, so the einsum layout stays)
     # ------------------------------------------------------------------
     def boundary_rhs(self, btabV, btabQ, Uf, Pf, rho, mu,
-                     ds_stress=True, ds_dn=True):
-        """Packed twin of pressure_correction._rhs_weak_bnd -> flat [2n]."""
+                     ds_stress=True, ds_dn=True, Tf=None):
+        """Packed twin of pressure_correction._rhs_weak_bnd -> flat [2n].
+        Tf: fixed transport for the directional do-nothing factor."""
         U = self.comps(Uf)
         p0b = btabQ.values(Pf)  # [nb, q]
         nrm = btabV.normals  # [nb, 2]
@@ -405,7 +467,12 @@ class PackedContext:
                     + gw[1][:, :, a] * nrm[:, None, 1]
                 )
         if ds_dn:
-            wn = vals[0] * nrm[:, None, 0] + vals[1] * nrm[:, None, 1]
+            if Tf is None:
+                tvals = vals
+            else:
+                T = self.comps(Tf)
+                tvals = [btabV.values(T[c]) for c in range(2)]
+            wn = tvals[0] * nrm[:, None, 0] + tvals[1] * nrm[:, None, 1]
             wnp = jnp.maximum(wn, 0.0)
             for a in range(2):
                 val[a] = val[a] - 0.5 * rho * wnp * vals[a]

@@ -207,7 +207,6 @@ class FastStepper:
             and V.degree == 2
             and Q.degree == 1
             and not divergence_probe
-            and not self.lagged  # packed kernels lack the transport variant
             and _os0.environ.get("FLOW_NO_PACKED", "") != "1"
         )
         # measured on the real chip (BENCH_NOTES r03 packed A/B): the
@@ -461,6 +460,32 @@ class FastStepper:
             x0 = Uf
         x0 = free * x0 + self.mask_uf * self.val_uf
         eta0 = jnp.asarray(self.linear_rtol, dtype=Uf.dtype)
+
+        if self.lagged:
+            # semi-implicit: affine residual with transport x0; one solve
+            def res_lag(x):
+                r = pc.residual_volume(x, Uf, Pf, rho, mu, dt, w_im, Tf=x0)
+                b = pc.boundary_rhs(
+                    ctx.btab, ctx.btabQ, x, Pf, rho, mu,
+                    ds_stress=ctx._ds_stress, ds_dn=ctx._ds_dn, Tf=x0,
+                )
+                r = r - (dt / rho) * w_im * b
+                return free * r + self.mask_uf * (x - self.val_uf)
+
+            r0 = res_lag(x0)
+            _, Jv = jax.linearize(res_lag, x0)
+            dx, sinfo = krylov.bicgstab(
+                Jv, -r0, M=M_mom, rtol=self.newton_rtol,
+                atol=0.05 * self.newton_tol, maxiter=300,
+            )
+            Uif = x0 + dx
+            rn = res_lag(Uif)
+            nres = jnp.sqrt(jnp.sum(rn * rn))
+            P1, piters = self._pressure_solve_pk(Uif, Pf, dt)
+            U1f, citers = self._correction_pk(Uif, P1, Pf, dt)
+            return U1f, P1, StepStats(
+                jnp.array(1), nres, sinfo.iters, piters, citers
+            )
 
         def newton_body(state):
             x, rnorm, k, lin, eta = state

@@ -129,3 +129,32 @@ def test_packed_stepper_matches_dense():
     UP, PP, dtP, telP, hP = stPb.run(U, P, dt, n_steps=5)
     rel = float(jnp.linalg.norm(UP - UD) / jnp.linalg.norm(UD))
     assert rel < 1e-7, rel
+
+
+def test_packed_lagged_matches_einsum_lagged():
+    # packed semi-implicit kernels (skew_conv_lagged_loc_acc + do-nothing
+    # transport) must reproduce the einsum lagged path step-for-step
+    from flow_tpu.navier_stokes.fast import FastStepper
+
+    prob = KarmanProblem(lcar=0.2, n_refine=0)
+    kw = dict(
+        rotational_form=True, convection="lagged", time_step_method="bdf2",
+        newton_tol=1e-13, newton_rtol=1e-12, linear_rtol=1e-12,
+        pressure_rtol=1e-12, correction_rtol=1e-13, cfl_target=1e9,
+        dt_max=1.0,
+    )
+    stD = FastStepper(prob.V, prob.Q, prob.u_bcs, prob.p_bcs, prob.rho,
+                      prob.mu, packed=False, **kw)
+    stP = FastStepper(prob.V, prob.Q, prob.u_bcs, prob.p_bcs, prob.rho,
+                      prob.mu, packed=True, **kw)
+    assert stP.packed and not stD.packed
+
+    dt = jnp.asarray(5e-3)
+    outD = stD.run(prob.V.zeros(), prob.Q.zeros(), dt, n_steps=3, dt_max=dt)
+    outP = stP.run(prob.V.zeros(), prob.Q.zeros(), dt, n_steps=3, dt_max=dt)
+    np.testing.assert_allclose(
+        np.asarray(outD[0]), np.asarray(outP[0]), atol=5e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(outD[1]), np.asarray(outP[1]), atol=5e-9
+    )
