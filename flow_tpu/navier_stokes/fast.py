@@ -884,8 +884,14 @@ class FastStepper:
         rho, mu = self.rho, self.mu
         free_u = 1.0 - self.mask_u
 
+        T = None
+        if self.lagged:
+            T = (1.0 - self.mask_u) * U + self.mask_u * self.val_u
+
         def res_bc(z):
-            r = ctx._residual(z, U, None, None, P, rho, mu, dt, self.theta)
+            r = ctx._residual(
+                z, U, None, None, P, rho, mu, dt, self.theta, transport=T
+            )
             return free_u * r + self.mask_u * (z - self.val_u)
 
         w_im = self.theta[1]
@@ -922,12 +928,18 @@ class FastStepper:
         rho, mu = self.rho, self.mu
         w_im = self.theta[1]
         free = 1.0 - self.mask_uf
+        # lagged mode (granular is the BE path): transport with u^n; the
+        # residual is then affine, so the segmented Krylov continuation the
+        # granular loop performs converges the single linear solve
+        Tf = (
+            free * Uf + self.mask_uf * self.val_uf if self.lagged else None
+        )
 
         def res_bc(z):
-            r = pc.residual_volume(z, Uf, Pf, rho, mu, dt, w_im)
+            r = pc.residual_volume(z, Uf, Pf, rho, mu, dt, w_im, Tf=Tf)
             b = pc.boundary_rhs(
                 ctx.btab, ctx.btabQ, z, Pf, rho, mu,
-                ds_stress=ctx._ds_stress, ds_dn=ctx._ds_dn,
+                ds_stress=ctx._ds_stress, ds_dn=ctx._ds_dn, Tf=Tf,
             )
             r = r - (dt / rho) * w_im * b
             return free * r + self.mask_uf * (z - self.val_uf)

@@ -320,3 +320,29 @@ def test_lagged_convection_matches_newton():
     itN = int(np.asarray(outN[3]["linear_iters"]).sum())
     itL = int(np.asarray(outL[3]["linear_iters"]).sum())
     assert itL < 0.75 * itN, (itL, itN)
+
+
+def test_granular_lagged_matches_fused_lagged():
+    # granular (watchdog-segmented) lagged stepping converges the same
+    # affine momentum solve as the fused lagged path
+    mesh = unit_square_mesh(8, diagonal="crossed")
+    V = VectorFunctionSpace(mesh, 2)
+    Q = FunctionSpace(mesh, 1)
+
+    def lid(x):
+        return np.where(x[:, 1] > 1 - 1e-12, 1.0, 0.0)
+
+    u_bcs = [DirichletBC(V.sub(0), lid), DirichletBC(V.sub(1), 0.0)]
+    kw = dict(
+        rotational_form=True, convection="lagged", newton_tol=1e-12,
+        newton_rtol=1e-11, newton_maxiter=10, linear_rtol=1e-10,
+        pressure_rtol=1e-11, correction_rtol=1e-12, cfl_target=1e9,
+        dt_max=1.0,
+    )
+    st = FastStepper(V, Q, u_bcs, [], 1.0, 0.01, **kw)
+    U, P = V.zeros(), Q.zeros()
+    dt = jnp.asarray(1e-2)
+    Uf, Pf, _ = st.step(U, P, dt)
+    Ug, Pg, stats = st.step_granular(U, P, dt, kry_maxiter=5)
+    np.testing.assert_allclose(np.asarray(Ug), np.asarray(Uf), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(Pg), np.asarray(Pf), atol=1e-8)
