@@ -662,7 +662,14 @@ class FastStepper:
                 return free_u * r + self.mask_u * (x - self.val_u)
 
             r0 = res_lag(x0)
-            _, Jv = jax.linearize(res_lag, x0)
+            if self.tangent_mode == "jvp":
+                # no linearize storage (the [nc,nq,...] quadrature
+                # intermediates OOM large 3-D problems); ~2x tangent cost
+                def Jv(v):
+                    return jax.jvp(res_lag, (x0,), (v,))[1]
+
+            else:
+                _, Jv = jax.linearize(res_lag, x0)
             # the solve IS the step: stop on the Newton target semantics
             # (rtol on |r0| / absolute newton_tol), not the inexact-Newton
             # inner linear_rtol
@@ -698,6 +705,13 @@ class FastStepper:
 
                 def Jv(v):
                     return free_u * g.apply(vals, v) + self.mask_u * v
+
+            elif self.tangent_mode == "jvp":
+                # huge-size mode: no linearize storage (see _gran_newton_iter)
+                r = res_bc(x)
+
+                def Jv(v):
+                    return jax.jvp(res_bc, (x,), (v,))[1]
 
             else:
                 # linearize once per Newton iteration: Krylov then evaluates
