@@ -50,7 +50,7 @@ def main():
     n = int(os.environ.get("PROBE_N", str(1024 * 1024)))  # rows
     J = 8            # indices per row (ELL width)
     R = int(os.environ.get("PROBE_R", "128"))   # rows per block
-    BAND = 64        # index locality (RCM-like)
+    BAND = int(os.environ.get("PROBE_BAND", "64"))  # index locality (RCM-like)
     # span per block: R-1 rows + 2*BAND offsets + up to 127 alignment loss
     W = int(os.environ.get("PROBE_W", "0")) or (
         ((R + 2 * BAND + 127 + 127) // 128) * 128
@@ -141,6 +141,58 @@ def main():
     except Exception as e:
         print(f"B Pallas one-hot  : FAILED: {type(e).__name__}: "
               f"{str(e)[:400]}", flush=True)
+
+    # ---- B2. two-level one-hot (the O(W) contract on the MXU) ----
+    # idx = hi*B2 + lo: rowsel = onehot_hi[RJ, A2] @ win2d[A2, B2]  (MXU),
+    # out[r] = sum_b (lo[r]==b) rowsel[r, b]                        (VPU).
+    # Per-row VPU cost A2 + B2 ~ 2 sqrt(W) instead of W — this is the
+    # variant that stays cheap at the real-mesh window widths W ~ O(sqrt n)
+    # (measured: 6-13k at 1.9M-10M dofs).
+    B2 = 128
+    A2 = W // B2 if W % B2 == 0 else None
+    if A2:
+        def kernel_two(w0_ref, lidx_ref, vals_ref, x_hbm, out_ref, win, sem):
+            b = pl.program_id(0)
+            cp = pltpu.make_async_copy(x_hbm.at[pl.ds(w0_ref[b], W)], win, sem)
+            cp.start()
+            cp.wait()
+            li = lidx_ref[0].reshape(R * J)
+            hi = li // B2
+            lo = li - hi * B2
+            oh_hi = (
+                hi[:, None]
+                == jax.lax.broadcasted_iota(jnp.int32, (R * J, A2), 1)
+            ).astype(jnp.float32)
+            win2d = win[...].reshape(A2, B2)
+            rowsel = jnp.dot(
+                oh_hi, win2d, preferred_element_type=jnp.float32
+            )  # [RJ, B2] on the MXU
+            oh_lo = lo[:, None] == jax.lax.broadcasted_iota(
+                jnp.int32, (R * J, B2), 1
+            )
+            g = jnp.sum(jnp.where(oh_lo, rowsel, 0.0), axis=1)
+            out_ref[0] = jnp.sum(vals_ref[0] * g.reshape(R, J), axis=1)
+
+        @jax.jit
+        def pallas_two(w0v, lv, vv, xv):
+            return pl.pallas_call(
+                kernel_two,
+                out_shape=jax.ShapeDtypeStruct((nb, R), jnp.float32),
+                grid_spec=grid_spec,
+                interpret=interpret,
+            )(w0v, lv, vv.reshape(nb, R, J), xv)
+
+        try:
+            out_c = pallas_two(w0, lidx, vals, x)
+            ref = xla_ell(x, idx, vals).reshape(nb, R)
+            ok = bool(jnp.allclose(out_c, ref, atol=1e-4, rtol=1e-4))
+            t_c = timeit(pallas_two, w0, lidx, vals, x)
+            print(f"B2 two-level MXU  : {t_c*1e3:8.3f} ms "
+                  f"({n*J/t_c/1e6:.0f} M rows/s-equiv) correct={ok} "
+                  f"speedup={t_xla/t_c:.2f}x", flush=True)
+        except Exception as e:
+            print(f"B2 two-level MXU  : FAILED: {type(e).__name__}: "
+                  f"{str(e)[:400]}", flush=True)
 
     # ---- C. stream ceiling ----
     @jax.jit
