@@ -2,17 +2,21 @@
 #
 # TPU gathers are row-count-bound (~0.6-3e8 rows/s, BENCH_NOTES round 2) —
 # the measured wall under every FEM hot path here. The gather-free
-# formulation (scripts/onehot_window_probe.py) needs cells grouped so each
-# block of C cells reads one narrow contiguous dof window, which the
-# as-built dof numbering does not provide (P2 numbers vertices then edges:
-# cell spans ~n). This module computes, host-side (numpy):
+# formulation (scripts/onehot_window_probe.py) groups cells so each block
+# reads ONE narrow contiguous dof window (DMA at full HBM bandwidth) and
+# "gathers"/"scatters" inside VMEM by one-hot compare + MXU contract.
 #
-#   - a P2/P1 scalar-dof permutation by RCM on the DOF GRAPH (pairs sharing
-#     a cell) — measured window widths ~4 sqrt(n) on the Karman meshes,
-#   - a cell order sorted by minimum permuted dof,
-#   - per-block 128-aligned window starts w0[b] and block-local indices
-#     lidx[b, C, nl] < W,
-#   - the permutation tables to move vectors in and out of window order.
+# Layout (host-side numpy):
+#   - scalar-dof permutation by RCM on the DOF GRAPH (pairs sharing a
+#     cell); the as-built P2 numbering (vertices then edges) has spans ~n,
+#     the dof-graph RCM gives bandwidth ~4 sqrt(n) (measured on Karman),
+#   - UNIFORM-STRIDE buckets: block b owns permuted dofs [b*S, (b+1)*S);
+#     a cell belongs to the bucket of its minimum permuted dof; since all
+#     its dofs lie within +bandwidth of the minimum, block b only touches
+#     [b*S, b*S + W) with W = S + bandwidth (padded to a multiple of S) —
+#     so the output side is an overlap-add of W/S SHIFTED CONTIGUOUS
+#     layers (pure XLA adds, no scatter),
+#   - per-block cell lists padded to the max bucket population (masked).
 #
 # The discrete operators are permutation-equivalent; equivalence is pinned
 # in tests/test_window.py.
@@ -24,35 +28,51 @@ __all__ = ["WindowLayout", "build_window_layout"]
 
 
 class WindowLayout:
-    """Blocked-window view of a scalar FunctionSpace.
+    """Uniform-stride blocked-window view of a scalar FunctionSpace.
 
     Attributes:
-      perm      np [n] int32, new -> old dof id (x_win = x[perm])
-      inv       np [n] int32, old -> new (x = x_win[inv][...wrong dir];
-                x_old[i] = x_win[inv[i]])
-      cell_order np [nc] int — kernel block b covers original cells
-                cell_order[b*C:(b+1)*C] (tail cells padded with repeats of
-                the last real cell, masked by cell_valid)
-      cell_valid np [nb*C] float32 — 1.0 for real cells, 0.0 for padding
-      C, W, nb  block size, padded window width, number of blocks
-      w0        np [nb] int32 — 128-aligned window start (new numbering)
-      lidx      np [nb, C, nl] int32 — block-local dof indices (< W)
+      perm      np [n] int32, new -> old dof id (x_win = x_old[perm])
+      inv       np [n] int32, old -> new (x_old[i] lives at inv[i])
+      S         owned stride per block (multiple of 128)
+      W         window width (multiple of S); block b reads [b*S, b*S+W)
+      nb        number of blocks = ceil(n / S)
+      C         padded cells per block (max bucket population)
+      cells     np [nb, C] int32 — original cell ids per block (padded by
+                repeating the last real cell)
+      valid     np [nb, C] float32 — 1.0 real cell, 0.0 padding
+      lidx      np [nb, C, nl] int32 — window-local dof indices (< W)
     """
 
-    def __init__(self, perm, inv, cell_order, cell_valid, C, W, nb, w0, lidx):
+    def __init__(self, perm, inv, S, W, nb, C, cells, valid, lidx):
         self.perm = perm
         self.inv = inv
-        self.cell_order = cell_order
-        self.cell_valid = cell_valid
-        self.C = C
+        self.S = S
         self.W = W
         self.nb = nb
-        self.w0 = w0
+        self.C = C
+        self.cells = cells
+        self.valid = valid
         self.lidx = lidx
 
     @property
     def n(self):
         return len(self.perm)
+
+    @property
+    def n_pad(self):
+        """Length the permuted source vector must be padded to."""
+        return self.nb * self.S + self.W
+
+    def overlap_add(self, wins, jnp):
+        """[nb, W] per-block output windows -> [n] vector (permuted
+        numbering). W/S shifted contiguous adds — no scatter."""
+        nbS = self.nb * self.S
+        y = jnp.zeros(nbS + self.W, dtype=wins.dtype)
+        K = self.W // self.S
+        for k in range(K):
+            layer = wins[:, k * self.S : (k + 1) * self.S].reshape(nbS)
+            y = y.at[k * self.S : k * self.S + nbS].add(layer)
+        return y[: self.n]
 
 
 def _dof_graph_rcm(cell_dofs, n):
@@ -71,33 +91,43 @@ def _dof_graph_rcm(cell_dofs, n):
     return perm.astype(np.int32), inv.astype(np.int32)
 
 
-def build_window_layout(space, C=256, w_align=128):
-    """Compute the WindowLayout of a FunctionSpace (scalar dof structure;
-    vector components share it — the state is component-major)."""
+def build_window_layout(space, S=512):
+    """Compute the uniform-stride WindowLayout of a FunctionSpace (scalar
+    dof structure; vector components share it — state is component-major).
+    S must be a multiple of 128."""
+    assert S % 128 == 0, S
     cd = np.asarray(space.cell_dofs_np)
     n = space.n_dofs
     nc, nl = cd.shape
     perm, inv = _dof_graph_rcm(cd, n)
     cdn = inv[cd.astype(np.int64)]  # cell dofs in new numbering
 
-    cell_order = np.argsort(cdn.min(axis=1), kind="stable")
-    nb = (nc + C - 1) // C
-    # pad the cell list to nb*C with repeats of the last cell (masked)
-    pad = nb * C - nc
-    cell_order_p = np.concatenate(
-        [cell_order, np.full(pad, cell_order[-1], dtype=cell_order.dtype)]
-    )
-    cell_valid = np.ones(nb * C, dtype=np.float32)
-    if pad:
-        cell_valid[nc:] = 0.0
+    cmin = cdn.min(axis=1)
+    bucket = cmin // S
+    nb = (n + S - 1) // S
+    # W = S + max reach, padded to a multiple of S
+    reach = int((cdn.max(axis=1) - bucket * S).max()) + 1
+    W = ((reach + S - 1) // S) * S
 
-    cds = cdn[cell_order_p].reshape(nb, C * nl)
-    w0 = (cds.min(axis=1) // w_align) * w_align
-    width = cds.max(axis=1) - w0 + 1
-    W = int(((int(width.max()) + w_align - 1) // w_align) * w_align)
-    lidx = (cds - w0[:, None]).astype(np.int32).reshape(nb, C, nl)
-    # windows may extend past n; callers pad the window source to n + W
-    return WindowLayout(
-        perm, inv, cell_order_p, cell_valid, C, W, nb,
-        w0.astype(np.int32), lidx,
-    )
+    counts = np.bincount(bucket, minlength=nb)
+    C = int(counts.max())
+    cells = np.empty((nb, C), dtype=np.int32)
+    valid = np.zeros((nb, C), dtype=np.float32)
+    order = np.argsort(bucket, kind="stable")
+    off = 0
+    for b in range(nb):
+        k = counts[b]
+        ids = order[off : off + k]
+        off += k
+        if k:
+            cells[b, :k] = ids
+            cells[b, k:] = ids[-1] if k else 0
+            valid[b, :k] = 1.0
+        else:
+            cells[b, :] = 0  # fully masked block
+    lidx = (cdn[cells.astype(np.int64)] - (np.arange(nb) * S)[:, None, None])
+    lidx = lidx.astype(np.int32)
+    # padding cells may have negative lidx (repeat of a cell from an earlier
+    # window); clamp into range — they are masked by valid anyway
+    lidx = np.clip(lidx, 0, W - 1)
+    return WindowLayout(perm, inv, S, W, nb, C, cells, valid, lidx)
