@@ -110,7 +110,24 @@ class FastStepper:
         # consistency for BE, O(dt^2) for BDF2, same formal scheme orders)
         assert convection in ("newton", "lagged"), convection
         self.lagged = convection == "lagged"
+        # gather-free window kernel for the lagged momentum matvec
+        # (fem/winmom.py; FLOW_WINKERNEL=1 enables — measured on TPU before
+        # any default flip, see BENCH_NOTES)
+        self.winkernel = (
+            self.lagged and _os0.environ.get("FLOW_WINKERNEL", "") == "1"
+        )
+        self._winmom = None
         self.V, self.Q = V, Q
+        if self.winkernel:
+            import jax as _jax
+
+            from ..fem.winmom import WindowLaggedMomentum
+
+            self._winmom = WindowLaggedMomentum(
+                V, S=int(_os0.environ.get("FLOW_WINKERNEL_S", "512")),
+                interpret=_jax.default_backend() == "cpu",
+            )
+            self._zero_P = jnp.zeros(Q.n_dofs, dtype=V.mesh.dtype)
         self.ctx = _get_ctx(V, Q)
         self.rho = float(rho)
         self.mu = float(mu)
@@ -662,7 +679,22 @@ class FastStepper:
                 return free_u * r + self.mask_u * (x - self.val_u)
 
             r0 = res_lag(x0)
-            if self.tangent_mode == "jvp":
+            if self.winkernel:
+                # gather-free window kernel for the volume matvec
+                # (fem/winmom.py); boundary ds-terms (O(surface)) and the
+                # BC identity rows stay on the einsum path
+                op = self._winmom
+                Tq = op.transport_qp(x0)
+                s = (dt / rho) * self.theta[1]
+
+                def Jv(v):
+                    av = op.apply(v, Tq, 1.0, s * rho, s * mu)
+                    b = ctx._rhs_weak_bnd(v, self._zero_P, rho, mu, T=x0)
+                    if b is not None:
+                        av = av - s * b
+                    return free_u * av + self.mask_u * v
+
+            elif self.tangent_mode == "jvp":
                 # no linearize storage (the [nc,nq,...] quadrature
                 # intermediates OOM large 3-D problems); ~2x tangent cost
                 def Jv(v):

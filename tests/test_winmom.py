@@ -35,3 +35,35 @@ def test_window_lagged_momentum_matches_einsum():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=3e-5, atol=5e-6
     )
+
+
+def test_faststepper_winkernel_matches_einsum_lagged(monkeypatch):
+    # FLOW_WINKERNEL=1: the lagged momentum solve driven by the window
+    # kernel must reproduce the einsum lagged step
+    import os
+    from flow_tpu.navier_stokes.fast import FastStepper
+
+    prob = KarmanProblem(lcar=0.2, n_refine=0)
+    kw = dict(
+        rotational_form=True, convection="lagged", time_step_method="bdf2",
+        newton_tol=1e-12, newton_rtol=1e-11, linear_rtol=1e-10,
+        pressure_rtol=1e-11, correction_rtol=1e-12, cfl_target=1e9,
+        dt_max=1.0, packed=False,
+    )
+    stE = FastStepper(prob.V, prob.Q, prob.u_bcs, prob.p_bcs, prob.rho,
+                      prob.mu, **kw)
+    monkeypatch.setenv("FLOW_WINKERNEL", "1")
+    stW = FastStepper(prob.V, prob.Q, prob.u_bcs, prob.p_bcs, prob.rho,
+                      prob.mu, **kw)
+    assert stW.winkernel and not stE.winkernel
+
+    U, P = prob.V.zeros(), prob.Q.zeros()
+    dt = jnp.asarray(5e-3)
+    # two steps (second has nontrivial transport/extrapolation)
+    UE, PE = U, P
+    UW, PW = U, P
+    for _ in range(2):
+        UE, PE, _ = stE.step(UE, PE, dt)
+        UW, PW, _ = stW.step(UW, PW, dt)
+    np.testing.assert_allclose(np.asarray(UW), np.asarray(UE), atol=2e-7)
+    np.testing.assert_allclose(np.asarray(PW), np.asarray(PE), atol=2e-6)
