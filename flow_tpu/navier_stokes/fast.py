@@ -128,6 +128,11 @@ class FastStepper:
                 interpret=_jax.default_backend() == "cpu",
             )
             self._zero_P = jnp.zeros(Q.n_dofs, dtype=V.mesh.dtype)
+            nq = self._winmom.tab.phi.shape[0]
+            self._win_Tq_zero = jnp.zeros(
+                (self._winmom.wl.nb, self._winmom.wl.C, nq, 2),
+                dtype=jnp.float32,
+            )
         self.ctx = _get_ctx(V, Q)
         self.rho = float(rho)
         self.mu = float(mu)
@@ -812,18 +817,48 @@ class FastStepper:
             P1, piters = self._pressure_solve_mg(Ui, P, dt)
 
         # substep 3: velocity correction
-        U1, citers, _ = ctx._velocity_correction_impl(
-            Ui,
-            P1,
-            P,
-            rho,
-            mu,
-            dt,
-            self.mask_u,
-            self.val_u,
-            self.correction_rtol,
-            rotational=self.rotational,
-        )
+        if self.winkernel:
+            # gather-free mass matvec (winmom with zero conv/stress weights)
+            from ..fem import forms as _forms
+
+            V, Q, geom = self.V, self.Q, ctx.geom
+            op = self._winmom
+            phi = P1 - P
+            div_part = None
+            if self.rotational:
+                div_part = mu * _forms.grad_div_ustar(V, geom, Ui)
+            mask = self.mask_u
+            free = 1.0 - mask
+            Tq0 = jnp.zeros_like(self._win_Tq_zero)
+
+            def M_bc(u):
+                y = op.apply(free * u, Tq0, 1.0, 0.0, 0.0)
+                return free * y + mask * u
+
+            diag = free * ctx.mass_diag_V + mask
+            L3 = -(dt / rho) * _forms.grad_phi_rhs(
+                V, Q, geom, phi, div_part=div_part, rule_degree=4
+            )
+            dmask = mask * (self.val_u - Ui)
+            rhs = free * (L3 - op.apply(dmask, Tq0, 1.0, 0.0, 0.0)) + dmask
+            d, sinfo = krylov.cg(
+                M_bc, rhs, M=lambda r: r / diag,
+                rtol=self.correction_rtol, maxiter=500,
+            )
+            U1, citers = Ui + d, sinfo.iters
+        else:
+            U1, citers, _ = ctx._velocity_correction_impl(
+                Ui,
+                P1,
+                P,
+                rho,
+                mu,
+                dt,
+                self.mask_u,
+                self.val_u,
+                self.correction_rtol,
+                rotational=self.rotational,
+            )
         return U1, P1, StepStats(niters, nres, lin_iters, piters, citers)
 
     def _pressure_solve_mg(self, Ui, P, dt):

@@ -65,5 +65,7 @@ def test_faststepper_winkernel_matches_einsum_lagged(monkeypatch):
     for _ in range(2):
         UE, PE, _ = stE.step(UE, PE, dt)
         UW, PW, _ = stW.step(UW, PW, dt)
-    np.testing.assert_allclose(np.asarray(UW), np.asarray(UE), atol=2e-7)
-    np.testing.assert_allclose(np.asarray(PW), np.asarray(PE), atol=2e-6)
+    # the window kernel runs f32 internally (momentum matvec AND the
+    # correction mass solve): agreement at f32 accumulation level
+    np.testing.assert_allclose(np.asarray(UW), np.asarray(UE), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(PW), np.asarray(PE), atol=1e-4)
