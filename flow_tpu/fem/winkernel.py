@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 from . import assembly, elements
 from .window import build_window_layout
 
-__all__ = ["WindowMassOperator"]
+__all__ = ["WindowMassOperator", "WindowStiffnessOperator"]
 
 _LO = 128  # two-level one-hot low radix (= lane width)
 
@@ -91,10 +91,11 @@ class WindowMassOperator:
             assembly.ref_mass(space.degree, assembly._dim(space))
         )
         detj = np.asarray(geom.detJ)[np.asarray(wl.cells, dtype=np.int64)]
-        self.detj = jnp.asarray(detj, dtype=space.mesh.dtype)
-        self.mref = jnp.asarray(mref, dtype=space.mesh.dtype)
+        # kernel runs f32 (Mosaic has no f64); callers cast at the boundary
+        self.detj = jnp.asarray(detj, dtype=jnp.float32)
+        self.mref = jnp.asarray(mref, dtype=jnp.float32)
         self.lidx = jnp.asarray(wl.lidx)
-        self.valid = jnp.asarray(wl.valid, dtype=space.mesh.dtype)
+        self.valid = jnp.asarray(wl.valid, dtype=jnp.float32)
         self.perm = jnp.asarray(wl.perm.astype(np.int32))
         self.inv = jnp.asarray(wl.inv.astype(np.int32))
         self._call = jax.jit(self._apply_impl)
@@ -137,6 +138,114 @@ class WindowMassOperator:
         wins = self._pallas(xw_pad.astype(jnp.float32))
         yw = wl.overlap_add(wins, jnp)
         return yw.astype(x.dtype)[self.inv]
+
+    def apply(self, x):
+        return self._call(x)
+
+
+def _stiff_kernel(lidx_ref, valid_ref, cg_ref, kref_ref, x_hbm, out_ref,
+                  win, sem, *, S, W, C, NL):
+    b = pl.program_id(0)
+    cp = pltpu.make_async_copy(x_hbm.at[pl.ds(b * S, W)], win, sem)
+    cp.start()
+    cp.wait()
+
+    CNL = C * NL
+    A2 = W // _LO
+    li = lidx_ref[0].reshape(CNL)
+    hi = li // _LO
+    lo = li - hi * _LO
+    oh_hi = (
+        hi[:, None] == jax.lax.broadcasted_iota(jnp.int32, (CNL, A2), 1)
+    ).astype(jnp.float32)
+    oh_lo = lo[:, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (CNL, _LO), 1
+    )
+
+    win2d = win[...].reshape(A2, _LO)
+    rowsel = jnp.dot(oh_hi, win2d, preferred_element_type=jnp.float32)
+    u = jnp.sum(jnp.where(oh_lo, rowsel, 0.0), axis=1).reshape(C, NL)
+
+    # scalar stiffness: loc[c, i] = sum_kl Cg[c,k,l] (u K[k,l]^T)[c, i]
+    Kref = kref_ref[...]
+    Cg = cg_ref[0]
+    loc = None
+    for k in range(2):
+        for l in range(2):
+            t = Cg[:, k, l, None] * jnp.dot(
+                u, Kref[k, l].T, preferred_element_type=jnp.float32
+            )
+            loc = t if loc is None else loc + t
+    loc = loc * valid_ref[0][:, None]
+
+    rows = loc.reshape(CNL)
+    masked = jnp.where(oh_lo, rows[:, None], 0.0)
+    out2d = jnp.dot(oh_hi.T, masked, preferred_element_type=jnp.float32)
+    out_ref[0] = out2d.reshape(W)
+
+
+class WindowStiffnessOperator:
+    """Gather-free scalar stiffness apply (the pressure-Poisson / MG-level
+    operator: K x with K = int grad(u).grad(v))."""
+
+    def __init__(self, space, S=512, interpret=False):
+        from .forms import ref_stiffness
+
+        self.space = space
+        wl = build_window_layout(space, S=S)
+        self.wl = wl
+        self.interpret = interpret
+        geom = assembly.geometry(space.mesh)
+        cells = np.asarray(wl.cells, dtype=np.int64)
+        self.Cg = jnp.asarray(np.asarray(geom.C)[cells], dtype=jnp.float32)
+        self.kref = jnp.asarray(
+            np.asarray(ref_stiffness(space.degree, assembly._dim(space))),
+            dtype=jnp.float32,
+        )
+        self.lidx = jnp.asarray(wl.lidx)
+        self.valid = jnp.asarray(wl.valid, dtype=jnp.float32)
+        self.perm = jnp.asarray(wl.perm.astype(np.int32))
+        self.inv = jnp.asarray(wl.inv.astype(np.int32))
+        self._call = jax.jit(self._apply_impl)
+
+    def _pallas(self, xw_pad):
+        wl = self.wl
+        C, NL = wl.C, wl.lidx.shape[2]
+        kern = functools.partial(
+            _stiff_kernel, S=wl.S, W=wl.W, C=C, NL=NL
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(wl.nb,),
+            in_specs=[
+                pl.BlockSpec((1, C, NL), lambda b: (b, 0, 0)),
+                pl.BlockSpec((1, C), lambda b: (b, 0)),
+                pl.BlockSpec((1, C, 2, 2), lambda b: (b, 0, 0, 0)),
+                pl.BlockSpec((2, 2, NL, NL), lambda b: (0, 0, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, wl.W), lambda b: (b, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((wl.W,), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((wl.nb, wl.W), jnp.float32),
+            grid_spec=grid_spec,
+            interpret=self.interpret,
+        )(self.lidx, self.valid, self.Cg, self.kref, xw_pad)
+
+    def _apply_impl(self, x):
+        wl = self.wl
+        xw = x.astype(jnp.float32)[self.perm]
+        xw_pad = jnp.concatenate(
+            [xw, jnp.zeros(wl.n_pad - wl.n, dtype=jnp.float32)]
+        )
+        wins = self._pallas(xw_pad)
+        yw = wl.overlap_add(wins, jnp)
+        return yw[self.inv].astype(x.dtype)
 
     def apply(self, x):
         return self._call(x)
