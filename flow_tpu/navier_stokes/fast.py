@@ -181,6 +181,16 @@ class FastStepper:
         from ..fem.ell import ell_stiffness
 
         self._K_Q = ell_stiffness(Q, self.ctx.geom)
+        self._KQ_apply = self._K_Q.apply
+        if self.winkernel:
+            import jax as _jax2
+
+            from ..fem.winkernel import WindowStiffnessOperator
+
+            self._K_Q_win = WindowStiffnessOperator(
+                Q, interpret=_jax2.default_backend() == "cpu"
+            )
+            self._KQ_apply = self._K_Q_win._apply_impl
 
         # assembled momentum Jacobian (ELL, rebuilt on device once per
         # Newton iteration): BiCGStab matvecs become row-gather ELL applies
@@ -565,7 +575,7 @@ class FastStepper:
         if not self.has_p_bcs:
 
             def K(p):
-                return self._K_Q.apply(p)
+                return self._KQ_apply(p)
 
             if not self.increment_form:
                 L2 = L2 + K(Pf)
@@ -579,15 +589,15 @@ class FastStepper:
             free = 1.0 - mask
 
             def K_bc(p):
-                return free * self._K_Q.apply(free * p) + mask * p
+                return free * self._KQ_apply(free * p) + mask * p
 
             if self.increment_form:
                 pin = mask * (gvals - Pf)
-                rhs = free * (L2 - self._K_Q.apply(pin)) + pin
+                rhs = free * (L2 - self._KQ_apply(pin)) + pin
             else:
-                L2 = L2 + self._K_Q.apply(Pf)
+                L2 = L2 + self._KQ_apply(Pf)
                 rhs = (
-                    free * (L2 - self._K_Q.apply(mask * gvals))
+                    free * (L2 - self._KQ_apply(mask * gvals))
                     + mask * gvals
                 )
             p1, sinfo = krylov.cg(
@@ -886,7 +896,7 @@ class FastStepper:
         if not self.has_p_bcs:
 
             def K(p):
-                return self._K_Q.apply(p)
+                return self._KQ_apply(p)
 
             if self.increment_form:
                 phi, sinfo = krylov.cg(
@@ -912,10 +922,10 @@ class FastStepper:
             free = 1.0 - mask
 
             def K_bc(p):
-                return free * self._K_Q.apply(free * p) + mask * p
+                return free * self._KQ_apply(free * p) + mask * p
 
             def K_raw(p):
-                return self._K_Q.apply(p)
+                return self._KQ_apply(p)
 
             if self.increment_form:
                 pin = mask * (gvals - P)

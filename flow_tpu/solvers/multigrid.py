@@ -45,12 +45,20 @@ class P1Hierarchy:
         smoother_degree=2,
         coarse_dense_max=3000,
         lmin_ratio=0.30,
+        winkernel=None,
+        winkernel_min_dofs=20000,
     ):
         # hierarchy construction = dozens of small unique-shape programs
         # (level operators, diagonals, power iterations); keep them off the
         # remote-compiling TPU backend
         from ..utils.hostsetup import setup_on_cpu
 
+        import os as _os
+
+        if winkernel is None:
+            winkernel = _os.environ.get("FLOW_WINKERNEL", "") == "1"
+        self._winkernel = winkernel
+        self._winkernel_min = winkernel_min_dofs
         with setup_on_cpu():
             self._build(meshes, bc_mask, smoother_degree, coarse_dense_max, lmin_ratio)
 
@@ -88,15 +96,30 @@ class P1Hierarchy:
             ellK = ell_stiffness(space, geom)
             L.ell = ellK
 
+            # gather-free window apply for the big levels (FLOW_WINKERNEL;
+            # smoother accuracy is preconditioner-side, so the kernel's f32
+            # internals are safe even in f64 runs)
+            base_apply = ellK.apply
+            if self._winkernel and L.n >= self._winkernel_min:
+                import jax as _jax
+
+                from ..fem.winkernel import WindowStiffnessOperator
+
+                wop = WindowStiffnessOperator(
+                    L.space, interpret=_jax.default_backend() == "cpu"
+                )
+                L.win = wop
+                base_apply = wop._apply_impl
+
             if mask is None:
 
-                def K(x, ellK=ellK):
-                    return ellK.apply(x)
+                def K(x, base_apply=base_apply):
+                    return base_apply(x)
 
             else:
 
-                def K(x, ellK=ellK, free=free, mask=mask):
-                    return free * ellK.apply(free * x) + mask * x
+                def K(x, base_apply=base_apply, free=free, mask=mask):
+                    return free * base_apply(free * x) + mask * x
 
             L.K = K
             diag = assembly.stiffness_diag(space, geom)
