@@ -267,6 +267,19 @@ class WindowLaggedMomentum:
         y1 = wl.overlap_add(wins1, jnp)
         return y0, y1
 
+    def apply_perm_rows(self, v, Tq, mass_w, s_rho, s_mu):
+        """v [n, 2] in PERMUTED row order -> A v, same layout. The
+        zero-permute fast path for solves that live in window coordinates
+        (fast.py winkernel lagged branch)."""
+        wl = self.wl
+        pad = jnp.zeros(wl.n_pad - wl.n, dtype=jnp.float32)
+        xp = jnp.stack([
+            jnp.concatenate([v[:, 0].astype(jnp.float32), pad]),
+            jnp.concatenate([v[:, 1].astype(jnp.float32), pad]),
+        ])
+        y0, y1 = self.apply_permuted(xp, Tq, mass_w, s_rho, s_mu)
+        return jnp.stack([y0, y1], axis=1).astype(v.dtype)
+
     def _apply_original(self, x, Tq, mass_w, s_rho, s_mu):
         """x [n, 2] original numbering -> A x [n, 2] (volume terms)."""
         wl = self.wl

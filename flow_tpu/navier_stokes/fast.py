@@ -118,6 +118,7 @@ class FastStepper:
         )
         self._winmom = None
         self.V, self.Q = V, Q
+        self.ctx = _get_ctx(V, Q)
         if self.winkernel:
             import jax as _jax
 
@@ -128,12 +129,21 @@ class FastStepper:
                 interpret=_jax.default_backend() == "cpu",
             )
             self._zero_P = jnp.zeros(Q.n_dofs, dtype=V.mesh.dtype)
+            # boundary facet tables with window-permuted dof indices: the
+            # lagged solve then lives entirely in permuted row coordinates
+            import copy as _copy
+
+            self._btab_perm = None
+            if self.ctx.btab is not None:
+                bt = self.ctx.btab
+                btp = _copy.copy(bt)
+                btp.cell_dofs = jnp.asarray(self._winmom.wl.inv)[bt.cell_dofs]
+                self._btab_perm = btp
             nq = self._winmom.tab.phi.shape[0]
             self._win_Tq_zero = jnp.zeros(
                 (self._winmom.wl.nb, self._winmom.wl.C, nq, 2),
                 dtype=jnp.float32,
             )
-        self.ctx = _get_ctx(V, Q)
         self.rho = float(rho)
         self.mu = float(mu)
         self.rotational = rotational_form
@@ -696,20 +706,66 @@ class FastStepper:
             r0 = res_lag(x0)
             if self.winkernel:
                 # gather-free window kernel for the volume matvec
-                # (fem/winmom.py); boundary ds-terms (O(surface)) and the
-                # BC identity rows stay on the einsum path
+                # (fem/winmom.py), with the WHOLE solve in permuted row
+                # coordinates — zero per-apply permutes. Boundary ds-terms
+                # (O(surface)) use permuted-index facet tables; BC identity
+                # rows via the permuted mask.
                 op = self._winmom
                 Tq = op.transport_qp(x0)
                 s = (dt / rho) * self.theta[1]
+                permi = op.perm
+                inv = op.inv
+                maskp = self.mask_u[permi]
+                freep = 1.0 - maskp
+                diagp = diag[permi]
+                bt = ctx.btab
+                btp = self._btab_perm
+                # transport factor of the do-nothing term, once per step
+                if ctx._ds_dn and bt is not None:
+                    tb = bt.values(x0)
+                    tnp_ = jnp.einsum("bqm,bm->bq", tb, bt.normals)
+                    tnp_ = jnp.maximum(tnp_, 0.0)
 
-                def Jv(v):
-                    av = op.apply(v, Tq, 1.0, s * rho, s * mu)
-                    b = ctx._rhs_weak_bnd(v, self._zero_P, rho, mu, T=x0)
+                def bnd_p(vp):
+                    # x-dependent ds-terms of _rhs_weak_bnd in permuted rows
+                    if bt is None:
+                        return None
+                    val = None
+                    if ctx._ds_stress:
+                        gw = btp.grads(vp, ctx.geom)
+                        val = mu * jnp.einsum(
+                            "bqma,bm->bqa", gw, bt.normals
+                        )
+                    if ctx._ds_dn:
+                        wb = btp.values(vp)
+                        t = -0.5 * rho * tnp_[:, :, None] * wb
+                        val = t if val is None else val + t
+                    if val is None:
+                        return None
+                    return btp.integrate_rhs(val)
+
+                def Jv_p(vp):
+                    av = op.apply_perm_rows(vp, Tq, 1.0, s * rho, s * mu)
+                    b = bnd_p(vp)
                     if b is not None:
                         av = av - s * b
-                    return free_u * av + self.mask_u * v
+                    return freep * av + maskp * vp
 
-            elif self.tangent_mode == "jvp":
+                r0p = r0[permi]
+                dxp, sinfo = krylov.bicgstab(
+                    Jv_p, -r0p, M=lambda t: t / diagp,
+                    rtol=self.newton_rtol, atol=0.05 * self.newton_tol,
+                    maxiter=300,
+                )
+                dx = dxp[inv]
+                Ui = x0 + dx
+                rn = res_lag(Ui)
+                nres = jnp.sqrt(jnp.sum(rn * rn))
+                return self._finish_substeps(
+                    Ui, U, P, dt, jnp.array(1), nres, sinfo.iters
+                )
+
+            if self.tangent_mode == "jvp":
                 # no linearize storage (the [nc,nq,...] quadrature
                 # intermediates OOM large 3-D problems); ~2x tangent cost
                 def Jv(v):
