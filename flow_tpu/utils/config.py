@@ -30,13 +30,30 @@ class SolverConfig:
 
 @dataclass(frozen=True)
 class SchemeConfig:
-    """Projection-scheme configuration."""
+    """Projection-scheme configuration.
+
+    convection: "newton" (the reference's fully-implicit skew form,
+    pressure_correction.py:224-254 semantics) or "lagged" (semi-implicit:
+    transport = u^n / BDF2 extrapolation, one linear momentum solve per
+    step — 2-3x fewer Krylov iterations, trajectory difference far below
+    the time-discretization error; BENCH_NOTES round 3).
+
+    increment_form: pressure/correction Krylov solves act on the
+    increments phi = p1-p0 / d = u1-u* (DEFAULT ON). The full-field
+    form's stopping floor rtol*|K p0| measurably damps small dynamics
+    (it suppressed the refine-2 vortex shedding, round-3 diagnosis);
+    FLOW_ABS_SOLVES=1 reverts. Measured throughput cost at 120k DoF:
+    5.18 -> 3.36 steps/s (the startup transient develops more flow) —
+    the price of correct physics; the lagged convection recoups it.
+    """
 
     time_step_method: str = "backward euler"
     rotational_form: bool = False
     newton_tol: float = 1.0e-10
     newton_rtol: float = 0.0
     newton_maxiter: int = 10
+    convection: str = "newton"  # newton | lagged
+    increment_form: bool = True
     convection_quadrature_degree: int = 5
     force_quadrature_degree: int = 6
 
