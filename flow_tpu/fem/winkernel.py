@@ -40,6 +40,11 @@ _LO = 128  # two-level one-hot low radix (= lane width)
 
 def _mass_kernel(lidx_ref, valid_ref, detj_ref, mref_ref, x_hbm, out_ref,
                  win, sem, *, S, W, C, NL):
+    # valid/detj arrive as [1, 1, C] blocks and out as [1, 1, W]: Mosaic
+    # requires the last two block dims to be divisible by (8, 128) or
+    # equal to the array dims, so per-block rows of a 2-D [nb, C] array
+    # (block (1, C)) are illegal on real TPU — the singleton axis makes
+    # the last-two dims exact matches.
     b = pl.program_id(0)
     cp = pltpu.make_async_copy(x_hbm.at[pl.ds(b * S, W)], win, sem)
     cp.start()
@@ -64,13 +69,13 @@ def _mass_kernel(lidx_ref, valid_ref, detj_ref, mref_ref, x_hbm, out_ref,
 
     # element mass: loc[c, i] = detJ_c * sum_j Mref[i, j] u[c, j]
     loc = jnp.dot(u, mref_ref[...].T, preferred_element_type=jnp.float32)
-    loc = loc * (detj_ref[0] * valid_ref[0])[:, None]
+    loc = loc * (detj_ref[0, 0] * valid_ref[0, 0])[:, None]
 
     # transpose scatter into the window
     rows = loc.reshape(CNL)
     masked = jnp.where(oh_lo, rows[:, None], 0.0)
     out2d = jnp.dot(oh_hi.T, masked, preferred_element_type=jnp.float32)
-    out_ref[0] = out2d.reshape(W)
+    out_ref[0, 0] = out2d.reshape(W)
 
 
 class WindowMassOperator:
@@ -91,11 +96,13 @@ class WindowMassOperator:
             assembly.ref_mass(space.degree, assembly._dim(space))
         )
         detj = np.asarray(geom.detJ)[np.asarray(wl.cells, dtype=np.int64)]
-        # kernel runs f32 (Mosaic has no f64); callers cast at the boundary
-        self.detj = jnp.asarray(detj, dtype=jnp.float32)
+        # kernel runs f32 (Mosaic has no f64); callers cast at the boundary.
+        # [nb, C] per-block tables carry a singleton sublane axis (see
+        # _mass_kernel).
+        self.detj = jnp.asarray(detj, dtype=jnp.float32)[:, None, :]
         self.mref = jnp.asarray(mref, dtype=jnp.float32)
         self.lidx = jnp.asarray(wl.lidx)
-        self.valid = jnp.asarray(wl.valid, dtype=jnp.float32)
+        self.valid = jnp.asarray(wl.valid, dtype=jnp.float32)[:, None, :]
         self.perm = jnp.asarray(wl.perm.astype(np.int32))
         self.inv = jnp.asarray(wl.inv.astype(np.int32))
         self._call = jax.jit(self._apply_impl)
@@ -111,23 +118,24 @@ class WindowMassOperator:
             grid=(wl.nb,),
             in_specs=[
                 pl.BlockSpec((1, C, NL), lambda b: (b, 0, 0)),
-                pl.BlockSpec((1, C), lambda b: (b, 0)),
-                pl.BlockSpec((1, C), lambda b: (b, 0)),
+                pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0)),
+                pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0)),
                 pl.BlockSpec((NL, NL), lambda b: (0, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec((1, wl.W), lambda b: (b, 0)),
+            out_specs=pl.BlockSpec((1, 1, wl.W), lambda b: (b, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((wl.W,), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
         )
-        return pl.pallas_call(
+        out = pl.pallas_call(
             kern,
-            out_shape=jax.ShapeDtypeStruct((wl.nb, wl.W), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((wl.nb, 1, wl.W), jnp.float32),
             grid_spec=grid_spec,
             interpret=self.interpret,
         )(self.lidx, self.valid, self.detj, self.mref, xw_pad)
+        return out.reshape(wl.nb, wl.W)
 
     def _apply_impl(self, x):
         wl = self.wl
@@ -176,12 +184,12 @@ def _stiff_kernel(lidx_ref, valid_ref, cg_ref, kref_ref, x_hbm, out_ref,
                 u, Kref[k, l].T, preferred_element_type=jnp.float32
             )
             loc = t if loc is None else loc + t
-    loc = loc * valid_ref[0][:, None]
+    loc = loc * valid_ref[0, 0][:, None]
 
     rows = loc.reshape(CNL)
     masked = jnp.where(oh_lo, rows[:, None], 0.0)
     out2d = jnp.dot(oh_hi.T, masked, preferred_element_type=jnp.float32)
-    out_ref[0] = out2d.reshape(W)
+    out_ref[0, 0] = out2d.reshape(W)
 
 
 class WindowStiffnessOperator:
@@ -203,7 +211,7 @@ class WindowStiffnessOperator:
             dtype=jnp.float32,
         )
         self.lidx = jnp.asarray(wl.lidx)
-        self.valid = jnp.asarray(wl.valid, dtype=jnp.float32)
+        self.valid = jnp.asarray(wl.valid, dtype=jnp.float32)[:, None, :]
         self.perm = jnp.asarray(wl.perm.astype(np.int32))
         self.inv = jnp.asarray(wl.inv.astype(np.int32))
         self._call = jax.jit(self._apply_impl)
@@ -219,23 +227,24 @@ class WindowStiffnessOperator:
             grid=(wl.nb,),
             in_specs=[
                 pl.BlockSpec((1, C, NL), lambda b: (b, 0, 0)),
-                pl.BlockSpec((1, C), lambda b: (b, 0)),
+                pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0)),
                 pl.BlockSpec((1, C, 2, 2), lambda b: (b, 0, 0, 0)),
                 pl.BlockSpec((2, 2, NL, NL), lambda b: (0, 0, 0, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec((1, wl.W), lambda b: (b, 0)),
+            out_specs=pl.BlockSpec((1, 1, wl.W), lambda b: (b, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((wl.W,), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
         )
-        return pl.pallas_call(
+        out = pl.pallas_call(
             kern,
-            out_shape=jax.ShapeDtypeStruct((wl.nb, wl.W), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((wl.nb, 1, wl.W), jnp.float32),
             grid_spec=grid_spec,
             interpret=self.interpret,
         )(self.lidx, self.valid, self.Cg, self.kref, xw_pad)
+        return out.reshape(wl.nb, wl.W)
 
     def _apply_impl(self, x):
         wl = self.wl

@@ -104,6 +104,10 @@ def _mom_kernel(scal_ref, lidx_ref, valid_ref, detj_ref, g_ref, cg_ref,
                 tq_ref, phi_ref, dphi_ref, w_ref, mref_ref, kref_ref,
                 x_hbm, out0_ref, out1_ref, win0, win1, sem0, sem1,
                 *, S, W, C, NL, n_pad):
+    # valid/detj are [1, 1, C] blocks and outputs [1, 1, W]: Mosaic needs
+    # the last two block dims divisible by (8, 128) or equal to the array
+    # dims, so per-block rows of 2-D [nb, C]/[nb, W] arrays are illegal on
+    # real TPU — the singleton sublane axis makes them exact matches.
     mass_w = scal_ref[0]
     s_rho = scal_ref[1]
     s_mu = scal_ref[2]
@@ -141,8 +145,8 @@ def _mom_kernel(scal_ref, lidx_ref, valid_ref, detj_ref, g_ref, cg_ref,
     u0 = gather(win0)
     u1 = gather(win1)
     l0, l1 = _block_loc(
-        u0, u1, tq_ref[0], detj_ref[0], g_ref[0], cg_ref[0], valid_ref[0],
-        consts, mass_w, s_rho, s_mu,
+        u0, u1, tq_ref[0], detj_ref[0, 0], g_ref[0], cg_ref[0],
+        valid_ref[0, 0], consts, mass_w, s_rho, s_mu,
     )
 
     def scatter(loc):
@@ -151,8 +155,8 @@ def _mom_kernel(scal_ref, lidx_ref, valid_ref, detj_ref, g_ref, cg_ref,
         out2d = jnp.dot(oh_hi.T, masked, preferred_element_type=jnp.float32)
         return out2d.reshape(W)
 
-    out0_ref[0] = scatter(l0)
-    out1_ref[0] = scatter(l1)
+    out0_ref[0, 0] = scatter(l0)
+    out1_ref[0, 0] = scatter(l1)
 
 
 class WindowLaggedMomentum:
@@ -169,11 +173,13 @@ class WindowLaggedMomentum:
         geom = assembly.geometry(V.mesh)
         dt = V.mesh.dtype
         cells = np.asarray(wl.cells, dtype=np.int64)
-        self.detj = jnp.asarray(np.asarray(geom.detJ)[cells], dtype=jnp.float32)
+        self.detj = jnp.asarray(
+            np.asarray(geom.detJ)[cells], dtype=jnp.float32
+        )[:, None, :]
         self.G = jnp.asarray(np.asarray(geom.G)[cells], dtype=jnp.float32)
         self.Cg = jnp.asarray(np.asarray(geom.C)[cells], dtype=jnp.float32)
         self.lidx = jnp.asarray(wl.lidx)
-        self.valid = jnp.asarray(wl.valid, dtype=jnp.float32)
+        self.valid = jnp.asarray(wl.valid, dtype=jnp.float32)[:, None, :]
         self.perm = jnp.asarray(wl.perm.astype(np.int32))
         self.inv = jnp.asarray(wl.inv.astype(np.int32))
 
@@ -218,8 +224,8 @@ class WindowLaggedMomentum:
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, C, NL), lambda b: (b, 0, 0)),
-                pl.BlockSpec((1, C), lambda b: (b, 0)),
-                pl.BlockSpec((1, C), lambda b: (b, 0)),
+                pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0)),
+                pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0)),
                 pl.BlockSpec((1, C, 2, 2), lambda b: (b, 0, 0, 0)),
                 pl.BlockSpec((1, C, 2, 2), lambda b: (b, 0, 0, 0)),
                 pl.BlockSpec((1, C, nq, 2), lambda b: (b, 0, 0, 0)),
@@ -231,8 +237,8 @@ class WindowLaggedMomentum:
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=[
-                pl.BlockSpec((1, wl.W), lambda b: (b, 0)),
-                pl.BlockSpec((1, wl.W), lambda b: (b, 0)),
+                pl.BlockSpec((1, 1, wl.W), lambda b: (b, 0, 0)),
+                pl.BlockSpec((1, 1, wl.W), lambda b: (b, 0, 0)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((wl.W,), jnp.float32),
@@ -241,11 +247,11 @@ class WindowLaggedMomentum:
                 pltpu.SemaphoreType.DMA,
             ],
         )
-        return pl.pallas_call(
+        out0, out1 = pl.pallas_call(
             kern,
             out_shape=[
-                jax.ShapeDtypeStruct((wl.nb, wl.W), jnp.float32),
-                jax.ShapeDtypeStruct((wl.nb, wl.W), jnp.float32),
+                jax.ShapeDtypeStruct((wl.nb, 1, wl.W), jnp.float32),
+                jax.ShapeDtypeStruct((wl.nb, 1, wl.W), jnp.float32),
             ],
             grid_spec=grid_spec,
             interpret=self.interpret,
@@ -256,6 +262,8 @@ class WindowLaggedMomentum:
             jnp.asarray(self.consts[2])[None, :], jnp.asarray(self.consts[3]),
             jnp.asarray(self.consts[4]), x_flat_pad,
         )
+        wl = self.wl
+        return out0.reshape(wl.nb, wl.W), out1.reshape(wl.nb, wl.W)
 
     def apply_permuted(self, xp, Tq, mass_w, s_rho, s_mu):
         """xp [2, n_pad] permuted+padded components -> y same layout."""

@@ -94,9 +94,13 @@ def stencil_apply_3d(xgrid, kernel, interpret=False):
 
 
 def _kernel2d(x_hbm, k_smem, y_ref, scratch, sem):
+    # y_ref blocks are [1, 1, Y]: Mosaic requires the last two block dims
+    # to divide (8, 128) or equal the array dims, so a (1, Y) row block of
+    # a [X, Y] array is illegal on real TPU — the singleton axis makes the
+    # last-two dims exact matches.
     i = pl.program_id(0)
     X = pl.num_programs(0)
-    Y = y_ref.shape[1]
+    Y = y_ref.shape[2]
 
     start = jnp.clip(i - 1, 0, X - 3)
     dma = pltpu.make_async_copy(x_hbm.at[pl.ds(start, 3)], scratch, sem)
@@ -120,7 +124,7 @@ def _kernel2d(x_hbm, k_smem, y_ref, scratch, sem):
                     keep = cols < Y - dy if dy > 0 else cols >= -dy
                     t = jnp.where(keep, t, 0.0)
                 acc = acc + c * t
-    y_ref[0, :] = acc[0]
+    y_ref[0, 0, :] = acc[0]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -129,18 +133,21 @@ def stencil_apply_2d(xgrid, kernel, interpret=False):
 
     xgrid: [X, Y]; kernel: [3, 3]."""
     X, Y = xgrid.shape
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _kernel2d,
         grid=(X,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, Y), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((X, Y), xgrid.dtype),
+        out_specs=pl.BlockSpec(
+            (1, 1, Y), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((X, 1, Y), xgrid.dtype),
         scratch_shapes=[
             pltpu.VMEM((3, Y), xgrid.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(xgrid, kernel)
+    return out.reshape(X, Y)
