@@ -6,15 +6,28 @@
 # on the MXU (see scripts/onehot_window_probe.py):
 #
 #   gather:  li = hi*128 + lo
-#            rowsel = onehot(hi) @ win2d          [CNL, 128]   (MXU)
-#            u[r]   = sum_b onehot_lo[r,b] rowsel[r,b]         (VPU)
-#   scatter: masked = loc[r,None] * onehot_lo                  (VPU)
-#            win2d += onehot(hi).T @ masked                    (MXU)
+#            rowsel = onehot(hi) @ win2d          [C, 128]     (MXU)
+#            u_j[c] = sum_b onehot_lo[c,b] rowsel[c,b]         (VPU)
+#   scatter: masked = loc_i[c,None] * onehot_lo               (VPU)
+#            win2d += onehot(hi)^T-contract masked             (MXU)
 #
 # No gather/scatter instruction appears anywhere: the row-count-bound
 # gather engine (0.6-3e8 rows/s, the measured wall of every FEM hot path,
 # BENCH_NOTES round 2) is bypassed entirely. Output windows overlap-add
 # into the result by W/S shifted contiguous adds (window.py).
+#
+# Mosaic shape discipline (learned on the first real-TPU run; interpret
+# mode checks none of this):
+#   - the last two dims of every block must divide (8, 128) or equal the
+#     array dims -> per-block tables carry the blocked axis FIRST and the
+#     full (rows, C) extent in the last two dims;
+#   - arbitrary reshapes ((C, NL) <-> (C*NL,)) are unsupported shape casts
+#     -> the kernels unroll the tiny local-dof axis in Python and work on
+#     [C] lane vectors throughout;
+#   - windows are DMA'd as 2-D row slabs ([W/128, 128] from the [n/128,
+#     128] view of the state) so no 1-D->2-D reshape is needed in-kernel;
+#   - small reference tensors (Mref, Kref) live in SMEM and are read as
+#     scalars.
 #
 # v1 kernel: the consistent-mass apply (the velocity-correction operator,
 # /root/reference/flow/navier_stokes/pressure_correction.py:448-449's
@@ -30,7 +43,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import assembly, elements
+from . import assembly
 from .window import build_window_layout
 
 __all__ = ["WindowMassOperator", "WindowStiffnessOperator"]
@@ -38,44 +51,50 @@ __all__ = ["WindowMassOperator", "WindowStiffnessOperator"]
 _LO = 128  # two-level one-hot low radix (= lane width)
 
 
-def _mass_kernel(lidx_ref, valid_ref, detj_ref, mref_ref, x_hbm, out_ref,
-                 win, sem, *, S, W, C, NL):
-    # valid/detj arrive as [1, 1, C] blocks and out as [1, 1, W]: Mosaic
-    # requires the last two block dims to be divisible by (8, 128) or
-    # equal to the array dims, so per-block rows of a 2-D [nb, C] array
-    # (block (1, C)) are illegal on real TPU — the singleton axis makes
-    # the last-two dims exact matches.
-    b = pl.program_id(0)
-    cp = pltpu.make_async_copy(x_hbm.at[pl.ds(b * S, W)], win, sem)
-    cp.start()
-    cp.wait()
-
-    CNL = C * NL
-    A2 = W // _LO
-    li = lidx_ref[0].reshape(CNL)
+def _onehots(lidx_ref, j, C, A2):
+    """One-hot factors of window-local dof j of every cell: [C, A2] f32
+    (high radix, MXU side) and [C, 128] bool (lane side)."""
+    li = lidx_ref[0, j]
     hi = li // _LO
     lo = li - hi * _LO
     oh_hi = (
-        hi[:, None] == jax.lax.broadcasted_iota(jnp.int32, (CNL, A2), 1)
+        hi[:, None] == jax.lax.broadcasted_iota(jnp.int32, (C, A2), 1)
     ).astype(jnp.float32)
-    oh_lo = lo[:, None] == jax.lax.broadcasted_iota(
-        jnp.int32, (CNL, _LO), 1
-    )
+    oh_lo = lo[:, None] == jax.lax.broadcasted_iota(jnp.int32, (C, _LO), 1)
+    return oh_hi, oh_lo
 
-    # gather u at cell dofs
-    win2d = win[...].reshape(A2, _LO)
+
+def _gather_dof(win2d, oh_hi, oh_lo):
     rowsel = jnp.dot(oh_hi, win2d, preferred_element_type=jnp.float32)
-    u = jnp.sum(jnp.where(oh_lo, rowsel, 0.0), axis=1).reshape(C, NL)
+    return jnp.sum(jnp.where(oh_lo, rowsel, 0.0), axis=1)  # [C]
 
-    # element mass: loc[c, i] = detJ_c * sum_j Mref[i, j] u[c, j]
-    loc = jnp.dot(u, mref_ref[...].T, preferred_element_type=jnp.float32)
-    loc = loc * (detj_ref[0, 0] * valid_ref[0, 0])[:, None]
 
-    # transpose scatter into the window
-    rows = loc.reshape(CNL)
-    masked = jnp.where(oh_lo, rows[:, None], 0.0)
-    out2d = jnp.dot(oh_hi.T, masked, preferred_element_type=jnp.float32)
-    out_ref[0, 0] = out2d.reshape(W)
+def _scatter_dof(acc, loc, oh_hi, oh_lo):
+    masked = jnp.where(oh_lo, loc[:, None], 0.0)  # [C, 128]
+    return acc + jax.lax.dot_general(
+        oh_hi, masked, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [A2, 128]
+
+
+def _mass_kernel(lidx_ref, valid_ref, detj_ref, mref_smem, x_hbm, out_ref,
+                 win2d, sem, *, S, W, C, NL):
+    b = pl.program_id(0)
+    rS, A2 = S // _LO, W // _LO
+    cp = pltpu.make_async_copy(x_hbm.at[pl.ds(b * rS, A2)], win2d, sem)
+    cp.start()
+    cp.wait()
+    win = win2d[...]
+
+    ohs = [_onehots(lidx_ref, j, C, A2) for j in range(NL)]
+    u = [_gather_dof(win, oh, ol) for oh, ol in ohs]
+
+    s = detj_ref[0, 0] * valid_ref[0, 0]  # [C]
+    acc = jnp.zeros((A2, _LO), dtype=jnp.float32)
+    for i in range(NL):
+        loc = s * sum(mref_smem[i, j] * u[j] for j in range(NL))
+        acc = _scatter_dof(acc, loc, *ohs[i])
+    out_ref[0] = acc
 
 
 class WindowMassOperator:
@@ -97,11 +116,12 @@ class WindowMassOperator:
         )
         detj = np.asarray(geom.detJ)[np.asarray(wl.cells, dtype=np.int64)]
         # kernel runs f32 (Mosaic has no f64); callers cast at the boundary.
-        # [nb, C] per-block tables carry a singleton sublane axis (see
-        # _mass_kernel).
+        # Per-block [nb, C] tables carry a singleton sublane axis so block
+        # (1, 1, C) matches the array's last-two dims exactly.
         self.detj = jnp.asarray(detj, dtype=jnp.float32)[:, None, :]
         self.mref = jnp.asarray(mref, dtype=jnp.float32)
-        self.lidx = jnp.asarray(wl.lidx)
+        # [nb, NL, C]: local-dof rows are sublane picks in-kernel
+        self.lidx = jnp.asarray(np.transpose(np.asarray(wl.lidx), (0, 2, 1)))
         self.valid = jnp.asarray(wl.valid, dtype=jnp.float32)[:, None, :]
         self.perm = jnp.asarray(wl.perm.astype(np.int32))
         self.inv = jnp.asarray(wl.inv.astype(np.int32))
@@ -109,7 +129,8 @@ class WindowMassOperator:
 
     def _pallas(self, xw_pad):
         wl = self.wl
-        C, NL = wl.C, wl.lidx.shape[2]
+        C, NL = wl.C, self.lidx.shape[1]
+        A2 = wl.W // _LO
         kern = functools.partial(
             _mass_kernel, S=wl.S, W=wl.W, C=C, NL=NL
         )
@@ -117,24 +138,27 @@ class WindowMassOperator:
             num_scalar_prefetch=0,
             grid=(wl.nb,),
             in_specs=[
-                pl.BlockSpec((1, C, NL), lambda b: (b, 0, 0)),
+                pl.BlockSpec((1, NL, C), lambda b: (b, 0, 0)),
                 pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0)),
                 pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0)),
-                pl.BlockSpec((NL, NL), lambda b: (0, 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec((1, 1, wl.W), lambda b: (b, 0, 0)),
+            out_specs=pl.BlockSpec((1, A2, _LO), lambda b: (b, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((wl.W,), jnp.float32),
+                pltpu.VMEM((A2, _LO), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
         )
         out = pl.pallas_call(
             kern,
-            out_shape=jax.ShapeDtypeStruct((wl.nb, 1, wl.W), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((wl.nb, A2, _LO), jnp.float32),
             grid_spec=grid_spec,
             interpret=self.interpret,
-        )(self.lidx, self.valid, self.detj, self.mref, xw_pad)
+        )(
+            self.lidx, self.valid, self.detj, self.mref,
+            xw_pad.reshape(-1, _LO),
+        )
         return out.reshape(wl.nb, wl.W)
 
     def _apply_impl(self, x):
@@ -151,45 +175,33 @@ class WindowMassOperator:
         return self._call(x)
 
 
-def _stiff_kernel(lidx_ref, valid_ref, cg_ref, kref_ref, x_hbm, out_ref,
-                  win, sem, *, S, W, C, NL):
+def _stiff_kernel(lidx_ref, valid_ref, cg_ref, kref_smem, x_hbm, out_ref,
+                  win2d, sem, *, S, W, C, NL):
     b = pl.program_id(0)
-    cp = pltpu.make_async_copy(x_hbm.at[pl.ds(b * S, W)], win, sem)
+    rS, A2 = S // _LO, W // _LO
+    cp = pltpu.make_async_copy(x_hbm.at[pl.ds(b * rS, A2)], win2d, sem)
     cp.start()
     cp.wait()
+    win = win2d[...]
 
-    CNL = C * NL
-    A2 = W // _LO
-    li = lidx_ref[0].reshape(CNL)
-    hi = li // _LO
-    lo = li - hi * _LO
-    oh_hi = (
-        hi[:, None] == jax.lax.broadcasted_iota(jnp.int32, (CNL, A2), 1)
-    ).astype(jnp.float32)
-    oh_lo = lo[:, None] == jax.lax.broadcasted_iota(
-        jnp.int32, (CNL, _LO), 1
-    )
+    ohs = [_onehots(lidx_ref, j, C, A2) for j in range(NL)]
+    u = [_gather_dof(win, oh, ol) for oh, ol in ohs]
 
-    win2d = win[...].reshape(A2, _LO)
-    rowsel = jnp.dot(oh_hi, win2d, preferred_element_type=jnp.float32)
-    u = jnp.sum(jnp.where(oh_lo, rowsel, 0.0), axis=1).reshape(C, NL)
-
-    # scalar stiffness: loc[c, i] = sum_kl Cg[c,k,l] (u K[k,l]^T)[c, i]
-    Kref = kref_ref[...]
-    Cg = cg_ref[0]
-    loc = None
-    for k in range(2):
-        for l in range(2):
-            t = Cg[:, k, l, None] * jnp.dot(
-                u, Kref[k, l].T, preferred_element_type=jnp.float32
-            )
-            loc = t if loc is None else loc + t
-    loc = loc * valid_ref[0, 0][:, None]
-
-    rows = loc.reshape(CNL)
-    masked = jnp.where(oh_lo, rows[:, None], 0.0)
-    out2d = jnp.dot(oh_hi.T, masked, preferred_element_type=jnp.float32)
-    out_ref[0, 0] = out2d.reshape(W)
+    v = valid_ref[0, 0]  # [C]
+    acc = jnp.zeros((A2, _LO), dtype=jnp.float32)
+    for i in range(NL):
+        loc = None
+        for k in range(2):
+            for l in range(2):
+                # scalar stiffness: sum_kl Cg[c,k,l] K[k,l,i,j] u_j[c]
+                s = sum(
+                    kref_smem[(2 * k + l) * NL + i, j] * u[j]
+                    for j in range(NL)
+                )
+                t = cg_ref[0, 2 * k + l] * s
+                loc = t if loc is None else loc + t
+        acc = _scatter_dof(acc, loc * v, *ohs[i])
+    out_ref[0] = acc
 
 
 class WindowStiffnessOperator:
@@ -205,12 +217,19 @@ class WindowStiffnessOperator:
         self.interpret = interpret
         geom = assembly.geometry(space.mesh)
         cells = np.asarray(wl.cells, dtype=np.int64)
-        self.Cg = jnp.asarray(np.asarray(geom.C)[cells], dtype=jnp.float32)
-        self.kref = jnp.asarray(
-            np.asarray(ref_stiffness(space.degree, assembly._dim(space))),
+        # [nb, 4, C] with row 2k+l: geometry picks are sublane rows
+        cg = np.asarray(geom.C)[cells]  # [nb, C, 2, 2]
+        self.Cg = jnp.asarray(
+            np.transpose(cg, (0, 2, 3, 1)).reshape(cg.shape[0], 4, -1),
             dtype=jnp.float32,
         )
-        self.lidx = jnp.asarray(wl.lidx)
+        kref = np.asarray(
+            ref_stiffness(space.degree, assembly._dim(space)), dtype=np.float32
+        )
+        nl = kref.shape[-1]
+        # [(2k+l)*NL + i, j] scalar table in SMEM
+        self.kref = jnp.asarray(kref.reshape(4 * nl, nl))
+        self.lidx = jnp.asarray(np.transpose(np.asarray(wl.lidx), (0, 2, 1)))
         self.valid = jnp.asarray(wl.valid, dtype=jnp.float32)[:, None, :]
         self.perm = jnp.asarray(wl.perm.astype(np.int32))
         self.inv = jnp.asarray(wl.inv.astype(np.int32))
@@ -218,7 +237,8 @@ class WindowStiffnessOperator:
 
     def _pallas(self, xw_pad):
         wl = self.wl
-        C, NL = wl.C, wl.lidx.shape[2]
+        C, NL = wl.C, self.lidx.shape[1]
+        A2 = wl.W // _LO
         kern = functools.partial(
             _stiff_kernel, S=wl.S, W=wl.W, C=C, NL=NL
         )
@@ -226,24 +246,27 @@ class WindowStiffnessOperator:
             num_scalar_prefetch=0,
             grid=(wl.nb,),
             in_specs=[
-                pl.BlockSpec((1, C, NL), lambda b: (b, 0, 0)),
+                pl.BlockSpec((1, NL, C), lambda b: (b, 0, 0)),
                 pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0)),
-                pl.BlockSpec((1, C, 2, 2), lambda b: (b, 0, 0, 0)),
-                pl.BlockSpec((2, 2, NL, NL), lambda b: (0, 0, 0, 0)),
+                pl.BlockSpec((1, 4, C), lambda b: (b, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec((1, 1, wl.W), lambda b: (b, 0, 0)),
+            out_specs=pl.BlockSpec((1, A2, _LO), lambda b: (b, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((wl.W,), jnp.float32),
+                pltpu.VMEM((A2, _LO), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
         )
         out = pl.pallas_call(
             kern,
-            out_shape=jax.ShapeDtypeStruct((wl.nb, 1, wl.W), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((wl.nb, A2, _LO), jnp.float32),
             grid_spec=grid_spec,
             interpret=self.interpret,
-        )(self.lidx, self.valid, self.Cg, self.kref, xw_pad)
+        )(
+            self.lidx, self.valid, self.Cg, self.kref,
+            xw_pad.reshape(-1, _LO),
+        )
         return out.reshape(wl.nb, wl.W)
 
     def _apply_impl(self, x):

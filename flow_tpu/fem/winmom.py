@@ -1,4 +1,4 @@
-# Gather-free lagged momentum operator (window-blocked, Pallas-ready).
+# Gather-free lagged momentum operator (window-blocked Pallas kernel).
 #
 # The semi-implicit ("lagged") tentative-velocity system is LINEAR:
 #   A v = M v + s [ rho c_lag(T; v) + sym_grad(v) ],   s = dt/rho * w_im,
@@ -9,11 +9,11 @@
 # the jax.linearize tangent pipeline whose gathers are the measured
 # per-apply wall (BENCH_NOTES round 2).
 #
-# This module holds the BLOCK MATH shared by the pure-JAX reference path
-# (vmapped over blocks; correctness on CPU) and the Pallas kernel: given
-# the gathered cell-dof values of both components, per-cell geometry and
-# the precomputed transport at quadrature points, produce the local
-# element contributions [C, NL] per component.
+# Mosaic shape discipline (see fem/winkernel.py header): the tiny local
+# axes (local dofs NL, quadrature nq, tensor 2x2) are unrolled in Python;
+# every in-kernel value is a [C] lane vector, per-cell tables are stored
+# rows-first ([nb, rows, C]) so picks are sublane selections, reference
+# tensors are SMEM scalars, and windows arrive as 2-D row slabs.
 from __future__ import annotations
 
 import functools
@@ -24,139 +24,111 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import assembly, elements
+from . import assembly
 from .window import build_window_layout
+from .winkernel import _LO, _onehots, _gather_dof, _scatter_dof
 
 __all__ = ["WindowLaggedMomentum"]
 
-_LO = 128
-
-
-def _block_loc(u0, u1, Tq, detJ, G, Cg, valid, consts, mass_w, s_rho, s_mu):
-    # consts are NUMPY arrays (inlined as literals in the kernel); the
-    # scalar weights are traced values read from SMEM by the caller
-    """Element contributions loc[m] [C, NL] of A v for one cell block.
-
-    u0, u1 [C, NL]: gathered component values of v
-    Tq [C, nq, 2]: transport at quadrature points
-    detJ [C], G [C,2,2], Cg [C,2,2] (= geom.C), valid [C]
-    consts: (phi [nq,NL], dphi [nq,NL,2], w [nq], Mref [NL,NL],
-             Kref [2,2,NL,NL])
-    """
-    phi, dphi, w, Mref, Kref = consts
-    w = w.reshape(-1)
-    U = [u0, u1]
-    wd = w[None, :] * detJ[:, None]  # [C, nq]
-
-    loc = [None, None]
-    # mass + conv_lag per component (component-diagonal terms)
-    for m in range(2):
-        lm = mass_w * detJ[:, None] * jnp.dot(
-            U[m], Mref.T, preferred_element_type=jnp.float32
-        )
-        # reference gradients rg[k] [C, nq]
-        rg = [
-            jnp.dot(U[m], dphi[:, :, k].T, preferred_element_type=jnp.float32)
-            for k in range(2)
-        ]
-        gv = [
-            G[:, d, 0, None] * rg[0] + G[:, d, 1, None] * rg[1]
-            for d in range(2)
-        ]
-        vq = jnp.dot(U[m], phi.T, preferred_element_type=jnp.float32)
-        val = 0.5 * (Tq[:, :, 0] * gv[0] + Tq[:, :, 1] * gv[1])
-        lm = lm + s_rho * jnp.dot(
-            wd * val, phi, preferred_element_type=jnp.float32
-        )
-        for d in range(2):
-            gpart = -0.5 * Tq[:, :, d] * vq  # [C, nq]
-            for k in range(2):
-                lm = lm + s_rho * G[:, d, k, None] * jnp.dot(
-                    wd * gpart, dphi[:, :, k],
-                    preferred_element_type=jnp.float32,
-                )
-        loc[m] = lm
-
-    # stress: mu * [ C_kl Kref[k,l] U_a  +  detJ G_ak G_bl Kref[l,k]^T U_b ]
-    # (matches forms.sym_grad_loc's two einsums)
-    for k in range(2):
-        for l in range(2):
-            Kkl = Kref[k, l]
-            for m in range(2):
-                loc[m] = loc[m] + (s_mu * Cg[:, k, l])[:, None] * jnp.dot(
-                    U[m], Kkl.T, preferred_element_type=jnp.float32
-                )
-            # coupling term: contribution to component a from component b
-            # (sym_grad_loc's second einsum "e,eak,ebl,klji,ejb->eia":
-            # contract U over j against Kref[k,l,j,i] — K[k,l], untransposed)
-            for b in range(2):
-                mb = jnp.dot(U[b], Kkl, preferred_element_type=jnp.float32)
-                for a in range(2):
-                    loc[a] = loc[a] + (
-                        s_mu * detJ * G[:, a, k] * G[:, b, l]
-                    )[:, None] * mb
-
-    v = valid[:, None]
-    return loc[0] * v, loc[1] * v
-
 
 def _mom_kernel(scal_ref, lidx_ref, valid_ref, detj_ref, g_ref, cg_ref,
-                tq_ref, phi_ref, dphi_ref, w_ref, mref_ref, kref_ref,
+                tq_ref, phi_s, dphi_s, w_s, mref_s, kref_s,
                 x_hbm, out0_ref, out1_ref, win0, win1, sem0, sem1,
-                *, S, W, C, NL, n_pad):
-    # valid/detj are [1, 1, C] blocks and outputs [1, 1, W]: Mosaic needs
-    # the last two block dims divisible by (8, 128) or equal to the array
-    # dims, so per-block rows of 2-D [nb, C]/[nb, W] arrays are illegal on
-    # real TPU — the singleton sublane axis makes them exact matches.
+                *, S, W, C, NL, NQ, n_rows):
     mass_w = scal_ref[0]
     s_rho = scal_ref[1]
     s_mu = scal_ref[2]
-    consts = (
-        phi_ref[...], dphi_ref[...], w_ref[...], mref_ref[...],
-        kref_ref[...],
-    )
     b = pl.program_id(0)
-    cp0 = pltpu.make_async_copy(x_hbm.at[pl.ds(b * S, W)], win0, sem0)
+    rS, A2 = S // _LO, W // _LO
+    cp0 = pltpu.make_async_copy(x_hbm.at[pl.ds(b * rS, A2)], win0, sem0)
     cp1 = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(n_pad + b * S, W)], win1, sem1
+        x_hbm.at[pl.ds(n_rows + b * rS, A2)], win1, sem1
     )
     cp0.start()
     cp1.start()
     cp0.wait()
     cp1.wait()
 
-    CNL = C * NL
-    A2 = W // _LO
-    li = lidx_ref[0].reshape(CNL)
-    hi = li // _LO
-    lo = li - hi * _LO
-    oh_hi = (
-        hi[:, None] == jax.lax.broadcasted_iota(jnp.int32, (CNL, A2), 1)
-    ).astype(jnp.float32)
-    oh_lo = lo[:, None] == jax.lax.broadcasted_iota(
-        jnp.int32, (CNL, _LO), 1
-    )
+    ohs = [_onehots(lidx_ref, j, C, A2) for j in range(NL)]
+    U = [
+        [_gather_dof(win0[...], oh, ol) for oh, ol in ohs],
+        [_gather_dof(win1[...], oh, ol) for oh, ol in ohs],
+    ]
 
-    def gather(win):
-        win2d = win[...].reshape(A2, _LO)
-        rowsel = jnp.dot(oh_hi, win2d, preferred_element_type=jnp.float32)
-        return jnp.sum(jnp.where(oh_lo, rowsel, 0.0), axis=1).reshape(C, NL)
+    detj = detj_ref[0, 0]                       # [C]
+    G = [[g_ref[0, 2 * d + k] for k in range(2)] for d in range(2)]
+    Cg = [cg_ref[0, kl] for kl in range(4)]
+    Tq = [[tq_ref[0, d * NQ + q] for q in range(NQ)] for d in range(2)]
+    wd = [w_s[0, q] * detj for q in range(NQ)]  # [C] per q
 
-    u0 = gather(win0)
-    u1 = gather(win1)
-    l0, l1 = _block_loc(
-        u0, u1, tq_ref[0], detj_ref[0, 0], g_ref[0], cg_ref[0],
-        valid_ref[0, 0], consts, mass_w, s_rho, s_mu,
-    )
+    loc = [[None] * NL, [None] * NL]
+    for m in range(2):
+        u = U[m]
+        # values / reference gradients at quadrature points, [C] per q
+        vq = [sum(phi_s[q, j] * u[j] for j in range(NL)) for q in range(NQ)]
+        rg = [
+            [
+                sum(dphi_s[k * NQ + q, j] * u[j] for j in range(NL))
+                for q in range(NQ)
+            ]
+            for k in range(2)
+        ]
+        gv = [
+            [G[d][0] * rg[0][q] + G[d][1] * rg[1][q] for q in range(NQ)]
+            for d in range(2)
+        ]
+        # skew convection: 0.5 (T.grad v) - 0.5 div-weighted part
+        wv = [
+            wd[q] * 0.5 * (Tq[0][q] * gv[0][q] + Tq[1][q] * gv[1][q])
+            for q in range(NQ)
+        ]
+        wg = [
+            [wd[q] * (-0.5) * Tq[d][q] * vq[q] for q in range(NQ)]
+            for d in range(2)
+        ]
+        for i in range(NL):
+            lm = mass_w * detj * sum(
+                mref_s[i, j] * u[j] for j in range(NL)
+            )
+            conv = sum(wv[q] * phi_s[q, i] for q in range(NQ))
+            for d in range(2):
+                for k in range(2):
+                    conv = conv + G[d][k] * sum(
+                        wg[d][q] * dphi_s[k * NQ + q, i] for q in range(NQ)
+                    )
+            lm = lm + s_rho * conv
+            # stress, component-diagonal part: Cg[k,l] Kref[k,l,i,j] u_j
+            st = None
+            for k in range(2):
+                for l in range(2):
+                    t = Cg[2 * k + l] * sum(
+                        kref_s[(2 * k + l) * NL + i, j] * u[j]
+                        for j in range(NL)
+                    )
+                    st = t if st is None else st + t
+            loc[m][i] = lm + s_mu * st
 
-    def scatter(loc):
-        rows = loc.reshape(CNL)
-        masked = jnp.where(oh_lo, rows[:, None], 0.0)
-        out2d = jnp.dot(oh_hi.T, masked, preferred_element_type=jnp.float32)
-        return out2d.reshape(W)
+    # stress coupling: loc[a][i] += s_mu detj G[a,k] G[b,l] K[k,l,j,i] u_b_j
+    for k in range(2):
+        for l in range(2):
+            for bb in range(2):
+                for i in range(NL):
+                    mb = sum(
+                        kref_s[(2 * k + l) * NL + j, i] * U[bb][j]
+                        for j in range(NL)
+                    )
+                    smb = s_mu * detj * mb
+                    for a in range(2):
+                        loc[a][i] = loc[a][i] + G[a][k] * G[bb][l] * smb
 
-    out0_ref[0, 0] = scatter(l0)
-    out1_ref[0, 0] = scatter(l1)
+    v = valid_ref[0, 0]
+    acc0 = jnp.zeros((A2, _LO), dtype=jnp.float32)
+    acc1 = jnp.zeros((A2, _LO), dtype=jnp.float32)
+    for i in range(NL):
+        acc0 = _scatter_dof(acc0, loc[0][i] * v, *ohs[i])
+        acc1 = _scatter_dof(acc1, loc[1][i] * v, *ohs[i])
+    out0_ref[0] = acc0
+    out1_ref[0] = acc1
 
 
 class WindowLaggedMomentum:
@@ -171,78 +143,92 @@ class WindowLaggedMomentum:
         self.interpret = interpret
         wl = self.wl
         geom = assembly.geometry(V.mesh)
-        dt = V.mesh.dtype
         cells = np.asarray(wl.cells, dtype=np.int64)
+        f32 = np.float32
+        nb = wl.nb
         self.detj = jnp.asarray(
             np.asarray(geom.detJ)[cells], dtype=jnp.float32
         )[:, None, :]
-        self.G = jnp.asarray(np.asarray(geom.G)[cells], dtype=jnp.float32)
-        self.Cg = jnp.asarray(np.asarray(geom.C)[cells], dtype=jnp.float32)
-        self.lidx = jnp.asarray(wl.lidx)
+        # [nb, 4, C] with row 2a+k: geometry picks are sublane rows
+        g = np.asarray(geom.G)[cells]
+        self.G4 = jnp.asarray(
+            np.transpose(g, (0, 2, 3, 1)).reshape(nb, 4, -1), f32
+        )
+        cg = np.asarray(geom.C)[cells]
+        self.Cg4 = jnp.asarray(
+            np.transpose(cg, (0, 2, 3, 1)).reshape(nb, 4, -1), f32
+        )
+        self.lidx = jnp.asarray(np.transpose(np.asarray(wl.lidx), (0, 2, 1)))
         self.valid = jnp.asarray(wl.valid, dtype=jnp.float32)[:, None, :]
         self.perm = jnp.asarray(wl.perm.astype(np.int32))
         self.inv = jnp.asarray(wl.inv.astype(np.int32))
 
         tab = assembly.tabulation(V, 5)  # CONV_RULE
         self.tab = tab
+        nq, nl = np.asarray(tab.phi).shape
+        self.nq = nq
         mref = np.asarray(assembly.ref_mass(V.degree, assembly._dim(V)))
-        kref = np.asarray(
-            elements.__dict__.get("ref_stiffness_tensor", None)
-            or _ref_stiffness(V)
+        kref = np.asarray(_ref_stiffness(V))
+        # SMEM scalar tables: phi [nq, NL]; dphi rows k*nq+q -> dphi[q,:,k];
+        # w [1, nq]; mref [NL, NL]; kref rows (2k+l)*NL+i -> K[k,l,i,:]
+        dphi = np.asarray(tab.dphi, f32)  # [nq, NL, 2]
+        self.phi_s = jnp.asarray(np.asarray(tab.phi, f32))
+        self.dphi_s = jnp.asarray(
+            np.transpose(dphi, (2, 0, 1)).reshape(2 * nq, nl)
         )
-        f32 = np.float32
-        # NUMPY constants: inlined into the kernel as literals (jnp arrays
-        # would be captured tracers, which pallas_call rejects)
-        self.consts = (
-            np.asarray(tab.phi, f32), np.asarray(tab.dphi, f32),
-            np.asarray(tab.w, f32), np.asarray(mref, f32),
-            np.asarray(kref, f32),
-        )
+        self.w_s = jnp.asarray(np.asarray(tab.w, f32).reshape(1, nq))
+        self.mref_s = jnp.asarray(np.asarray(mref, f32))
+        self.kref_s = jnp.asarray(np.asarray(kref, f32).reshape(4 * nl, nl))
         self._apply_jit = jax.jit(self._apply_original)
 
     # -- per-step transport ------------------------------------------------
     def transport_qp(self, T):
-        """T [n, 2] (original numbering) -> Tq [nb, C, nq, 2] blocked."""
+        """T [n, 2] (original numbering) -> Tq [nb, 2*nq, C] blocked
+        (row d*nq+q holds component d at quadrature point q)."""
         tab = self.tab
         Tloc = self.V.gather(T)  # [nc, NL, 2]
         Tq = assembly.values_at_qp(tab, Tloc)  # [nc, nq, 2]
-        return jnp.asarray(
+        Tqb = jnp.asarray(
             Tq[jnp.asarray(self.wl.cells.astype(np.int32))], jnp.float32
-        )
+        )  # [nb, C, nq, 2]
+        nb = self.wl.nb
+        return jnp.transpose(Tqb, (0, 3, 2, 1)).reshape(nb, 2 * self.nq, -1)
 
     # -- applies -------------------------------------------------------------
     def _pallas(self, x_flat_pad, Tq, mass_w, s_rho, s_mu):
         wl = self.wl
-        C, NL = wl.C, wl.lidx.shape[2]
-        nq = self.tab.phi.shape[0]
+        C, NL = wl.C, self.lidx.shape[1]
+        nq = self.nq
+        A2 = wl.W // _LO
+        n_rows = wl.n_pad // _LO
         kern = functools.partial(
-            _mom_kernel, S=wl.S, W=wl.W, C=C, NL=NL, n_pad=wl.n_pad,
+            _mom_kernel, S=wl.S, W=wl.W, C=C, NL=NL, NQ=nq, n_rows=n_rows,
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=(wl.nb,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, C, NL), lambda b: (b, 0, 0)),
+                pl.BlockSpec((1, NL, C), lambda b: (b, 0, 0)),
                 pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0)),
                 pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0)),
-                pl.BlockSpec((1, C, 2, 2), lambda b: (b, 0, 0, 0)),
-                pl.BlockSpec((1, C, 2, 2), lambda b: (b, 0, 0, 0)),
-                pl.BlockSpec((1, C, nq, 2), lambda b: (b, 0, 0, 0)),
-                pl.BlockSpec((nq, NL), lambda b: (0, 0)),
-                pl.BlockSpec((nq, NL, 2), lambda b: (0, 0, 0)),
-                pl.BlockSpec((1, nq), lambda b: (0, 0)),
-                pl.BlockSpec((NL, NL), lambda b: (0, 0)),
-                pl.BlockSpec((2, 2, NL, NL), lambda b: (0, 0, 0, 0)),
+                pl.BlockSpec((1, 4, C), lambda b: (b, 0, 0)),
+                pl.BlockSpec((1, 4, C), lambda b: (b, 0, 0)),
+                pl.BlockSpec((1, 2 * nq, C), lambda b: (b, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=[
-                pl.BlockSpec((1, 1, wl.W), lambda b: (b, 0, 0)),
-                pl.BlockSpec((1, 1, wl.W), lambda b: (b, 0, 0)),
+                pl.BlockSpec((1, A2, _LO), lambda b: (b, 0, 0)),
+                pl.BlockSpec((1, A2, _LO), lambda b: (b, 0, 0)),
             ],
             scratch_shapes=[
-                pltpu.VMEM((wl.W,), jnp.float32),
-                pltpu.VMEM((wl.W,), jnp.float32),
+                pltpu.VMEM((A2, _LO), jnp.float32),
+                pltpu.VMEM((A2, _LO), jnp.float32),
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
             ],
@@ -250,19 +236,17 @@ class WindowLaggedMomentum:
         out0, out1 = pl.pallas_call(
             kern,
             out_shape=[
-                jax.ShapeDtypeStruct((wl.nb, 1, wl.W), jnp.float32),
-                jax.ShapeDtypeStruct((wl.nb, 1, wl.W), jnp.float32),
+                jax.ShapeDtypeStruct((wl.nb, A2, _LO), jnp.float32),
+                jax.ShapeDtypeStruct((wl.nb, A2, _LO), jnp.float32),
             ],
             grid_spec=grid_spec,
             interpret=self.interpret,
         )(
             jnp.asarray([mass_w, s_rho, s_mu], dtype=jnp.float32),
-            self.lidx, self.valid, self.detj, self.G, self.Cg, Tq,
-            jnp.asarray(self.consts[0]), jnp.asarray(self.consts[1]),
-            jnp.asarray(self.consts[2])[None, :], jnp.asarray(self.consts[3]),
-            jnp.asarray(self.consts[4]), x_flat_pad,
+            self.lidx, self.valid, self.detj, self.G4, self.Cg4, Tq,
+            self.phi_s, self.dphi_s, self.w_s, self.mref_s, self.kref_s,
+            x_flat_pad.reshape(-1, _LO),
         )
-        wl = self.wl
         return out0.reshape(wl.nb, wl.W), out1.reshape(wl.nb, wl.W)
 
     def apply_permuted(self, xp, Tq, mass_w, s_rho, s_mu):
