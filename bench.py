@@ -225,11 +225,22 @@ def _run_single(lcar, n_refine, n_steps, with_axes):
     sps, dtf, tel, state = _measure_steps(prob, stepper, n_steps)
     entry = {"n_dofs": n_dofs, "steps_per_sec": round(sps, 3)}
     if with_axes:
-        gdofs, per_apply = _measure_assembly(prob, stepper, state)
-        pms, piters = _measure_poisson(prob, stepper, state)
-        entry["assembly_gdof_s"] = round(gdofs, 3)
-        entry["poisson_ms"] = round(pms, 3)
-        entry["poisson_iters"] = piters
+        # the axes programs embed index tables as HLO constants (they are
+        # standalone jits, not the hoisted step path) — at ~10M DoF they
+        # can exceed the remote-compile request cap (HTTP 413). The
+        # steps/s headline is already measured; never lose it to an
+        # auxiliary-axis failure.
+        try:
+            gdofs, per_apply = _measure_assembly(prob, stepper, state)
+            entry["assembly_gdof_s"] = round(gdofs, 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"assembly axis failed: {type(e).__name__}", file=sys.stderr)
+        try:
+            pms, piters = _measure_poisson(prob, stepper, state)
+            entry["poisson_ms"] = round(pms, 3)
+            entry["poisson_iters"] = piters
+        except Exception as e:  # noqa: BLE001
+            print(f"poisson axis failed: {type(e).__name__}", file=sys.stderr)
     print("BENCH_ENTRY " + json.dumps(entry))
     print(
         f"n_dofs={n_dofs} n_cells={prob.mesh.n_cells} "

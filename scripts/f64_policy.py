@@ -6,12 +6,16 @@
 #             step with p0 = rho g y; the reference demands < 1e-13,
 #             /root/reference/tests/test_sealed_box.py:141)
 #   speed   — per-step wall time of the fused Karman step at 120k DoF
-# each under three precision policies:
-#   f64     — jax_enable_x64 (on TPU: software-emulated doubles)
+# each under two precision policies:
+#   f64     — jax_enable_x64 (XLA:TPU supports f64 at reduced rate)
 #   f32     — the benchmark dtype
-#   f32+ir  — f32 operators with one f64 iterative-refinement pass of the
-#             velocity-correction mass solve (the step whose residual sets
-#             the rest-state invariant)
+# An f32+iterative-refinement middle ground was considered and rejected
+# on structural grounds: the sealed-box invariant is set by the f32
+# ROUNDING OF THE ASSEMBLED RHS (gravity vs pressure-gradient terms
+# cancel analytically but not in f32), so refining only the linear
+# solves in f64 cannot recover it — the error is already in b, not in
+# the solve. Invariant-grade accuracy requires f64 assembly, which is
+# exactly the f64 column here.
 #
 # Usage: F64P_PLATFORM=axon|cpu python scripts/f64_policy.py [probe]
 import os
