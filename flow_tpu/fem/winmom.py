@@ -31,10 +31,15 @@ from .winkernel import _LO, _onehots, _gather_dof, _scatter_dof
 __all__ = ["WindowLaggedMomentum"]
 
 
-def _mom_kernel(scal_ref, lidx_ref, valid_ref, detj_ref, g_ref, cg_ref,
-                tq_ref, phi_s, dphi_s, w_s, mref_s, kref_s,
-                x_hbm, out0_ref, out1_ref, win0, win1, sem0, sem1,
-                *, S, W, C, NL, NQ, n_rows):
+def _mom_body(scal_ref, lidx_ref, valid_ref, detj_ref, g_ref, cg_ref,
+              tq_ref, phi_s, dphi_s, w_s, mref_s, kref_s,
+              x_hbm, out0_ref, out1_ref, win0, win1, sem0, sem1,
+              uq_ref, gu_ref, *, S, W, C, NL, NQ, n_rows):
+    """Shared kernel body. With uq_ref/gu_ref (Newton mode) the apply also
+    adds the convection reaction term c(v; x) — the tangent of the skew
+    form w.r.t. its transport slot — making the full Newton tangent:
+      J v = M v + s [ rho (c(x; v) + c(v; x)) + sym_grad(v) ].
+    Without them (lagged mode) it is the semi-implicit operator."""
     mass_w = scal_ref[0]
     s_rho = scal_ref[1]
     s_mu = scal_ref[2]
@@ -61,11 +66,17 @@ def _mom_kernel(scal_ref, lidx_ref, valid_ref, detj_ref, g_ref, cg_ref,
     Tq = [[tq_ref[0, d * NQ + q] for q in range(NQ)] for d in range(2)]
     wd = [w_s[0, q] * detj for q in range(NQ)]  # [C] per q
 
+    # direction values at quadrature points, [C] per (component, q) —
+    # needed across components by the reaction term
+    vq_all = [
+        [sum(phi_s[q, j] * U[m][j] for j in range(NL)) for q in range(NQ)]
+        for m in range(2)
+    ]
+
     loc = [[None] * NL, [None] * NL]
     for m in range(2):
         u = U[m]
-        # values / reference gradients at quadrature points, [C] per q
-        vq = [sum(phi_s[q, j] * u[j] for j in range(NL)) for q in range(NQ)]
+        vq = vq_all[m]
         rg = [
             [
                 sum(dphi_s[k * NQ + q, j] * u[j] for j in range(NL))
@@ -121,6 +132,34 @@ def _mom_kernel(scal_ref, lidx_ref, valid_ref, detj_ref, g_ref, cg_ref,
                     for a in range(2):
                         loc[a][i] = loc[a][i] + G[a][k] * G[bb][l] * smb
 
+    if uq_ref is not None:
+        # Newton reaction c(v; x), skew form:
+        #   0.5 [ (v.grad x)_m phi_i - (v.grad phi_i) x_m ]
+        # with x the state at quadrature points (uq: row m*NQ+q) and its
+        # physical gradient (gu: row (d*2+m)*NQ+q holds d_d x_m).
+        xq = [[uq_ref[0, m * NQ + q] for q in range(NQ)] for m in range(2)]
+        for m in range(2):
+            wt2a = [
+                0.5 * wd[q] * (
+                    vq_all[0][q] * gu_ref[0, (0 * 2 + m) * NQ + q]
+                    + vq_all[1][q] * gu_ref[0, (1 * 2 + m) * NQ + q]
+                )
+                for q in range(NQ)
+            ]
+            ws2 = [
+                [0.5 * wd[q] * vq_all[d][q] * xq[m][q] for q in range(NQ)]
+                for d in range(2)
+            ]
+            for i in range(NL):
+                re = sum(wt2a[q] * phi_s[q, i] for q in range(NQ))
+                for d in range(2):
+                    for k in range(2):
+                        re = re - G[d][k] * sum(
+                            ws2[d][q] * dphi_s[k * NQ + q, i]
+                            for q in range(NQ)
+                        )
+                loc[m][i] = loc[m][i] + s_rho * re
+
     v = valid_ref[0, 0]
     acc0 = jnp.zeros((A2, _LO), dtype=jnp.float32)
     acc1 = jnp.zeros((A2, _LO), dtype=jnp.float32)
@@ -129,6 +168,27 @@ def _mom_kernel(scal_ref, lidx_ref, valid_ref, detj_ref, g_ref, cg_ref,
         acc1 = _scatter_dof(acc1, loc[1][i] * v, *ohs[i])
     out0_ref[0] = acc0
     out1_ref[0] = acc1
+
+
+def _mom_kernel(scal_ref, lidx_ref, valid_ref, detj_ref, g_ref, cg_ref,
+                tq_ref, phi_s, dphi_s, w_s, mref_s, kref_s,
+                x_hbm, out0_ref, out1_ref, win0, win1, sem0, sem1,
+                *, S, W, C, NL, NQ, n_rows):
+    _mom_body(scal_ref, lidx_ref, valid_ref, detj_ref, g_ref, cg_ref,
+              tq_ref, phi_s, dphi_s, w_s, mref_s, kref_s,
+              x_hbm, out0_ref, out1_ref, win0, win1, sem0, sem1,
+              None, None, S=S, W=W, C=C, NL=NL, NQ=NQ, n_rows=n_rows)
+
+
+def _mom_newton_kernel(scal_ref, lidx_ref, valid_ref, detj_ref, g_ref,
+                       cg_ref, tq_ref, uq_ref, gu_ref, phi_s, dphi_s, w_s,
+                       mref_s, kref_s, x_hbm, out0_ref, out1_ref,
+                       win0, win1, sem0, sem1,
+                       *, S, W, C, NL, NQ, n_rows):
+    _mom_body(scal_ref, lidx_ref, valid_ref, detj_ref, g_ref, cg_ref,
+              tq_ref, phi_s, dphi_s, w_s, mref_s, kref_s,
+              x_hbm, out0_ref, out1_ref, win0, win1, sem0, sem1,
+              uq_ref, gu_ref, S=S, W=W, C=C, NL=NL, NQ=NQ, n_rows=n_rows)
 
 
 class WindowLaggedMomentum:
@@ -194,16 +254,52 @@ class WindowLaggedMomentum:
         nb = self.wl.nb
         return jnp.transpose(Tqb, (0, 3, 2, 1)).reshape(nb, 2 * self.nq, -1)
 
+    def state_qp(self, x):
+        """x [n, 2] (original numbering) -> (Tq, Uq, Gu) blocked tables for
+        the Newton tangent: values (row m*nq+q) and physical gradients
+        (row (d*2+m)*nq+q holds d_d x_m) at quadrature points."""
+        tab = self.tab
+        geom = assembly.geometry(self.V.mesh)
+        nb, nq = self.wl.nb, self.nq
+        cells = jnp.asarray(self.wl.cells.astype(np.int32))
+        Xloc = self.V.gather(x)  # [nc, NL, 2]
+        Xq = assembly.values_at_qp(tab, Xloc)  # [nc, nq, 2]
+        Tq = jnp.transpose(
+            jnp.asarray(Xq[cells], jnp.float32), (0, 3, 2, 1)
+        ).reshape(nb, 2 * nq, -1)
+        # reference gradients -> physical: d_d x_m = G[d,k] dphi[q,j,k] X[j,m]
+        dphi = jnp.asarray(np.asarray(tab.dphi, np.float32))  # [nq, NL, 2]
+        rgrad = jnp.einsum(
+            "cjm,qjk->cqkm", Xloc.astype(jnp.float32), dphi
+        )  # [nc, nq, 2(k), 2(m)]
+        G = jnp.asarray(geom.G, jnp.float32)  # [nc, 2(d), 2(k)]
+        gU = jnp.einsum("cdk,cqkm->cdmq", G, rgrad)  # [nc, d, m, q]
+        Gub = jnp.asarray(gU[cells], jnp.float32)  # [nb, C, 2, 2, nq]
+        Gu = jnp.transpose(Gub, (0, 2, 3, 4, 1)).reshape(nb, 4 * nq, -1)
+        return Tq, Tq, Gu  # Uq shares Tq's (m*nq+q) row layout
+
     # -- applies -------------------------------------------------------------
-    def _pallas(self, x_flat_pad, Tq, mass_w, s_rho, s_mu):
+    def _pallas(self, x_flat_pad, Tq, mass_w, s_rho, s_mu, Uq=None, Gu=None):
         wl = self.wl
         C, NL = wl.C, self.lidx.shape[1]
         nq = self.nq
         A2 = wl.W // _LO
         n_rows = wl.n_pad // _LO
+        newton = Uq is not None
         kern = functools.partial(
-            _mom_kernel, S=wl.S, W=wl.W, C=C, NL=NL, NQ=nq, n_rows=n_rows,
+            _mom_newton_kernel if newton else _mom_kernel,
+            S=wl.S, W=wl.W, C=C, NL=NL, NQ=nq, n_rows=n_rows,
         )
+        state_specs = [
+            pl.BlockSpec((1, 2 * nq, C), lambda b: (b, 0, 0)),
+        ]
+        state_args = [Tq]
+        if newton:
+            state_specs += [
+                pl.BlockSpec((1, 2 * nq, C), lambda b: (b, 0, 0)),
+                pl.BlockSpec((1, 4 * nq, C), lambda b: (b, 0, 0)),
+            ]
+            state_args += [Uq, Gu]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=(wl.nb,),
@@ -214,7 +310,7 @@ class WindowLaggedMomentum:
                 pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0)),
                 pl.BlockSpec((1, 4, C), lambda b: (b, 0, 0)),
                 pl.BlockSpec((1, 4, C), lambda b: (b, 0, 0)),
-                pl.BlockSpec((1, 2 * nq, C), lambda b: (b, 0, 0)),
+                *state_specs,
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -243,33 +339,35 @@ class WindowLaggedMomentum:
             interpret=self.interpret,
         )(
             jnp.asarray([mass_w, s_rho, s_mu], dtype=jnp.float32),
-            self.lidx, self.valid, self.detj, self.G4, self.Cg4, Tq,
+            self.lidx, self.valid, self.detj, self.G4, self.Cg4,
+            *state_args,
             self.phi_s, self.dphi_s, self.w_s, self.mref_s, self.kref_s,
             x_flat_pad.reshape(-1, _LO),
         )
         return out0.reshape(wl.nb, wl.W), out1.reshape(wl.nb, wl.W)
 
-    def apply_permuted(self, xp, Tq, mass_w, s_rho, s_mu):
+    def apply_permuted(self, xp, Tq, mass_w, s_rho, s_mu, Uq=None, Gu=None):
         """xp [2, n_pad] permuted+padded components -> y same layout."""
         wl = self.wl
         wins0, wins1 = self._pallas(
-            xp.reshape(2 * wl.n_pad), Tq, mass_w, s_rho, s_mu
+            xp.reshape(2 * wl.n_pad), Tq, mass_w, s_rho, s_mu, Uq, Gu
         )
         y0 = wl.overlap_add(wins0, jnp)
         y1 = wl.overlap_add(wins1, jnp)
         return y0, y1
 
-    def apply_perm_rows(self, v, Tq, mass_w, s_rho, s_mu):
+    def apply_perm_rows(self, v, Tq, mass_w, s_rho, s_mu, Uq=None, Gu=None):
         """v [n, 2] in PERMUTED row order -> A v, same layout. The
         zero-permute fast path for solves that live in window coordinates
-        (fast.py winkernel lagged branch)."""
+        (fast.py winkernel lagged/newton branches). With Uq/Gu the apply
+        is the full Newton tangent."""
         wl = self.wl
         pad = jnp.zeros(wl.n_pad - wl.n, dtype=jnp.float32)
         xp = jnp.stack([
             jnp.concatenate([v[:, 0].astype(jnp.float32), pad]),
             jnp.concatenate([v[:, 1].astype(jnp.float32), pad]),
         ])
-        y0, y1 = self.apply_permuted(xp, Tq, mass_w, s_rho, s_mu)
+        y0, y1 = self.apply_permuted(xp, Tq, mass_w, s_rho, s_mu, Uq, Gu)
         return jnp.stack([y0, y1], axis=1).astype(v.dtype)
 
     def _apply_original(self, x, Tq, mass_w, s_rho, s_mu):

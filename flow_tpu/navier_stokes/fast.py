@@ -110,12 +110,11 @@ class FastStepper:
         # consistency for BE, O(dt^2) for BDF2, same formal scheme orders)
         assert convection in ("newton", "lagged"), convection
         self.lagged = convection == "lagged"
-        # gather-free window kernel for the lagged momentum matvec
+        # gather-free window kernel for the momentum matvec — the lagged
+        # operator or the full Newton tangent with reaction term
         # (fem/winmom.py; FLOW_WINKERNEL=1 enables — measured on TPU before
         # any default flip, see BENCH_NOTES)
-        self.winkernel = (
-            self.lagged and _os0.environ.get("FLOW_WINKERNEL", "") == "1"
-        )
+        self.winkernel = _os0.environ.get("FLOW_WINKERNEL", "") == "1"
         self._winmom = None
         self.V, self.Q = V, Q
         self.ctx = _get_ctx(V, Q)
@@ -787,6 +786,76 @@ class FastStepper:
             lin_iters = sinfo.iters
             return self._finish_substeps(Ui, U, P, dt, niters, nres, lin_iters)
 
+        def newton_body_win(state):
+            # gather-free Newton: the tangent matvec (the measured ~80% of
+            # a step) runs as the window kernel WITH the reaction term
+            # c(v; x) (fem/winmom.py newton mode) — the exact volume
+            # tangent — plus the exact ds-term tangents; the whole Krylov
+            # solve lives in permuted row coordinates (zero per-apply
+            # permutes, one permute per Newton iteration).
+            op = self._winmom
+            s = (dt / rho) * w_im
+            permi, inv = op.perm, op.inv
+            maskp = self.mask_u[permi]
+            freep = 1.0 - maskp
+            diagp = diag[permi]
+            bt = ctx.btab
+            btp = self._btab_perm
+
+            x, rnorm, k, lin, eta = state
+            r = res_bc(x)
+            Tq, Uq, Gu = op.state_qp(x)
+            if ctx._ds_dn and bt is not None:
+                tb = bt.values(x)
+                tn = jnp.einsum("bqm,bm->bq", tb, bt.normals)
+                tnp_ = jnp.maximum(tn, 0.0)
+                pos = (tn > 0.0).astype(tb.dtype)
+
+            def bnd_p(vp):
+                # exact tangent of the x-dependent ds-terms: stress is
+                # linear; do-nothing -(rho/2)(x.n)+ x differentiates into
+                # (x.n)+ v + H(x.n)(v.n) x
+                if bt is None:
+                    return None
+                val = None
+                if ctx._ds_stress:
+                    gw = btp.grads(vp, ctx.geom)
+                    val = mu * jnp.einsum("bqma,bm->bqa", gw, bt.normals)
+                if ctx._ds_dn:
+                    wb = btp.values(vp)
+                    wn = jnp.einsum("bqm,bm->bq", wb, bt.normals)
+                    t = -0.5 * rho * (
+                        tnp_[:, :, None] * wb + (pos * wn)[:, :, None] * tb
+                    )
+                    val = t if val is None else val + t
+                if val is None:
+                    return None
+                return btp.integrate_rhs(val)
+
+            def Jv_p(vp):
+                av = op.apply_perm_rows(vp, Tq, 1.0, s * rho, s * mu, Uq, Gu)
+                b = bnd_p(vp)
+                if b is not None:
+                    av = av - s * b
+                return freep * av + maskp * vp
+
+            dxp, sinfo = krylov.bicgstab(
+                Jv_p, -r[permi], M=lambda t: t / diagp,
+                rtol=eta, atol=0.05 * self.newton_tol, maxiter=300,
+            )
+            x = x + dxp[inv]
+            rn = res_bc(x)
+            rnorm_new = jnp.sqrt(jnp.sum(rn * rn))
+            if self.ew_forcing:
+                gamma = 0.9
+                eta_new = gamma * (rnorm_new / rnorm) ** 2
+                guard = gamma * eta * eta
+                eta_new = jnp.where(
+                    guard > 0.1, jnp.maximum(eta_new, guard), eta_new
+                )
+                eta = jnp.clip(eta_new, 1.0e-4, 0.5)
+            return (x, rnorm_new, k + 1, lin + sinfo.iters, eta)
+
         def newton_body(state):
             x, rnorm, k, lin, eta = state
             if self._mom_graph is not None:
@@ -843,6 +912,9 @@ class FastStepper:
                 eta_new = jnp.where(guard > 0.1, jnp.maximum(eta_new, guard), eta_new)
                 eta = jnp.clip(eta_new, 1.0e-4, 0.5)
             return (x, rnorm_new, k + 1, lin + sinfo.iters, eta)
+
+        if self.winkernel:
+            newton_body = newton_body_win
 
         r0 = res_bc(x0)
         rnorm0 = jnp.sqrt(jnp.sum(r0 * r0))

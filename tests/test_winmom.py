@@ -69,3 +69,70 @@ def test_faststepper_winkernel_matches_einsum_lagged(monkeypatch):
     # correction mass solve): agreement at f32 accumulation level
     np.testing.assert_allclose(np.asarray(UW), np.asarray(UE), atol=2e-6)
     np.testing.assert_allclose(np.asarray(PW), np.asarray(PE), atol=1e-4)
+
+
+def test_window_newton_tangent_matches_ad():
+    # the newton-mode window apply (reaction term included) must equal the
+    # jax.linearize tangent of the volume residual about the same state
+    prob = KarmanProblem(lcar=0.1, n_refine=1)
+    V = prob.V
+    geom = assembly.geometry(V.mesh)
+    op = WindowLaggedMomentum(V, S=128, interpret=True)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((V.n_dofs, 2)))
+    v = jnp.asarray(rng.standard_normal((V.n_dofs, 2)))
+    mass_w, s_rho, s_mu = 1.0, 0.29, 0.013
+
+    def vol_res(u):
+        Uloc = V.gather(u)
+        loc = mass_w * forms.mass_loc(V, geom, Uloc)
+        loc = loc + s_rho * forms.skew_convection_combined_loc(
+            V, geom, Uloc, rule_degree=5
+        )
+        loc = loc + forms.sym_grad_loc(V, geom, Uloc, s_mu)
+        return V.dof_sum(loc)
+
+    _, Jv = jax.linearize(vol_res, x)
+    ref = Jv(v)
+
+    Tq, Uq, Gu = op.state_qp(x)
+    # full newton apply via the permuted-row path
+    perm = np.asarray(op.perm)
+    vp = v[perm]
+    yp = op.apply_perm_rows(vp, Tq, mass_w, s_rho, s_mu, Uq, Gu)
+    inv = np.asarray(op.inv)
+    got = yp[inv]
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=3e-5, atol=5e-6
+    )
+
+
+def test_faststepper_winkernel_matches_einsum_newton(monkeypatch):
+    # FLOW_WINKERNEL=1 with convection="newton": the full Newton tangent
+    # runs as the window kernel; end state must match the einsum Newton path
+    import os
+    from flow_tpu.navier_stokes.fast import FastStepper
+
+    prob = KarmanProblem(lcar=0.2, n_refine=0)
+    kw = dict(
+        rotational_form=True, convection="newton", time_step_method="bdf2",
+        newton_tol=1e-12, newton_rtol=1e-11, linear_rtol=1e-10,
+        pressure_rtol=1e-11, correction_rtol=1e-12, cfl_target=1e9,
+        dt_max=1.0, packed=False,
+    )
+    stE = FastStepper(prob.V, prob.Q, prob.u_bcs, prob.p_bcs, prob.rho,
+                      prob.mu, **kw)
+    monkeypatch.setenv("FLOW_WINKERNEL", "1")
+    stW = FastStepper(prob.V, prob.Q, prob.u_bcs, prob.p_bcs, prob.rho,
+                      prob.mu, **kw)
+    assert stW.winkernel and not stE.winkernel
+
+    U, P = prob.V.zeros(), prob.Q.zeros()
+    dt = jnp.asarray(5e-3)
+    UE, PE = U, P
+    UW, PW = U, P
+    for _ in range(2):
+        UE, PE, _ = stE.step(UE, PE, dt)
+        UW, PW, _ = stW.step(UW, PW, dt)
+    np.testing.assert_allclose(np.asarray(UW), np.asarray(UE), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(PW), np.asarray(PE), atol=1e-4)
