@@ -36,7 +36,12 @@ if grep -q "speedup" $R/winmom_r3.log; then
   WM_REFINE=5 timeout 1800 python scripts/winmom_bench.py \
     > $R/winmom_r5.log 2>&1
   tail -5 $R/winmom_r5.log
-  # 2) full-step bench with window kernels + lagged convection
+  # 2) full-step bench with window kernels: newton (default scheme) and
+  # lagged
+  gate
+  FLOW_WINKERNEL=1 BENCH_REFINES=3 timeout 3600 \
+    python bench.py > $R/bench_newton_wk.json 2> $R/bench_newton_wk.err
+  tail -1 $R/bench_newton_wk.json
   gate
   BENCH_CONVECTION=lagged FLOW_WINKERNEL=1 BENCH_REFINES=3 timeout 3600 \
     python bench.py > $R/bench_lagged_wk.json 2> $R/bench_lagged_wk.err
