@@ -65,7 +65,13 @@ def _onehots(lidx_ref, j, C, A2):
 
 
 def _gather_dof(win2d, oh_hi, oh_lo):
-    rowsel = jnp.dot(oh_hi, win2d, preferred_element_type=jnp.float32)
+    # HIGHEST precision is load-bearing: a single bf16 MXU pass would
+    # TRUNCATE the gathered window values (the one-hot contract must be an
+    # exact selection), independent of the global matmul-precision config.
+    rowsel = jnp.dot(
+        oh_hi, win2d, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return jnp.sum(jnp.where(oh_lo, rowsel, 0.0), axis=1)  # [C]
 
 
@@ -74,6 +80,7 @@ def _scatter_dof(acc, loc, oh_hi, oh_lo):
     return acc + jax.lax.dot_general(
         oh_hi, masked, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # [A2, 128]
 
 
