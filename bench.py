@@ -367,9 +367,23 @@ def main():
                 "assembly_gdof_s": entry.get("assembly_gdof_s"),
                 "poisson_ms": entry.get("poisson_ms"),
                 "series": {str(k): v for k, v in series.items()},
+                # large-size points from dedicated campaigns (BENCH_LARGE
+                # .json, explicitly labeled cached — the headline above is
+                # always from THIS live run)
+                "cached_series": _cached_large_entries(),
             }
         )
     )
+
+
+def _cached_large_entries():
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_LARGE.json")
+    try:
+        with open(path) as fh:
+            return json.load(fh).get("entries", [])
+    except Exception:
+        return []
 
 
 def _bench_cavity3d(n_steps):
