@@ -1293,17 +1293,35 @@ class FastStepper:
                 return jnp.sqrt(jnp.max(a * a + b * b))
             return jnp.sqrt(jnp.max(jnp.sum(U * U, axis=1)))
 
+        import os as _os
+        import sys as _sys
+        import time as _time
+
+        verbose = _os.environ.get("FLOW_GRANULAR_VERBOSE", "1") == "1"
         dt = float(dt0)
         tel = {k: [] for k in (
             "t", "dt", "newton_iters", "linear_iters", "pressure_iters",
             "correction_iters",
         )}
         t = 0.0
-        for _ in range(n_steps):
+        for _k in range(n_steps):
+            _t0 = _time.perf_counter()
             U, P, stats = self.step_granular(
                 U, P, jnp.asarray(dt, dtype=U.dtype), kry_maxiter
             )
             t += dt
+            if verbose:
+                # granular runs are HOURS at 10M DoF — an opaque silent
+                # process is indistinguishable from a wedge; one line per
+                # step to stderr
+                print(
+                    f"granular step {_k + 1}/{n_steps}: "
+                    f"{_time.perf_counter() - _t0:.1f}s dt={dt:.3e} "
+                    f"newton={stats['newton_iters']} "
+                    f"linear={stats['linear_iters']}",
+                    file=_sys.stderr,
+                    flush=True,
+                )
             umax = float(self._gran_cached("umax", _umax, U))
             target_dt = self.cfl_target * self.hmax / max(umax, 1e-30)
             dt = min(

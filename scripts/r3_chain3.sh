@@ -73,4 +73,13 @@ done
 bash scripts/shed_stage3.sh > $R/shed_stage3.log 2>&1
 tail -14 $R/shed_stage3.log
 
+# 6) ~10M retry: granular+jvp is likely WORKING but silent and slow (the
+# chain-2 attempt was killed at 5400 s with no output) — fewer steps,
+# much bigger budget
+gate
+BENCH_LCAR=0.0175 BENCH_REFINES=6 BENCH_GRANULAR=1 FLOW_TANGENT_MODE=jvp \
+  BENCH_STEPS=4 BENCH_SIZE_TIMEOUT=10000 timeout 10500 \
+  python bench.py > $R/bench_10m.json 2> $R/bench_10m.err
+tail -1 $R/bench_10m.json
+
 echo CHAIN3_DONE
