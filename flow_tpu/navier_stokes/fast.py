@@ -1120,6 +1120,68 @@ class FastStepper:
             M_mom = self._vertex_precond_M(U, dt, free_u, diag)
         else:
             M_mom = lambda t: t / diag
+        if self.winkernel:
+            # gather-free window-kernel tangent (fem/winmom.py) — also the
+            # tile-friendly memory layout at huge sizes: the blocked
+            # [rows, C] tables pad ~1.2x where the einsum path's
+            # [nc, small] intermediates padded 20-60x (round-3 OOM)
+            op = self._winmom
+            s = (dt / rho) * w_im
+            permi, inv = op.perm, op.inv
+            maskp = self.mask_u[permi]
+            freep = 1.0 - maskp
+            diagp = diag[permi]
+            bt = ctx.btab
+            btp = self._btab_perm
+            r = res_bc(x)
+            if self.lagged:
+                Tq = op.transport_qp(T)
+                Uq = Gu = None
+                tsrc = T
+            else:
+                Tq, Uq, Gu = op.state_qp(x)
+                tsrc = x
+            if ctx._ds_dn and bt is not None:
+                tb = bt.values(tsrc)
+                tn = jnp.einsum("bqm,bm->bq", tb, bt.normals)
+                tnp_ = jnp.maximum(tn, 0.0)
+                pos = (tn > 0.0).astype(tb.dtype)
+
+            def bnd_p(vp):
+                if bt is None:
+                    return None
+                val = None
+                if ctx._ds_stress:
+                    gw = btp.grads(vp, ctx.geom)
+                    val = mu * jnp.einsum("bqma,bm->bqa", gw, bt.normals)
+                if ctx._ds_dn:
+                    wb = btp.values(vp)
+                    t = -0.5 * rho * tnp_[:, :, None] * wb
+                    if not self.lagged:
+                        # tangent of -(rho/2)(x.n)+ x also has the
+                        # H(x.n)(v.n) x piece; lagged freezes the transport
+                        wn = jnp.einsum("bqm,bm->bq", wb, bt.normals)
+                        t = t - 0.5 * rho * (pos * wn)[:, :, None] * tb
+                    val = t if val is None else val + t
+                if val is None:
+                    return None
+                return btp.integrate_rhs(val)
+
+            def Jv_p(vp):
+                av = op.apply_perm_rows(vp, Tq, 1.0, s * rho, s * mu, Uq, Gu)
+                b = bnd_p(vp)
+                if b is not None:
+                    av = av - s * b
+                return freep * av + maskp * vp
+
+            dxp, sinfo = krylov.bicgstab(
+                Jv_p, -r[permi], M=lambda t: t / diagp,
+                rtol=self.linear_rtol, atol=0.05 * self.newton_tol,
+                maxiter=kry_maxiter,
+            )
+            x1 = x + dxp[inv]
+            r1 = res_bc(x1)
+            return x1, jnp.sqrt(jnp.sum(r1 * r1)), sinfo.iters
         if self.tangent_mode == "jvp":
             # huge-size mode: linearize STORES the [nc, nq, ...]
             # quadrature intermediates, which TPU tile-padding inflates

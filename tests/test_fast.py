@@ -346,3 +346,33 @@ def test_granular_lagged_matches_fused_lagged():
     Ug, Pg, stats = st.step_granular(U, P, dt, kry_maxiter=5)
     np.testing.assert_allclose(np.asarray(Ug), np.asarray(Uf), atol=1e-9)
     np.testing.assert_allclose(np.asarray(Pg), np.asarray(Pf), atol=1e-8)
+
+
+def test_granular_winkernel_matches_fused(monkeypatch):
+    # granular mode with FLOW_WINKERNEL=1 (window-kernel Newton tangent)
+    # must reproduce the fused einsum step within solver tolerance
+    import jax.numpy as jnp
+    from flow_tpu.models.karman import KarmanProblem
+    from flow_tpu.navier_stokes.fast import FastStepper
+
+    prob = KarmanProblem(lcar=0.14, n_refine=0)
+    kw = dict(
+        rotational_form=True, newton_tol=0.0, newton_rtol=1e-6,
+        newton_maxiter=6, linear_rtol=1e-8, pressure_rtol=1e-10,
+        correction_rtol=1e-10, cfl_target=1.0, dt_max=1.0, packed=False,
+    )
+    st = FastStepper(prob.V, prob.Q, prob.u_bcs, prob.p_bcs, prob.rho,
+                     prob.mu, **kw)
+    U, P = prob.V.zeros(), prob.Q.zeros()
+    dt = jnp.asarray(1e-4, dtype=U.dtype)
+    U, P, dt, _ = st.run(U, P, dt, n_steps=6)
+    U1f, P1f, _ = st.step(U, P, dt)
+
+    monkeypatch.setenv("FLOW_WINKERNEL", "1")
+    stW = FastStepper(prob.V, prob.Q, prob.u_bcs, prob.p_bcs, prob.rho,
+                      prob.mu, **kw)
+    assert stW.winkernel
+    U1g, P1g, stats = stW.step_granular(U, P, dt, kry_maxiter=40)
+    rel = float(jnp.linalg.norm(U1g - U1f) / jnp.linalg.norm(U1f))
+    assert rel < 2e-5, rel
+    assert stats["newton_iters"] >= 1 and stats["linear_iters"] >= 1
