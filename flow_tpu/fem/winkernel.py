@@ -183,7 +183,7 @@ class WindowMassOperator:
 
 
 def _stiff_kernel(lidx_ref, valid_ref, cg_ref, kref_smem, x_hbm, out_ref,
-                  win2d, sem, *, S, W, C, NL):
+                  win2d, sem, *, S, W, C, NL, DIM):
     b = pl.program_id(0)
     rS, A2 = S // _LO, W // _LO
     cp = pltpu.make_async_copy(x_hbm.at[pl.ds(b * rS, A2)], win2d, sem)
@@ -198,14 +198,14 @@ def _stiff_kernel(lidx_ref, valid_ref, cg_ref, kref_smem, x_hbm, out_ref,
     acc = jnp.zeros((A2, _LO), dtype=jnp.float32)
     for i in range(NL):
         loc = None
-        for k in range(2):
-            for l in range(2):
+        for k in range(DIM):
+            for l in range(DIM):
                 # scalar stiffness: sum_kl Cg[c,k,l] K[k,l,i,j] u_j[c]
                 s = sum(
-                    kref_smem[(2 * k + l) * NL + i, j] * u[j]
+                    kref_smem[(DIM * k + l) * NL + i, j] * u[j]
                     for j in range(NL)
                 )
-                t = cg_ref[0, 2 * k + l] * s
+                t = cg_ref[0, DIM * k + l] * s
                 loc = t if loc is None else loc + t
         acc = _scatter_dof(acc, loc * v, *ohs[i])
     out_ref[0] = acc
@@ -224,18 +224,18 @@ class WindowStiffnessOperator:
         self.interpret = interpret
         geom = assembly.geometry(space.mesh)
         cells = np.asarray(wl.cells, dtype=np.int64)
-        # [nb, 4, C] with row 2k+l: geometry picks are sublane rows
-        cg = np.asarray(geom.C)[cells]  # [nb, C, 2, 2]
+        dim = assembly._dim(space)
+        self.dim = dim
+        # [nb, dim^2, C] with row dim*k+l: geometry picks are sublane rows
+        cg = np.asarray(geom.C)[cells]  # [nb, C, dim, dim]
         self.Cg = jnp.asarray(
-            np.transpose(cg, (0, 2, 3, 1)).reshape(cg.shape[0], 4, -1),
+            np.transpose(cg, (0, 2, 3, 1)).reshape(cg.shape[0], dim * dim, -1),
             dtype=jnp.float32,
         )
-        kref = np.asarray(
-            ref_stiffness(space.degree, assembly._dim(space)), dtype=np.float32
-        )
+        kref = np.asarray(ref_stiffness(space.degree, dim), dtype=np.float32)
         nl = kref.shape[-1]
-        # [(2k+l)*NL + i, j] scalar table in SMEM
-        self.kref = jnp.asarray(kref.reshape(4 * nl, nl))
+        # [(dim*k+l)*NL + i, j] scalar table in SMEM
+        self.kref = jnp.asarray(kref.reshape(dim * dim * nl, nl))
         self.lidx = jnp.asarray(np.transpose(np.asarray(wl.lidx), (0, 2, 1)))
         self.valid = jnp.asarray(wl.valid, dtype=jnp.float32)[:, None, :]
         self.perm = jnp.asarray(wl.perm.astype(np.int32))
@@ -246,8 +246,9 @@ class WindowStiffnessOperator:
         wl = self.wl
         C, NL = wl.C, self.lidx.shape[1]
         A2 = wl.W // _LO
+        d2 = self.dim * self.dim
         kern = functools.partial(
-            _stiff_kernel, S=wl.S, W=wl.W, C=C, NL=NL
+            _stiff_kernel, S=wl.S, W=wl.W, C=C, NL=NL, DIM=self.dim
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
@@ -255,7 +256,7 @@ class WindowStiffnessOperator:
             in_specs=[
                 pl.BlockSpec((1, NL, C), lambda b: (b, 0, 0)),
                 pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0)),
-                pl.BlockSpec((1, 4, C), lambda b: (b, 0, 0)),
+                pl.BlockSpec((1, d2, C), lambda b: (b, 0, 0)),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
