@@ -32,7 +32,9 @@ def main():
         prob = KarmanProblem(lcar=0.07, n_refine=refine)
         V = prob.V
         geom = assembly.geometry(V.mesh)
-        op = WindowMassOperator(V, S=S)
+        op = WindowMassOperator(
+            V, S=S, interpret=os.environ.get("PROBE_PLATFORM") == "cpu"
+        )
         rng = np.random.default_rng(1)
         xh = rng.standard_normal(V.n_dofs).astype(np.float32)
     x = jnp.asarray(xh)

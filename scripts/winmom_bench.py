@@ -34,7 +34,11 @@ def main():
         prob = KarmanProblem(lcar=0.07, n_refine=refine)
         V = prob.V
         geom = assembly.geometry(V.mesh)
-        op = WindowLaggedMomentum(V, S=S)
+        # interpret only for CPU smoke runs (default platform is axon);
+        # default_backend() is unreliable here — we are inside setup_on_cpu
+        op = WindowLaggedMomentum(
+            V, S=S, interpret=os.environ.get("PROBE_PLATFORM") == "cpu"
+        )
         rng = np.random.default_rng(1)
         xh = rng.standard_normal((V.n_dofs, 2)).astype(np.float32)
         th = rng.standard_normal((V.n_dofs, 2)).astype(np.float32)
@@ -84,6 +88,37 @@ def main():
     d = float(jnp.max(jnp.abs(win_apply(x) - einsum_apply(x))))
     m = float(jnp.max(jnp.abs(einsum_apply(x))))
     print(f"max abs diff: {d:.3e} (scale {m:.2e})", flush=True)
+
+    # Newton tangent: jax.linearize of the nonlinear volume residual vs the
+    # window kernel with the reaction term — the default scheme's hot matvec
+    def vol_res(u):
+        Uloc = V.gather(u)
+        loc = mass_w * forms.mass_loc(V, geom, Uloc)
+        loc = loc + s_rho * forms.skew_convection_combined_loc(
+            V, geom, Uloc, rule_degree=5
+        )
+        loc = loc + forms.sym_grad_loc(V, geom, Uloc, s_mu)
+        return V.dof_sum(loc)
+
+    _, Jv = jax.linearize(vol_res, T)
+    t_l = timeit(Jv)
+    print(f"linearize newton tangent: {t_l*1e3:8.3f} ms "
+          f"({nm/t_l/1e9:.3f} Gdof/s)", flush=True)
+
+    Tqn, Uqn, Gun = op.state_qp(T)
+    permi = jnp.asarray(op.perm)
+    inv = jnp.asarray(op.inv)
+
+    def win_newton(v):
+        return op.apply_perm_rows(
+            v, Tqn, mass_w, s_rho, s_mu, Uqn, Gun
+        )
+
+    t_n = timeit(win_newton)
+    print(f"window newton tangent  : {t_n*1e3:8.3f} ms "
+          f"({nm/t_n/1e9:.3f} Gdof/s)  speedup={t_l/t_n:.2f}x", flush=True)
+    dn = float(jnp.max(jnp.abs(win_newton(x[permi])[inv] - Jv(x))))
+    print(f"newton max abs diff: {dn:.3e}", flush=True)
 
 
 if __name__ == "__main__":
