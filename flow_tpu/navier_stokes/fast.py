@@ -140,7 +140,11 @@ class FastStepper:
                 self._btab_perm = btp
             nq = self._winmom.tab.phi.shape[0]
             self._win_Tq_zero = jnp.zeros(
-                (self._winmom.wl.nb, 2 * nq, self._winmom.wl.C),
+                (
+                    self._winmom.wl.nb,
+                    self._winmom.dim * nq,
+                    self._winmom.wl.C,
+                ),
                 dtype=jnp.float32,
             )
         self.rho = float(rho)

@@ -2,6 +2,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from flow_tpu.models.karman import KarmanProblem
 from flow_tpu.fem import assembly, forms
@@ -136,3 +137,59 @@ def test_faststepper_winkernel_matches_einsum_newton(monkeypatch):
         UW, PW, _ = stW.step(UW, PW, dt)
     np.testing.assert_allclose(np.asarray(UW), np.asarray(UE), atol=2e-6)
     np.testing.assert_allclose(np.asarray(PW), np.asarray(PE), atol=1e-4)
+
+
+@pytest.mark.slow  # ~17 min: interpret-mode DIM=3 kernel compile dominates
+def test_window_newton_tangent_3d_matches_ad():
+    # DIM=3 window momentum kernel (tets, vector-P2) vs the jax.linearize
+    # tangent of the same volume residual
+    from flow_tpu.mesh3d import box_mesh
+    from flow_tpu.fem.spaces import VectorFunctionSpace
+
+    m = box_mesh((0, 0, 0), (1, 1, 1), 2, 2, 2)
+    V = VectorFunctionSpace(m, 2)
+    geom = assembly.geometry(m)
+    op = WindowLaggedMomentum(V, S=128, interpret=True)
+    assert op.dim == 3
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((V.n_dofs, 3)))
+    v = jnp.asarray(rng.standard_normal((V.n_dofs, 3)))
+    mass_w, s_rho, s_mu = 1.0, 0.21, 0.017
+
+    def vol_res(u):
+        Uloc = V.gather(u)
+        loc = mass_w * forms.mass_loc(V, geom, Uloc)
+        loc = loc + s_rho * forms.skew_convection_combined_loc(
+            V, geom, Uloc, rule_degree=5
+        )
+        loc = loc + forms.sym_grad_loc(V, geom, Uloc, s_mu)
+        return V.dof_sum(loc)
+
+    _, Jv = jax.linearize(vol_res, x)
+    ref = Jv(v)
+    Tq, Uq, Gu = op.state_qp(x)
+    perm = np.asarray(op.perm)
+    inv = np.asarray(op.inv)
+    yp = op.apply_perm_rows(v[perm], Tq, mass_w, s_rho, s_mu, Uq, Gu)
+    got = yp[inv]
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=3e-5, atol=5e-6
+    )
+    # lagged mode too (transport = x, no reaction term)
+    ref_lag = None
+
+    def vol_res_lag(u):
+        Uloc = V.gather(u)
+        Tloc = V.gather(x)
+        loc = mass_w * forms.mass_loc(V, geom, Uloc)
+        loc = loc + s_rho * forms.skew_convection_lagged_loc(
+            V, geom, Tloc, Uloc, rule_degree=5
+        )
+        loc = loc + forms.sym_grad_loc(V, geom, Uloc, s_mu)
+        return V.dof_sum(loc)
+
+    ref_lag = vol_res_lag(v)
+    yl = op.apply_perm_rows(v[perm], Tq, mass_w, s_rho, s_mu)[inv]
+    np.testing.assert_allclose(
+        np.asarray(yl), np.asarray(ref_lag), rtol=3e-5, atol=5e-6
+    )
