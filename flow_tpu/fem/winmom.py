@@ -244,6 +244,10 @@ class WindowLaggedMomentum:
         f32 = np.float32
         nb = wl.nb
         dim = assembly._dim(V)
+        # the kernel's component loops assume velocity components == mesh
+        # dim (true for every NS space here; a mismatch would silently
+        # drop/alias components)
+        assert V.n_components == dim, (V.n_components, dim)
         self.dim = dim
         self.detj = jnp.asarray(
             np.asarray(geom.detJ)[cells], dtype=jnp.float32

@@ -147,7 +147,7 @@ def test_window_newton_tangent_3d_matches_ad():
     from flow_tpu.fem.spaces import VectorFunctionSpace
 
     m = box_mesh((0, 0, 0), (1, 1, 1), 2, 2, 2)
-    V = VectorFunctionSpace(m, 2)
+    V = VectorFunctionSpace(m, 2, n_components=3)
     geom = assembly.geometry(m)
     op = WindowLaggedMomentum(V, S=128, interpret=True)
     assert op.dim == 3
@@ -193,3 +193,46 @@ def test_window_newton_tangent_3d_matches_ad():
     np.testing.assert_allclose(
         np.asarray(yl), np.asarray(ref_lag), rtol=3e-5, atol=5e-6
     )
+
+
+@pytest.mark.slow  # interpret-mode 3-D kernel compile dominates
+def test_faststepper_winkernel_3d_matches_einsum(monkeypatch):
+    # FLOW_WINKERNEL=1 on a 3-D problem: the DIM=3 window kernels drive
+    # the momentum tangent and correction mass solve end to end
+    import os
+    from flow_tpu.navier_stokes.fast import FastStepper
+    from flow_tpu.mesh3d import box_mesh
+    from flow_tpu.fem.spaces import VectorFunctionSpace, FunctionSpace
+    from flow_tpu.fem.bc import DirichletBC
+
+    m = box_mesh((0, 0, 0), (1, 1, 1), 3, 3, 3)
+    V = VectorFunctionSpace(m, 2, n_components=3)
+    Q = FunctionSpace(m, 1)
+
+    def lid(x):
+        return np.where(x[:, 2] > 1 - 1e-12, 1.0, 0.0)
+
+    u_bcs = [
+        DirichletBC(V.sub(0), lid),
+        DirichletBC(V.sub(1), 0.0),
+        DirichletBC(V.sub(2), 0.0),
+    ]
+    kw = dict(
+        rotational_form=True, time_step_method="bdf2",
+        newton_tol=1e-12, newton_rtol=1e-11, linear_rtol=1e-10,
+        pressure_rtol=1e-11, correction_rtol=1e-12, cfl_target=1e9,
+        dt_max=1.0, packed=False,
+    )
+    stE = FastStepper(V, Q, u_bcs, [], 1.0, 0.05, **kw)
+    monkeypatch.setenv("FLOW_WINKERNEL", "1")
+    stW = FastStepper(V, Q, u_bcs, [], 1.0, 0.05, **kw)
+    assert stW.winkernel and stW._winmom.dim == 3
+
+    dt = jnp.asarray(1e-2)
+    UE, PE = V.zeros(), Q.zeros()
+    UW, PW = V.zeros(), Q.zeros()
+    for _ in range(2):
+        UE, PE, _ = stE.step(UE, PE, dt)
+        UW, PW, _ = stW.step(UW, PW, dt)
+    np.testing.assert_allclose(np.asarray(UW), np.asarray(UE), atol=3e-6)
+    np.testing.assert_allclose(np.asarray(PW), np.asarray(PE), atol=2e-4)
