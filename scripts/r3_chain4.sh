@@ -16,6 +16,13 @@ gate() {
 R=/tmp/r3chain4
 mkdir -p $R
 
+# winkernel full-step benches at scale (chain 3 covers 120k only): the
+# newton window tangent at 1.9M is the main perf hypothesis
+gate
+FLOW_WINKERNEL=1 BENCH_REFINES=5 timeout 3600 python bench.py \
+  > $R/bench_newton_wk_r5.json 2> $R/bench_newton_wk_r5.err
+tail -1 $R/bench_newton_wk_r5.json
+
 for N in 32 48 64 96; do
   gate || continue
   BENCH_MODE=cavity3d BENCH_N=$N FLOW_TANGENT_MODE=jvp BENCH_STEPS=10 \
