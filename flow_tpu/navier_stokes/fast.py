@@ -263,6 +263,11 @@ class FastStepper:
         big = (2 * V.n_dofs + Q.n_dofs) >= int(
             _os0.environ.get("FLOW_PACKED_MIN_DOFS", "3000000")
         )
+        # winkernel IS the tile-friendly layout (blocked [rows, C] tables
+        # pad ~1.2x) — with it, auto-packing has nothing to fix and the
+        # packed granular path would silently bypass the window kernels
+        if self.winkernel and packed == "auto":
+            big = False
         self.packed = (
             (can_pack and big) if packed == "auto" else (packed and can_pack)
         )
