@@ -58,7 +58,12 @@ BENCH_CONVECTION=lagged BENCH_REFINES=5 timeout 2400 python bench.py \
   > $R/bench_lagged_r5.json 2> $R/bench_lagged_r5.err
 tail -1 $R/bench_lagged_r5.json
 
-# 4) f64 policy matrix on the chip
+# 4) stage-3 shedding campaign (the accuracy north-star extension
+#    runs BEFORE the f64 matrix: higher value per TPU-minute)
+bash scripts/shed_stage3.sh > $R/shed_stage3.log 2>&1
+tail -14 $R/shed_stage3.log
+
+# 5) f64 policy matrix on the chip
 for x64 in 0 1; do
   for probe in sealed speed; do
     gate
@@ -68,10 +73,6 @@ for x64 in 0 1; do
     grep -a "sealed\|speed" $R/f64_${probe}_x64${x64}.log | tail -2
   done
 done
-
-# 5) stage-3 shedding campaign
-bash scripts/shed_stage3.sh > $R/shed_stage3.log 2>&1
-tail -14 $R/shed_stage3.log
 
 # 6) ~10M retry: granular+jvp is likely WORKING but silent and slow (the
 # chain-2 attempt was killed at 5400 s with no output) — fewer steps,
