@@ -100,3 +100,34 @@ def test_window_kernels_lower_for_tpu():
 
         exp = export.export(jax.jit(f), platforms=("tpu",))(xv)
         assert len(exp.mlir_module_serialized) > 0
+
+
+def test_winkernel_mg_vcycle_matches_ell(monkeypatch):
+    # FLOW_WINKERNEL MG-level applies (winkernel_min_dofs lowered so the
+    # small test hierarchy takes the window path) must reproduce the ELL
+    # V-cycle
+    from flow_tpu import FunctionSpace, unit_square_mesh
+    from flow_tpu.mesh import refine_uniform
+    from flow_tpu.solvers.multigrid import P1Hierarchy
+
+    m0 = unit_square_mesh(8, "crossed")
+    m1 = refine_uniform(m0)
+    m2 = refine_uniform(m1)
+    meshes = [m0, m1, m2]
+    rng = np.random.default_rng(17)
+    Q = FunctionSpace(m2, 1)
+    r = jnp.asarray(rng.standard_normal(Q.n_dofs))
+
+    ref_h = P1Hierarchy(meshes, bc_mask=None, smoother_degree=3)
+    y_ref = ref_h.v_cycle(r)
+
+    monkeypatch.setenv("FLOW_WINKERNEL", "1")
+    win_h = P1Hierarchy(
+        meshes, bc_mask=None, smoother_degree=3, winkernel_min_dofs=1
+    )
+    assert any(getattr(L, "win", None) is not None for L in win_h.levels)
+    y_win = win_h.v_cycle(r)
+    np.testing.assert_allclose(
+        np.asarray(y_win), np.asarray(y_ref), rtol=5e-5,
+        atol=5e-5 * float(jnp.max(jnp.abs(y_ref))),
+    )
