@@ -91,16 +91,23 @@ def _dof_graph_rcm(cell_dofs, n):
     return perm.astype(np.int32), inv.astype(np.int32)
 
 
-def build_window_layout(space, S=512):
+def build_window_layout(space, S=None):
     """Compute the uniform-stride WindowLayout of a FunctionSpace (scalar
     dof structure; vector components share it — state is component-major).
-    S must be a multiple of 128."""
-    assert S % 128 == 0, S
+    S must be a multiple of 128; S=None picks it automatically from the
+    RCM bandwidth so the DMA read amplification W/S stays ~<=2 (a fixed
+    S=512 at 1.9M DoF gives W=8S: every block reads 8x the dofs it owns).
+    Capped at 4096 to bound per-block VMEM (window + one-hot tiles)."""
     cd = np.asarray(space.cell_dofs_np)
     n = space.n_dofs
     nc, nl = cd.shape
     perm, inv = _dof_graph_rcm(cd, n)
     cdn = inv[cd.astype(np.int64)]  # cell dofs in new numbering
+
+    if S is None:
+        span = int((cdn.max(axis=1) - cdn.min(axis=1)).max()) + 1
+        S = min(4096, max(512, ((span + 127) // 128) * 128))
+    assert S % 128 == 0, S
 
     cmin = cdn.min(axis=1)
     bucket = cmin // S

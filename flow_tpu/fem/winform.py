@@ -63,7 +63,7 @@ class WindowElementOperator:
     element matrix is re-blockable per step (set_matrix) without
     recompiling — it is a kernel INPUT, not a constant."""
 
-    def __init__(self, space, loc=None, S=512, interpret=False):
+    def __init__(self, space, loc=None, S=None, interpret=False):
         self.space = space
         wl = build_window_layout(space, S=S)
         self.wl = wl
@@ -132,7 +132,7 @@ class WindowElementOperator:
         return self._call(x, self.aloc if aloc is None else aloc)
 
 
-def window_operator(form, S=512, interpret=False):
+def window_operator(form, S=None, interpret=False):
     """CompiledForm (scalar bilinear, same test/trial space) -> gather-free
     WindowElementOperator applying the same discrete operator."""
     assert form.space_j is not None and form.axes == "", (

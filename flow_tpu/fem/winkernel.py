@@ -112,7 +112,7 @@ class WindowMassOperator:
     kernel. Vector states apply per component.
     """
 
-    def __init__(self, space, S=512, interpret=False):
+    def __init__(self, space, S=None, interpret=False):
         self.space = space
         wl = build_window_layout(space, S=S)
         self.wl = wl
@@ -215,7 +215,7 @@ class WindowStiffnessOperator:
     """Gather-free scalar stiffness apply (the pressure-Poisson / MG-level
     operator: K x with K = int grad(u).grad(v))."""
 
-    def __init__(self, space, S=512, interpret=False):
+    def __init__(self, space, S=None, interpret=False):
         from .forms import ref_stiffness
 
         self.space = space

@@ -234,7 +234,7 @@ class WindowLaggedMomentum:
     ORIGINAL numbering (apply handles the permutation; the solve-side fast
     path works directly in permuted coordinates via apply_perm_rows)."""
 
-    def __init__(self, V, dt_s_rho=None, S=512, interpret=False):
+    def __init__(self, V, dt_s_rho=None, S=None, interpret=False):
         self.V = V
         self.wl = build_window_layout(V, S=S)
         self.interpret = interpret

@@ -124,7 +124,9 @@ class FastStepper:
             from ..fem.winmom import WindowLaggedMomentum
 
             self._winmom = WindowLaggedMomentum(
-                V, S=int(_os0.environ.get("FLOW_WINKERNEL_S", "512")),
+                # S=None auto-sizes windows from the RCM bandwidth
+                # (FLOW_WINKERNEL_S=<n> pins it)
+                V, S=int(_os0.environ.get("FLOW_WINKERNEL_S", "0")) or None,
                 interpret=_jax.default_backend() == "cpu",
             )
             self._zero_P = jnp.zeros(Q.n_dofs, dtype=V.mesh.dtype)
