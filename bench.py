@@ -277,6 +277,8 @@ def main():
     import time as _time
 
     def wait_device_claimable(max_wait=600.0):
+        if os.environ.get("BENCH_SKIP_GATE") == "1":  # CPU smoke runs
+            return True
         # The tunnel daemon holds the device grant for a while after a
         # client dies abruptly (each --single child exits via os._exit);
         # a client that claims during that window wedges FOREVER on its
@@ -349,6 +351,20 @@ def main():
                 )
                 series[n_refine] = {"error": str(e)[:200]}
 
+    cached = _cached_large_entries()
+    if headline is None and cached:
+        # every LIVE size failed (e.g. the TPU tunnel outage of
+        # 2026-08-18, BENCH_NOTES): fall back to the newest
+        # campaign-measured entry, EXPLICITLY labeled — better an honest
+        # cached record than no record at all
+        entry = dict(cached[-1])
+        entry["cached_fallback"] = True
+        headline = (-1, entry)
+        print(
+            "WARNING: no live size succeeded; emitting cached campaign "
+            "entry (cached_fallback=true)",
+            file=sys.stderr,
+        )
     assert headline is not None, "no benchmark size succeeded"
     n_refine, entry = headline
     baseline = 50.0  # BASELINE.json north-star: >50 steps/s @10M DoF, v5p-8
@@ -366,11 +382,12 @@ def main():
                 ),
                 "assembly_gdof_s": entry.get("assembly_gdof_s"),
                 "poisson_ms": entry.get("poisson_ms"),
+                "cached_fallback": entry.get("cached_fallback", False),
                 "series": {str(k): v for k, v in series.items()},
                 # large-size points from dedicated campaigns (BENCH_LARGE
                 # .json, explicitly labeled cached — the headline above is
-                # always from THIS live run)
-                "cached_series": _cached_large_entries(),
+                # from THIS live run unless cached_fallback is set)
+                "cached_series": cached,
             }
         )
     )
