@@ -5,6 +5,25 @@
 # (/root/reference/flow/navier_stokes/pressure_correction.py:228-254,
 # 327-338, 415-418, 452-464; SURVEY.md §5.6) — with frozen dataclasses that
 # are hashable, printable, and usable as jit-static arguments.
+#
+# PRECISION POLICY (VERDICT r02 item 7, measured — scripts/f64_policy.py):
+#   - Verification (order tests, goldens, reference 1e-13 tolerances):
+#     f64, on CPU (the test default; XLA:TPU f64 cost is measured when
+#     chip time allows but is never required for the gate).
+#   - Production/benchmark (TPU): f32 state + relative stopping criteria
+#     + jax_default_matmul_precision="highest" on perf paths (bf16 MXU
+#     passes stall Newton ~1e-3) + increment-form pressure/correction
+#     solves (SchemeConfig.increment_form).
+#   - Conservation-type invariants do NOT require f64: the sealed-box
+#     hydrostatic rest state measures |u1|_inf = 0.0 EXACTLY in BOTH f64
+#     and f32 (the weak-form gravity and pressure-gradient element
+#     contributions cancel bitwise under identical quadrature — a designed
+#     property, not luck). What f64 buys is ACCURACY headroom (MMS error
+#     floors ~1e-10), not invariants.
+#   - f32 + f64-iterative-refinement around the linear solves was
+#     evaluated structurally and rejected: where f32 DOES lose an
+#     invariant, the loss is in the assembled RHS rounding, which solve
+#     refinement cannot recover (scripts/f64_policy.py docstring).
 from __future__ import annotations
 
 from dataclasses import dataclass, asdict

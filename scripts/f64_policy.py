@@ -56,10 +56,15 @@ def probe_sealed(x64):
     u0 = Function(V)
     u_bcs = [DirichletBC(V, (0.0, 0.0), "on_boundary")]
     t0 = time.time()
-    u1, p1 = navsto.IPCS().step(
+    from flow_tpu.utils.config import SchemeConfig
+
+    # f32 cannot reach the f64 default newton_tol=1e-10; the invariant is
+    # then set by the f32 ROUNDING of the assembled RHS, not solver slop
+    cfg = None if x64 else SchemeConfig(newton_tol=1.0e-5)
+    u1, p1 = navsto.IPCS(scheme_config=cfg).step(
         0.1, {0: u0}, p0, u_bcs, [], rho=1.0, mu=1.0,
         f={0: (0.0, g), 1: (0.0, g)}, verbose=False,
-        tol=1.0e-13 if x64 else 1.0e-6,
+        tol=1.0e-13 if x64 else 1.0e-5,
     )
     linf = float(jnp.max(jnp.abs(u1.vector)))
     print(
