@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["WindowLayout", "build_window_layout"]
+__all__ = ["WindowLayout", "build_window_layout", "overlap_add_fn"]
 
 
 class WindowLayout:
@@ -66,13 +66,19 @@ class WindowLayout:
     def overlap_add(self, wins, jnp):
         """[nb, W] per-block output windows -> [n] vector (permuted
         numbering). W/S shifted contiguous adds — no scatter."""
-        nbS = self.nb * self.S
-        y = jnp.zeros(nbS + self.W, dtype=wins.dtype)
-        K = self.W // self.S
-        for k in range(K):
-            layer = wins[:, k * self.S : (k + 1) * self.S].reshape(nbS)
-            y = y.at[k * self.S : k * self.S + nbS].add(layer)
-        return y[: self.n]
+        return overlap_add_fn(wins, self.S, self.W, self.n, jnp)
+
+
+def overlap_add_fn(wins, S, W, n, jnp):
+    """Functional overlap-add (for callers whose layout metadata are plain
+    ints, e.g. shard_map'ed per-device kernels)."""
+    nb = wins.shape[0]
+    nbS = nb * S
+    y = jnp.zeros(nbS + W, dtype=wins.dtype)
+    for k in range(W // S):
+        layer = wins[:, k * S : (k + 1) * S].reshape(nbS)
+        y = y.at[k * S : k * S + nbS].add(layer)
+    return y[:n]
 
 
 def _dof_graph_rcm(cell_dofs, n):

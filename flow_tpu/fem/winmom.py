@@ -228,6 +228,95 @@ _KERNELS = {
 }
 
 
+def momentum_tables_apply(lidx, valid, detj, g4, cg4, Tq, sm_tabs,
+                          x_flat_pad, scal, *, S, W, C, NL, NQ, DIM, nb,
+                          n_rows, interpret=False, Uq=None, Gu=None):
+    """Functional window-momentum apply: every blocked table is an
+    ARGUMENT, not a captured constant — required by shard_map'ed callers
+    (parallel/halo_win.py) whose tables are per-device shards.
+
+    lidx [nb, NL, C] i32; valid/detj [nb, 1, C]; g4/cg4 [nb, DIM^2, C];
+    Tq (+Uq/Gu for Newton mode) per fem/winmom.py row layouts;
+    sm_tabs = (phi, dphi, w, mref, kref) SMEM scalar tables;
+    x_flat_pad [DIM * n_rows * 128] f32 (components at m*n_rows rows);
+    scal = [mass_w, s_rho, s_mu] f32. Returns DIM [nb, W] window outputs.
+    """
+    A2 = W // _LO
+    newton = Uq is not None
+    kern = functools.partial(
+        _KERNELS[(DIM, newton)],
+        S=S, W=W, C=C, NL=NL, NQ=NQ, DIM=DIM, n_rows=n_rows,
+    )
+    state_specs = [pl.BlockSpec((1, DIM * NQ, C), lambda b: (b, 0, 0))]
+    state_args = [Tq]
+    if newton:
+        state_specs += [
+            pl.BlockSpec((1, DIM * NQ, C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, DIM * DIM * NQ, C), lambda b: (b, 0, 0)),
+        ]
+        state_args += [Uq, Gu]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, NL, C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, DIM * DIM, C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, DIM * DIM, C), lambda b: (b, 0, 0)),
+            *state_specs,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, A2, _LO), lambda b: (b, 0, 0))
+            for _ in range(DIM)
+        ],
+        scratch_shapes=(
+            [pltpu.VMEM((A2, _LO), jnp.float32) for _ in range(DIM)]
+            + [pltpu.SemaphoreType.DMA for _ in range(DIM)]
+        ),
+    )
+    outs = pl.pallas_call(
+        kern,
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, A2, _LO), jnp.float32)
+            for _ in range(DIM)
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(
+        scal, lidx, valid, detj, g4, cg4, *state_args, *sm_tabs,
+        x_flat_pad.reshape(-1, _LO),
+    )
+    return [o.reshape(nb, W) for o in outs]
+
+
+def smem_tables(tab, degree, dim):
+    """SMEM scalar tables (phi, dphi, w, mref, kref) for a tabulation."""
+    from .forms import ref_stiffness
+
+    f32 = np.float32
+    nq, nl = np.asarray(tab.phi).shape
+    dphi = np.asarray(tab.dphi, f32)
+    return (
+        jnp.asarray(np.asarray(tab.phi, f32)),
+        jnp.asarray(np.transpose(dphi, (2, 0, 1)).reshape(dim * nq, nl)),
+        jnp.asarray(np.asarray(tab.w, f32).reshape(1, nq)),
+        jnp.asarray(np.asarray(assembly.ref_mass(degree, dim), f32)),
+        jnp.asarray(
+            np.asarray(ref_stiffness(degree, dim), f32).reshape(
+                dim * dim * nl, nl
+            )
+        ),
+    )
+
+
 class WindowLaggedMomentum:
     """Gather-free apply of the momentum volume operator on a vector-P2
     space (2-D triangles or 3-D tets). State convention: [n, DIM] in the
@@ -270,18 +359,7 @@ class WindowLaggedMomentum:
         self.tab = tab
         nq, nl = np.asarray(tab.phi).shape
         self.nq = nq
-        mref = np.asarray(assembly.ref_mass(V.degree, dim))
-        kref = np.asarray(_ref_stiffness(V))
-        dphi = np.asarray(tab.dphi, f32)  # [nq, NL, dim]
-        self.phi_s = jnp.asarray(np.asarray(tab.phi, f32))
-        self.dphi_s = jnp.asarray(
-            np.transpose(dphi, (2, 0, 1)).reshape(dim * nq, nl)
-        )
-        self.w_s = jnp.asarray(np.asarray(tab.w, f32).reshape(1, nq))
-        self.mref_s = jnp.asarray(np.asarray(mref, f32))
-        self.kref_s = jnp.asarray(
-            np.asarray(kref, f32).reshape(dim * dim * nl, nl)
-        )
+        self.sm_tabs = smem_tables(tab, V.degree, dim)
         self._apply_jit = jax.jit(self._apply_original)
 
     # -- per-step transport ------------------------------------------------
@@ -326,68 +404,14 @@ class WindowLaggedMomentum:
     # -- applies -------------------------------------------------------------
     def _pallas(self, x_flat_pad, Tq, mass_w, s_rho, s_mu, Uq=None, Gu=None):
         wl = self.wl
-        C, NL = wl.C, self.lidx.shape[1]
-        nq, dim = self.nq, self.dim
-        A2 = wl.W // _LO
-        n_rows = wl.n_pad // _LO
-        newton = Uq is not None
-        kern = functools.partial(
-            _KERNELS[(dim, newton)],
-            S=wl.S, W=wl.W, C=C, NL=NL, NQ=nq, DIM=dim, n_rows=n_rows,
-        )
-        state_specs = [
-            pl.BlockSpec((1, dim * nq, C), lambda b: (b, 0, 0)),
-        ]
-        state_args = [Tq]
-        if newton:
-            state_specs += [
-                pl.BlockSpec((1, dim * nq, C), lambda b: (b, 0, 0)),
-                pl.BlockSpec((1, dim * dim * nq, C), lambda b: (b, 0, 0)),
-            ]
-            state_args += [Uq, Gu]
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=0,
-            grid=(wl.nb,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, NL, C), lambda b: (b, 0, 0)),
-                pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0)),
-                pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0)),
-                pl.BlockSpec((1, dim * dim, C), lambda b: (b, 0, 0)),
-                pl.BlockSpec((1, dim * dim, C), lambda b: (b, 0, 0)),
-                *state_specs,
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=[
-                pl.BlockSpec((1, A2, _LO), lambda b: (b, 0, 0))
-                for _ in range(dim)
-            ],
-            scratch_shapes=(
-                [pltpu.VMEM((A2, _LO), jnp.float32) for _ in range(dim)]
-                + [pltpu.SemaphoreType.DMA for _ in range(dim)]
-            ),
-        )
-        outs = pl.pallas_call(
-            kern,
-            out_shape=[
-                jax.ShapeDtypeStruct((wl.nb, A2, _LO), jnp.float32)
-                for _ in range(dim)
-            ],
-            grid_spec=grid_spec,
-            interpret=self.interpret,
-        )(
+        return momentum_tables_apply(
+            self.lidx, self.valid, self.detj, self.G4, self.Cg4, Tq,
+            self.sm_tabs, x_flat_pad,
             jnp.asarray([mass_w, s_rho, s_mu], dtype=jnp.float32),
-            self.lidx, self.valid, self.detj, self.G4, self.Cg4,
-            *state_args,
-            self.phi_s, self.dphi_s, self.w_s, self.mref_s, self.kref_s,
-            x_flat_pad.reshape(-1, _LO),
+            S=wl.S, W=wl.W, C=wl.C, NL=self.lidx.shape[1], NQ=self.nq,
+            DIM=self.dim, nb=wl.nb, n_rows=wl.n_pad // _LO,
+            interpret=self.interpret, Uq=Uq, Gu=Gu,
         )
-        return [o.reshape(wl.nb, wl.W) for o in outs]
 
     def apply_permuted(self, xp, Tq, mass_w, s_rho, s_mu, Uq=None, Gu=None):
         """xp [DIM, n_pad] permuted+padded components -> y same layout."""

@@ -352,6 +352,24 @@ class HaloProjection:
         if mesh_hierarchy is not None and len(mesh_hierarchy) > 1:
             self._build_mg(mesh_hierarchy, smoother_degree)
 
+        # gather-free window kernels for the per-device momentum matvec
+        # (parallel/halo_win.py; FLOW_WINKERNEL=1, same knob as FastStepper)
+        self.winkernel = _os.environ.get("FLOW_WINKERNEL", "") == "1"
+        self._win_tabs = None
+        if self.winkernel:
+            from .halo_win import build_halo_window_tables
+
+            self._win_meta, self._win_tabs, self._win_sm, self._win_tab = (
+                build_halo_window_tables(
+                    self.Vh,
+                    np.asarray(self.detJ),
+                    np.asarray(self.G),
+                    np.asarray(self.C),
+                    self.dim,
+                )
+            )
+            self._win_interp = jax.default_backend() == "cpu"
+
         spec_c = P(AXIS)
         spec_r = P()
         # sharded args: everything except dt
@@ -359,6 +377,8 @@ class HaloProjection:
             [spec_c, spec_c, spec_r]
             + [spec_c] * 19
             + ([spec_c] * 8 if self._nb_loc else [])
+            # one pytree arg; the spec broadcasts over its leaves
+            + ([spec_c] if self._win_tabs else [])
         )
         self._in_specs = in_specs
         self._step = jax.jit(
@@ -608,6 +628,8 @@ class HaloProjection:
                 self.b_normals,
                 self.b_Gb,
             ]
+        if self._win_tabs:
+            args += [self._win_tabs]  # one pytree arg, all leaves sharded
         return args
 
     def step(self, U_part, P_part, dt):
@@ -835,40 +857,25 @@ class HaloProjection:
         U1, P1, _stats = self._substep_core(*args)
         return U1, P1
 
-    def _substep_core(
-        self,
-        U,
-        Pv,
-        dt,
-        cd_V,
-        cd_Q,
-        detJ,
-        G,
-        C,
-        mask_u,
-        val_u,
-        mask_p,
-        val_p,
-        valid_V,
-        valid_Q,
-        send_r_V,
-        send_l_V,
-        send_r_Q,
-        send_l_Q,
-        mass_diag_V,
-        stiff_diag_V,
-        stiff_diag_Q,
-        Fq=None,
-        b_cdV=None,
-        b_cdQ=None,
-        b_phiV=None,
-        b_dphiV=None,
-        b_phiQ=None,
-        b_wl=None,
-        b_normals=None,
-        b_Gb=None,
-        x0=None,
-    ):
+    def _substep_core(self, U, Pv, dt, *tables, x0=None):
+        # self-unpack by the STATIC table-group flags (boundary facets,
+        # window kernels): optional positional groups would otherwise
+        # misbind when an earlier group is absent
+        it = iter(tables)
+        (
+            cd_V, cd_Q, detJ, G, C, mask_u, val_u, mask_p, val_p,
+            valid_V, valid_Q, send_r_V, send_l_V, send_r_Q, send_l_Q,
+            mass_diag_V, stiff_diag_V, stiff_diag_Q, Fq,
+        ) = (next(it) for _ in range(19))
+        if self._nb_loc:
+            (b_cdV, b_cdQ, b_phiV, b_dphiV, b_phiQ, b_wl, b_normals,
+             b_Gb) = (next(it) for _ in range(8))
+        else:
+            b_cdV = b_cdQ = b_phiV = b_dphiV = b_phiQ = None
+            b_wl = b_normals = b_Gb = None
+        win = next(it) if self._win_tabs else None
+        rest = list(it)
+        assert not rest, f"unconsumed table args: {len(rest)}"
         dtype = self.dtype
         Vh, Qh = self.Vh, self.Qh
         Vl = _ExtLocalSpace(self.degV, self.ncomp, Vh.n_ext, cd_V, dtype, self.dim)
@@ -918,6 +925,28 @@ class HaloProjection:
             )
             tn = jnp.einsum("bqm,bm->bq", tb, b_normals)
             val = val - 0.5 * rho * jnp.maximum(tn, 0.0)[:, :, None] * wb
+            loc = jnp.einsum("bqm,bq,bqi->bim", val, b_wl, b_phiV)
+            out = jnp.zeros((Vh.n_ext, self.ncomp), dtype=dtype)
+            return out.at[b_cdV].add(loc)
+
+        def bnd_tangent_ext(v_ext, tsrc_ext, frozen_transport):
+            """Tangent of the x-dependent ds-terms at state tsrc_ext (for
+            the window-kernel momentum solves): stress is linear; the
+            do-nothing term keeps the (t.n)+ v piece and, unless the
+            transport is frozen (lagged), adds H(t.n)(v.n) t."""
+            if b_cdV is None:
+                return None
+            wloc = v_ext[b_cdV]
+            gw = jnp.einsum("bqlk,bdk,blm->bqmd", b_dphiV, b_Gb, wloc)
+            val = mu * jnp.einsum("bqma,bm->bqa", gw, b_normals)
+            tb = jnp.einsum("bqi,bim->bqm", b_phiV, tsrc_ext[b_cdV])
+            tn = jnp.einsum("bqm,bm->bq", tb, b_normals)
+            wb = jnp.einsum("bqi,bim->bqm", b_phiV, wloc)
+            val = val - 0.5 * rho * jnp.maximum(tn, 0.0)[:, :, None] * wb
+            if not frozen_transport:
+                wn = jnp.einsum("bqm,bm->bq", wb, b_normals)
+                pos = (tn > 0.0).astype(wb.dtype)
+                val = val - 0.5 * rho * (pos * wn)[:, :, None] * tb
             loc = jnp.einsum("bqm,bq,bqi->bim", val, b_wl, b_phiV)
             out = jnp.zeros((Vh.n_ext, self.ncomp), dtype=dtype)
             return out.at[b_cdV].add(loc)
@@ -1010,7 +1039,27 @@ class HaloProjection:
                 return free_u * r + mask_u * (x - val_u)
 
             r0 = residual_lag(x0)
-            _, Jv = jax.linearize(residual_lag, x0)
+            if win is not None:
+                # gather-free per-device momentum matvec (halo_win.py)
+                from .halo_win import halo_transport_q, halo_window_momentum
+
+                meta, sm, wtab = self._win_meta, self._win_sm, self._win_tab
+                s = (dt / rho) * w_im
+                Tqw = halo_transport_q(meta, wtab, win["cells"], cd_V, x0_ext)
+
+                def Jv(v):
+                    v_ext = fwd_V(v)
+                    av = halo_window_momentum(
+                        meta, sm, win, v_ext, Tqw, 1.0, s * rho, s * mu,
+                        interpret=self._win_interp,
+                    )
+                    bt = bnd_tangent_ext(v_ext, x0_ext, True)
+                    if bt is not None:
+                        av = av - s * bt
+                    r = bwd_V(av)
+                    return free_u * r + mask_u * v
+            else:
+                _, Jv = jax.linearize(residual_lag, x0)
             dx, _ = krylov.bicgstab(
                 Jv, -r0, M=lambda t: t / diag,
                 rtol=self.linear_rtol, atol=0.05 * self.newton_tol,
@@ -1021,7 +1070,32 @@ class HaloProjection:
 
             def newton_body(state):
                 x, rnorm, k = state
-                r, Jv = jax.linearize(residual, x)
+                if win is not None:
+                    # window-kernel Newton tangent (reaction term in-kernel)
+                    from .halo_win import halo_state_q, halo_window_momentum
+
+                    meta, sm = self._win_meta, self._win_sm
+                    wtab = self._win_tab
+                    s = (dt / rho) * w_im
+                    r = residual(x)
+                    x_ext = fwd_V(x)
+                    Tqw, Uqw, Guw = halo_state_q(
+                        meta, wtab, win["cells"], cd_V, G, x_ext
+                    )
+
+                    def Jv(v):
+                        v_ext = fwd_V(v)
+                        av = halo_window_momentum(
+                            meta, sm, win, v_ext, Tqw, 1.0, s * rho, s * mu,
+                            Uq=Uqw, Gu=Guw, interpret=self._win_interp,
+                        )
+                        bt = bnd_tangent_ext(v_ext, x_ext, False)
+                        if bt is not None:
+                            av = av - s * bt
+                        rr = bwd_V(av)
+                        return free_u * rr + mask_u * v
+                else:
+                    r, Jv = jax.linearize(residual, x)
                 dx, _ = krylov.bicgstab(
                     Jv, -r, M=lambda t: t / diag,
                     rtol=self.linear_rtol, atol=0.05 * self.newton_tol,

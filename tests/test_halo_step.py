@@ -170,3 +170,48 @@ def test_halo_lagged_matches_fast_stepper_lagged():
     np.testing.assert_allclose(
         np.asarray(P1 - jnp.mean(P1)), np.asarray(P - jnp.mean(P)), atol=2e-9
     )
+
+
+@pytest.mark.parametrize("convection", ["lagged", "newton"])
+def test_halo_winkernel_matches_einsum_halo(monkeypatch, convection):
+    # FLOW_WINKERNEL=1: the distributed per-device window-kernel momentum
+    # matvec (parallel/halo_win.py) must reproduce the einsum halo step
+    # (f32 kernel internals: agreement at f32 accumulation level)
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    mesh = unit_square_mesh(10, diagonal="crossed")
+    V = VectorFunctionSpace(mesh, 2)
+    Q = FunctionSpace(mesh, 1)
+
+    def lid(x):
+        return np.where(x[:, 1] > 1 - 1e-12, 1.0, 0.0)
+
+    u_bcs = [DirichletBC(V.sub(0), lid), DirichletBC(V.sub(1), 0.0)]
+    u0 = project((0.0, 0.0), V)
+    p0 = project(0.0, Q)
+    kw = dict(
+        rho=1.0, mu=0.1, devices=jax.devices()[:4], rotational_form=True,
+        convection=convection, linear_rtol=1e-12, newton_tol=1e-10,
+    )
+    hpE = HaloProjection(V, Q, u_bcs, [], **kw)
+    monkeypatch.setenv("FLOW_WINKERNEL", "1")
+    hpW = HaloProjection(V, Q, u_bcs, [], **kw)
+    assert hpW.winkernel and hpW._win_tabs is not None
+    assert not hpE.winkernel
+
+    dt = 1e-2
+    UpE = hpE.Vh.to_partitioned(np.asarray(u0.vector))
+    PpE = hpE.Qh.to_partitioned(np.asarray(p0.vector))
+    UpW, PpW = UpE, PpE
+    for _ in range(2):
+        UpE, PpE = hpE.step(UpE, PpE, dt)
+        UpW, PpW = hpW.step(UpW, PpW, dt)
+    UE = hpE.Vh.from_partitioned(UpE)
+    UW = hpW.Vh.from_partitioned(UpW)
+    PE = hpE.Qh.from_partitioned(PpE)
+    PW = hpW.Qh.from_partitioned(PpW)
+    np.testing.assert_allclose(np.asarray(UW), np.asarray(UE), atol=3e-6)
+    np.testing.assert_allclose(
+        np.asarray(PW - jnp.mean(PW)), np.asarray(PE - jnp.mean(PE)),
+        atol=2e-4,
+    )
