@@ -87,3 +87,21 @@ def test_winform_lowers_for_tpu():
             jax.jit(lambda t: op.apply(t)), platforms=("tpu",)
         )(x)
         assert len(exp.mlir_module_serialized) > 0
+
+
+def test_winform_3d_tets():
+    # the element-matrix window apply is NL-generic: P2 tet stiffness via
+    # formlang matches the compiled einsum apply
+    from flow_tpu.mesh3d import box_mesh
+
+    m = box_mesh((0, 0, 0), (1, 1, 1), 3, 3, 3)
+    V = FunctionSpace(m, 2)
+    geom = assembly.geometry(m)
+    u, v = TrialFunction(V), TestFunction(V)
+    form = compile_form(dot(grad(u), grad(v)), geom, rule_degree=3)
+    op = window_operator(form, S=128, interpret=True)
+    x = jnp.asarray(np.random.default_rng(21).standard_normal(V.n_dofs))
+    np.testing.assert_allclose(
+        np.asarray(op.apply(x)), np.asarray(form.apply(x)),
+        rtol=3e-5, atol=1e-5,
+    )
