@@ -4,6 +4,7 @@
 # fix; BENCH_NOTES round 3).
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from flow_tpu.models.karman import KarmanProblem
 from flow_tpu.fem import assembly, forms
@@ -91,6 +92,8 @@ def test_boundary_rhs_matches():
     )
 
 
+@pytest.mark.slow  # 157 s; test_packed_lagged_matches_einsum_lagged
+# keeps the packed step in the default gate at a third the cost
 def test_packed_stepper_matches_dense():
     # the packed FastStepper trajectory must match the einsum path within
     # solver tolerance (identical discrete equations, different layout)
