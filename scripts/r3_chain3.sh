@@ -58,10 +58,25 @@ BENCH_CONVECTION=lagged BENCH_REFINES=5 timeout 2400 python bench.py \
   > $R/bench_lagged_r5.json 2> $R/bench_lagged_r5.err
 tail -1 $R/bench_lagged_r5.json
 
-# 4) stage-3 shedding campaign (the accuracy north-star extension
-#    runs BEFORE the f64 matrix: higher value per TPU-minute)
-bash scripts/shed_stage3.sh > $R/shed_stage3.log 2>&1
-tail -14 $R/shed_stage3.log
+# 4) ~10M retry FIRST (the north-star headline — must not be starved by
+# the long stage-3 job if the device dies again): granular+jvp is likely
+# WORKING but silent and slow (the chain-2 attempt was killed at 5400 s
+# with no output) — fewer steps, much bigger budget
+gate
+BENCH_LCAR=0.0175 BENCH_REFINES=6 BENCH_GRANULAR=1 FLOW_TANGENT_MODE=jvp \
+  BENCH_STEPS=4 BENCH_SIZE_TIMEOUT=10000 timeout 10500 \
+  python bench.py > $R/bench_10m.json 2> $R/bench_10m.err
+tail -1 $R/bench_10m.json
+if ! grep -q '"cached_fallback": false' $R/bench_10m.json; then
+  # fallback: window-kernel layout (tile-friendly tables, ~1.2x pad vs the
+  # einsum intermediates' 20-60x) is the alternate 10M memory path
+  gate
+  FLOW_WINKERNEL=1 BENCH_LCAR=0.0175 BENCH_REFINES=6 BENCH_GRANULAR=1 \
+    FLOW_TANGENT_MODE=jvp BENCH_STEPS=4 BENCH_SIZE_TIMEOUT=10000 \
+    timeout 10500 python bench.py \
+    > $R/bench_10m_wk.json 2> $R/bench_10m_wk.err
+  tail -1 $R/bench_10m_wk.json
+fi
 
 # 5) f64 policy matrix on the chip
 for x64 in 0 1; do
@@ -74,13 +89,9 @@ for x64 in 0 1; do
   done
 done
 
-# 6) ~10M retry: granular+jvp is likely WORKING but silent and slow (the
-# chain-2 attempt was killed at 5400 s with no output) — fewer steps,
-# much bigger budget
-gate
-BENCH_LCAR=0.0175 BENCH_REFINES=6 BENCH_GRANULAR=1 FLOW_TANGENT_MODE=jvp \
-  BENCH_STEPS=4 BENCH_SIZE_TIMEOUT=10000 timeout 10500 \
-  python bench.py > $R/bench_10m.json 2> $R/bench_10m.err
-tail -1 $R/bench_10m.json
+# 6) stage-3 shedding campaign (the long job, last — accuracy polish on
+# top of the already-validated stage-2 result)
+bash scripts/shed_stage3.sh > $R/shed_stage3.log 2>&1
+tail -14 $R/shed_stage3.log
 
 echo CHAIN3_DONE
