@@ -150,10 +150,15 @@ def cmd_base(refine, start=None):
     prob = build(refine)
     st = make_stepper(prob, "backward euler", tight=os.environ.get("SP_TIGHT") == "1")
     if start and os.path.exists(start):
-        from flow_tpu.io import load_checkpoint
+        d = np.load(start)
+        if "U" in d:  # plain npz (a previous cmd_base output — crash resume)
+            U = jnp.asarray(d["U"], dtype=prob.mesh.dtype)
+            P = jnp.asarray(d["P"], dtype=prob.mesh.dtype)
+        else:
+            from flow_tpu.io import load_checkpoint
 
-        arrays, _ = load_checkpoint(start, dtype=prob.mesh.dtype)
-        U, P = arrays["U"], arrays["P"]
+            arrays, _ = load_checkpoint(start, dtype=prob.mesh.dtype)
+            U, P = arrays["U"], arrays["P"]
         print(f"start from {start}", flush=True)
     else:
         tol = 1.0e-8 if prob.mesh.dtype == np.float64 else 1.0e-4
@@ -169,6 +174,7 @@ def cmd_base(refine, start=None):
     n = int(os.environ.get("SP_BASE_STEPS", "3000"))
     t0 = time.time()
     prev = {"U": U}
+    out = f"stab_base_r{refine}{tag()}.npz"
 
     def on_chunk(done, U1, P1, tel):
         dU = float(jnp.linalg.norm(U1 - prev["U"]))
@@ -181,6 +187,10 @@ def cmd_base(refine, start=None):
             flush=True,
         )
         prev["U"] = U1
+        # crash resilience: the TPU worker can die mid-campaign (observed
+        # 2026-08-18); persist progress so a retry resumes instead of
+        # restarting from rest
+        np.savez(out, U=np.asarray(U1), P=np.asarray(P1))
 
     U, P = run_chunks(
         st, U, P, dt, n,
