@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import winkernel
 from .window import build_window_layout
 from .winkernel import _LO, _onehots, _gather_dof, _scatter_dof
 
@@ -115,6 +116,7 @@ class WindowElementOperator:
             out_shape=jax.ShapeDtypeStruct((wl.nb, A2, _LO), jnp.float32),
             grid_spec=grid_spec,
             interpret=self.interpret,
+            compiler_params=winkernel.compiler_params(),
         )(self.lidx, self.valid, aloc, xw_pad.reshape(-1, _LO))
         return out.reshape(wl.nb, wl.W)
 

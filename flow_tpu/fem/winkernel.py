@@ -36,6 +36,7 @@
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -49,6 +50,18 @@ from .window import build_window_layout
 __all__ = ["WindowMassOperator", "WindowStiffnessOperator"]
 
 _LO = 128  # two-level one-hot low radix (= lane width)
+
+# The unrolled kernel bodies hold many [C]-lane temporaries live at once;
+# at default Mosaic scoped-vmem (16 MB) the momentum kernel overflowed by
+# ~5% on a real v5e (BENCH_NOTES r3 chain-3). Explicit blocks/scratch are
+# tiny (KBs), so raising the scoped budget is safe; v5e VMEM is 128 MB.
+_VMEM_LIMIT_BYTES = (
+    int(os.environ.get("FLOW_VMEM_LIMIT_MB", "100")) * 1024 * 1024
+)
+
+
+def compiler_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)
 
 
 def _onehots(lidx_ref, j, C, A2):
@@ -162,6 +175,7 @@ class WindowMassOperator:
             out_shape=jax.ShapeDtypeStruct((wl.nb, A2, _LO), jnp.float32),
             grid_spec=grid_spec,
             interpret=self.interpret,
+            compiler_params=compiler_params(),
         )(
             self.lidx, self.valid, self.detj, self.mref,
             xw_pad.reshape(-1, _LO),
@@ -271,6 +285,7 @@ class WindowStiffnessOperator:
             out_shape=jax.ShapeDtypeStruct((wl.nb, A2, _LO), jnp.float32),
             grid_spec=grid_spec,
             interpret=self.interpret,
+            compiler_params=compiler_params(),
         )(
             self.lidx, self.valid, self.Cg, self.kref,
             xw_pad.reshape(-1, _LO),

@@ -37,6 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import assembly
+from . import winkernel
 from .window import build_window_layout
 from .winkernel import _LO, _onehots, _gather_dof, _scatter_dof
 
@@ -63,11 +64,16 @@ def _mom_body(scal_ref, lidx_ref, valid_ref, detj_ref, g_ref, cg_ref,
     for cp in cps:
         cp.wait()
 
+    # gather, then DROP the one-hot list (scatter recomputes per-i):
+    # keeping all NL (oh_hi, oh_lo) pairs live across the unrolled body
+    # costs ~NL*2*C*128 f32 of scoped vmem — part of the measured 16.8M
+    # stack overflow on v5e (BENCH_NOTES r3 chain-3)
     ohs = [_onehots(lidx_ref, j, C, A2) for j in range(NL)]
     U = [
         [_gather_dof(wins[m][...], oh, ol) for oh, ol in ohs]
         for m in range(DIM)
     ]
+    del ohs
 
     detj = detj_ref[0, 0]                                    # [C]
     G = [[g_ref[0, DIM * d + k] for k in range(DIM)] for d in range(DIM)]
@@ -174,11 +180,11 @@ def _mom_body(scal_ref, lidx_ref, valid_ref, detj_ref, g_ref, cg_ref,
                 loc[m][i] = loc[m][i] + s_rho * re
 
     v = valid_ref[0, 0]
-    for m in range(DIM):
-        acc = jnp.zeros((A2, _LO), dtype=jnp.float32)
-        for i in range(NL):
-            acc = _scatter_dof(acc, loc[m][i] * v, *ohs[i])
-        outs[m][0] = acc
+    for i in range(NL):
+        oh_i = _onehots(lidx_ref, i, C, A2)
+        for m in range(DIM):
+            acc = outs[m][0] if i else jnp.zeros((A2, _LO), jnp.float32)
+            outs[m][0] = _scatter_dof(acc, loc[m][i] * v, *oh_i)
 
 
 def _mom_kernel_2d(scal_ref, lidx_ref, valid_ref, detj_ref, g_ref, cg_ref,
@@ -290,6 +296,7 @@ def momentum_tables_apply(lidx, valid, detj, g4, cg4, Tq, sm_tabs,
         ],
         grid_spec=grid_spec,
         interpret=interpret,
+        compiler_params=winkernel.compiler_params(),
     )(
         scal, lidx, valid, detj, g4, cg4, *state_args, *sm_tabs,
         x_flat_pad.reshape(-1, _LO),
