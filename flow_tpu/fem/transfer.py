@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from .spaces import FunctionSpace, Function
 
-__all__ = ["prolong", "prolong_vector"]
+__all__ = ["prolong", "prolong_vector", "restrict", "restrict_vector"]
 
 
 def _prolong_p1(coarse_mesh, x):
@@ -63,3 +63,30 @@ def prolong_vector(x, coarse_space: FunctionSpace, fine_space: FunctionSpace):
 def prolong(u: Function, fine_space: FunctionSpace) -> Function:
     """Prolong a Function onto the uniformly refined mesh's space."""
     return Function(fine_space, prolong_vector(u.vector, u.space, fine_space))
+
+
+def restrict_vector(x, fine_space: FunctionSpace, coarse_space: FunctionSpace):
+    """Restrict a raw dof vector [n_dofs(,m)] fine -> coarse by injection.
+
+    Exact point values: the coarse dof locations (P1: coarse vertices;
+    P2: coarse vertices + coarse edge midpoints) are precisely the leading
+    block of the fine numbering (refine_uniform orders fine vertices as
+    [coarse vertices; coarse edge midpoints], P2 dofs as [vertices; edges]),
+    so injection is a prefix slice. restrict(prolong(x)) == x exactly.
+    Used to seed coarse-mesh campaigns from fine saturated states (e.g.
+    re-deriving a stage-N shedding measurement from a stage-N+1 checkpoint)."""
+    assert coarse_space.degree == fine_space.degree
+    cm, fm = coarse_space.mesh, fine_space.mesh
+    assert fm.n_points == cm.n_points + cm.n_edges, (
+        "fine mesh is not refine_uniform(coarse mesh)"
+    )
+    if coarse_space.degree == 2:
+        assert coarse_space.n_dofs == fm.n_points
+    return x[: coarse_space.n_dofs]
+
+
+def restrict(u: Function, coarse_space: FunctionSpace) -> Function:
+    """Restrict a Function onto the coarse (un-refined) mesh's space."""
+    return Function(
+        coarse_space, restrict_vector(u.vector, u.space, coarse_space)
+    )

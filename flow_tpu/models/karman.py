@@ -303,6 +303,7 @@ def run_karman_fast(
     newton_rtol=1.0e-3,
     newton_maxiter=3,
     linear_rtol=1.0e-4,
+    ew_forcing=False,
     pressure_rtol=1.0e-4,
     correction_rtol=1.0e-5,
     from_rest=True,
@@ -358,6 +359,7 @@ def run_karman_fast(
         newton_rtol=newton_rtol,
         newton_maxiter=newton_maxiter,
         linear_rtol=linear_rtol,
+        ew_forcing=ew_forcing,
         pressure_rtol=pressure_rtol,
         correction_rtol=correction_rtol,
         cfl_target=cfl_target,

@@ -81,18 +81,36 @@ def main():
     if seed and os.path.exists(seed):
         from flow_tpu.io import load_checkpoint
         from flow_tpu.fem.spaces import VectorFunctionSpace, FunctionSpace
-        from flow_tpu.fem.transfer import prolong_vector
+        from flow_tpu.fem.transfer import prolong_vector, restrict_vector
 
         lvl = int(os.environ.get("ST_SEED_REFINE", str(n_refine - 1)))
         arrays, scalars = load_checkpoint(seed, dtype=U0.dtype)
         Us, Ps = arrays["U"], arrays["P"]
         dt0 = min(float(scalars["dt"]), dt_max)
+        # prolong a coarser seed up, or restrict (injection) a finer seed
+        # down the refine_uniform hierarchy — e.g. re-deriving a stage-2
+        # measurement from the stage-3 saturated checkpoint
+        hier_top = max(lvl, n_refine)
+        if hier_top > n_refine:
+            from flow_tpu.models import karman as _karman
+
+            hier = _karman.schafer_turek_problem(
+                lcar=lcar, n_refine=hier_top
+            ).mesh_hierarchy
+        else:
+            hier = prob.mesh_hierarchy
         for k in range(lvl, n_refine):
-            mc, mf = prob.mesh_hierarchy[k], prob.mesh_hierarchy[k + 1]
+            mc, mf = hier[k], hier[k + 1]
             Vc, Vf = VectorFunctionSpace(mc, 2), VectorFunctionSpace(mf, 2)
             Qc, Qf = FunctionSpace(mc, 1), FunctionSpace(mf, 1)
             Us = prolong_vector(Us, Vc, Vf)
             Ps = prolong_vector(Ps, Qc, Qf)
+        for k in range(lvl, n_refine, -1):
+            mc, mf = hier[k - 1], hier[k]
+            Vc, Vf = VectorFunctionSpace(mc, 2), VectorFunctionSpace(mf, 2)
+            Qc, Qf = FunctionSpace(mc, 1), FunctionSpace(mf, 1)
+            Us = restrict_vector(Us, Vf, Vc)
+            Ps = restrict_vector(Ps, Qf, Qc)
         mask_s, val_s = combine_bcs(prob.V, prob.u_bcs)
         Us = (1.0 - mask_s) * Us + mask_s * val_s  # re-impose fine BCs
         initial_state = (Us, Ps)
@@ -130,6 +148,10 @@ def main():
             tol_kw[key] = float(os.environ[env])
     if os.environ.get("ST_NEWTON_MAXIT"):
         tol_kw["newton_maxiter"] = int(os.environ["ST_NEWTON_MAXIT"])
+    if os.environ.get("ST_EW"):
+        # Eisenstat-Walker adaptive inner forcing (perf-candidate physics
+        # validation: the bench knob BENCH_EW must not damp the Hopf mode)
+        tol_kw["ew_forcing"] = os.environ["ST_EW"] == "1"
 
     t0 = time.time()
     out = karman.run_karman_fast(
@@ -167,7 +189,10 @@ def main():
     print(f"Cd max={cd.max():.4f} mean={cd.mean():.4f}")
     print(f"Cl max={cl.max():.4f} min={cl.min():.4f}")
     print(f"shedding f={f_shed:.4f} Hz  St={st_dfg}")
-    np.savez("schafer_turek.npz", t=t, fx=fx, fy=fy, dt=out["telemetry"]["dt"])
+    # ST_OUT names the series file per campaign — the default path once cost
+    # us a stage-2 series when stage-3 reused it before the commit
+    out_path = os.environ.get("ST_OUT", "schafer_turek.npz")
+    np.savez(out_path, t=t, fx=fx, fy=fy, dt=out["telemetry"]["dt"])
 
 
 if __name__ == "__main__":

@@ -100,6 +100,9 @@ def make_stepper(prob, method, tight):
         )
     if os.environ.get("SP_NEWTON_MAXIT"):
         kw["newton_maxiter"] = int(os.environ["SP_NEWTON_MAXIT"])
+    if os.environ.get("SP_EW"):
+        # probe the Eisenstat-Walker bench candidate's effect on sigma
+        kw["ew_forcing"] = os.environ["SP_EW"] == "1"
     # per-substep tolerance overrides (slop-source bisection: the refine-2
     # exact step map proved the production decay is solver slop; these
     # isolate WHICH substep's inexactness damps the Hopf mode)

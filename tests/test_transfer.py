@@ -4,7 +4,9 @@ import jax.numpy as jnp
 
 from flow_tpu import unit_square_mesh, VectorFunctionSpace, FunctionSpace, project, errornorm
 from flow_tpu.mesh import refine_uniform
-from flow_tpu.fem.transfer import prolong, prolong_vector
+from flow_tpu.fem.transfer import (
+    prolong, prolong_vector, restrict, restrict_vector
+)
 
 
 def test_prolong_p1_exact_for_linear():
@@ -57,3 +59,34 @@ def test_prolong_vector_shapes():
     Uf = prolong_vector(U, Vc, Vf)
     assert Uf.shape == (Vf.n_dofs, 2)
     np.testing.assert_allclose(np.asarray(Uf), 1.0)
+
+
+def test_restrict_is_left_inverse_of_prolong():
+    # injection restriction recovers the coarse vector EXACTLY (the coarse
+    # dof locations are a prefix of the fine numbering)
+    rng = np.random.default_rng(3)
+    mc = unit_square_mesh(7, diagonal="crossed")
+    mf = refine_uniform(mc)
+    for deg, shape in [(1, ()), (2, ()), (2, (2,))]:
+        if shape:
+            Sc = VectorFunctionSpace(mc, deg)
+            Sf = VectorFunctionSpace(mf, deg)
+        else:
+            Sc, Sf = FunctionSpace(mc, deg), FunctionSpace(mf, deg)
+        x = jnp.asarray(rng.standard_normal((Sc.n_dofs, *shape)))
+        back = restrict_vector(prolong_vector(x, Sc, Sf), Sf, Sc)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_restrict_matches_point_values():
+    # restriction of a directly-projected fine field equals the coarse
+    # interpolant (P2 dofs are point values; projection of a quadratic is
+    # exact in both spaces)
+    mc = unit_square_mesh(6)
+    mf = refine_uniform(mc)
+    Qc, Qf = FunctionSpace(mc, 2), FunctionSpace(mf, 2)
+    f = lambda x: x[..., 0] ** 2 - 0.5 * x[..., 0] * x[..., 1]
+    pc = restrict(project(f, Qf), Qc)
+    np.testing.assert_allclose(
+        np.asarray(pc.vector), np.asarray(project(f, Qc).vector), atol=1e-9
+    )
