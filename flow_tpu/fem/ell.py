@@ -13,7 +13,17 @@
 #
 # Rows are kept in dof order (locality follows the mesh numbering — pair
 # with RCM ordering for banded gathers).
+#
+# Layouts: XLA:TPU tiles the minor-most two axes of every array to (8, 128),
+# so the natural row layout [n, K] pads its K~7..28 minor dim to 128 lanes —
+# every apply then STREAMS 4..18x more HBM bytes of cols/vals than logical
+# (the round-3 tile-padding discovery, BENCH_NOTES). The "lane" layout
+# stores cols/vals transposed [K, n] (n minor — tile-friendly) and unrolls
+# the K-term contraction into K lane-parallel fused multiply-adds.
+# FLOW_ELL_LAYOUT={row,lane} selects the default at construction.
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import jax.numpy as jnp
@@ -24,22 +34,38 @@ __all__ = ["ELLMatrix", "ell_from_local", "ell_stiffness", "ell_scaled_ZtMZ"]
 
 
 class ELLMatrix:
-    """Static-shape padded ELL matrix: cols [n, K] int32, vals [n, K].
+    """Static-shape padded ELL matrix: cols [n, K] int32, vals [n, K]
+    (constructor inputs are always row layout; `layout="lane"` stores them
+    transposed [K, n] internally — see module header).
 
     Padding entries have col=0, val=0 (they multiply row 0 harmlessly).
     apply(x) supports x [n] or [n, m] (component-diagonal vector apply).
     """
 
-    def __init__(self, cols, vals, dtype, valid=None):
+    def __init__(self, cols, vals, dtype, valid=None, layout=None):
+        self.layout = layout or os.environ.get("FLOW_ELL_LAYOUT", "row")
+        assert self.layout in ("row", "lane"), self.layout
+        self.n, self.width = cols.shape
+        if self.layout == "lane":
+            cols = np.asarray(cols).T.copy()
+            vals = np.asarray(vals).T.copy()
+            valid = None if valid is None else np.asarray(valid).T.copy()
         self.cols = jnp.asarray(cols)
         self.vals = jnp.asarray(vals, dtype=dtype)
-        self.n, self.width = cols.shape
         # slot-validity mask: padding slots carry cols==0, and row 0's
         # padding would otherwise alias its diagonal test if external vals
         # violate the zero-padding invariant
         self._valid = None if valid is None else jnp.asarray(valid)
 
     def apply(self, x):
+        if self.layout == "lane":
+            # K unrolled lane-parallel FMAs; each term gathers an [n] vector
+            # from an [n] array — no [n, K] tile-padded operand anywhere
+            ext = (slice(None),) + (None,) * (x.ndim - 1)
+            acc = self.vals[0][ext] * x[self.cols[0]]
+            for k in range(1, self.width):
+                acc = acc + self.vals[k][ext] * x[self.cols[k]]
+            return acc
         xg = x[self.cols]  # [n, K(,m)]
         if x.ndim == 1:
             return jnp.einsum("nk,nk->n", self.vals, xg)
@@ -47,10 +73,12 @@ class ELLMatrix:
 
     def diag(self):
         """Operator diagonal (for Jacobi/Chebyshev smoothers)."""
-        eye = self.cols == jnp.arange(self.n, dtype=self.cols.dtype)[:, None]
+        rng = jnp.arange(self.n, dtype=self.cols.dtype)
+        eye = self.cols == (rng[None, :] if self.layout == "lane" else rng[:, None])
         if self._valid is not None:
             eye = jnp.logical_and(eye, self._valid)
-        return jnp.sum(jnp.where(eye, self.vals, 0.0), axis=1)
+        return jnp.sum(jnp.where(eye, self.vals, 0.0),
+                       axis=0 if self.layout == "lane" else 1)
 
     def __call__(self, x):
         return self.apply(x)

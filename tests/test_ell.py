@@ -58,3 +58,41 @@ def test_ell_mass_from_local():
         rtol=1e-12,
         atol=1e-13,
     )
+
+
+def test_ell_lane_layout_matches_row():
+    # lane layout ([K, n] transposed storage, unrolled FMA apply) must be
+    # numerically identical to the row layout for apply (scalar + vector)
+    # and diag — it exists purely to avoid the [n, K] minor-dim tile
+    # padding on TPU (BENCH_NOTES r3 tile-padding discovery)
+    from flow_tpu.fem.ell import ELLMatrix
+    import flow_tpu.fem.assembly as asm
+
+    mesh = unit_square_mesh(9, diagonal="crossed")
+    geom = geometry(mesh)
+    V = FunctionSpace(mesh, 1)
+    row = ell_stiffness(V, geom)
+    loc = np.asarray(asm.stiffness_local(V, geom))
+    from flow_tpu.fem.ell import ell_from_local as _efl
+
+    # rebuild in lane layout from the same local tensors
+    import os
+
+    os.environ["FLOW_ELL_LAYOUT"] = "lane"
+    try:
+        lane = _efl(V, loc)
+    finally:
+        del os.environ["FLOW_ELL_LAYOUT"]
+    assert lane.layout == "lane" and row.layout == "row"
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal(V.n_dofs))
+    X = jnp.asarray(rng.standard_normal((V.n_dofs, 2)))
+    np.testing.assert_allclose(
+        np.asarray(lane.apply(x)), np.asarray(row.apply(x)), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(lane.apply(X)), np.asarray(row.apply(X)), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(lane.diag()), np.asarray(row.diag()), rtol=1e-12
+    )
