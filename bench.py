@@ -68,7 +68,11 @@ def _build(lcar, n_refine):
         # suite). Inexact Newton: a loose inner solve with one extra outer
         # iteration costs ~3x fewer momentum applies than tight inner solves
         newton_tol=0.0,
-        newton_rtol=float(os.environ.get("BENCH_NEWTON_RTOL", "1.0e-3")),
+        # 3e-3 calibrated on-chip (chain 5): holds the Newton loop at 2
+        # iterations (+33% @120k, +71% @1.9M vs 1e-3) and leaves the
+        # refine-2 Schafer-Turek limit cycle untouched (guard stretch:
+        # St 0.3003, Cd_max 3.2477 — identical to production tolerances)
+        newton_rtol=float(os.environ.get("BENCH_NEWTON_RTOL", "3.0e-3")),
         newton_maxiter=4,
         # BENCH_EW=1: Eisenstat-Walker adaptive inner forcing (re-A/B under
         # the increment-form trajectory; the pre-increment measurement was
