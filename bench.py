@@ -427,8 +427,13 @@ def _bench_cavity3d(n_steps):
     n_dofs = 3 * prob.V.n_dofs + prob.Q.n_dofs
     stepper = FastStepper(
         prob.V, prob.Q, prob.u_bcs, prob.p_bcs, prob.rho, prob.mu,
-        rotational_form=True, newton_tol=0.0, newton_rtol=1.0e-3,
-        newton_maxiter=4, linear_rtol=3.0e-2, pressure_rtol=1.0e-4,
+        rotational_form=True, newton_tol=0.0,
+        # same env knobs as the karman path (calibrated defaults)
+        newton_rtol=float(os.environ.get("BENCH_NEWTON_RTOL", "3.0e-3")),
+        convection=os.environ.get("BENCH_CONVECTION", "newton"),
+        newton_maxiter=4,
+        linear_rtol=float(os.environ.get("BENCH_LINEAR_RTOL", "3.0e-2")),
+        pressure_rtol=1.0e-4,
         correction_rtol=1.0e-5, cfl_target=1.0, dt_max=0.1,
     )
     stepper.pressure_precond = StructuredHierarchy(prob.mesh).v_cycle
