@@ -38,6 +38,19 @@ def _setup_jax():
         jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
 
 
+def _calibrated_tols():
+    """(newton_rtol, linear_rtol) bench stopping defaults — calibrated
+    on-chip (BENCH_NOTES r3 chains 5/6: Newton holds at 2 iterations with
+    ~9-iteration inner solves, +147% steps/s @1.9M vs the 1e-3/3e-2
+    reference) and physics-guarded (stage-2 limit cycle identical to
+    production tolerances). Shared by every bench mode so the karman and
+    cavity3d paths cannot drift apart."""
+    return (
+        float(os.environ.get("BENCH_NEWTON_RTOL", "1.0e-2")),
+        float(os.environ.get("BENCH_LINEAR_RTOL", "1.0e-1")),
+    )
+
+
 def _build(lcar, n_refine):
     from flow_tpu.models.karman import KarmanProblem
     from flow_tpu.navier_stokes.fast import FastStepper
@@ -68,17 +81,14 @@ def _build(lcar, n_refine):
         # suite). Inexact Newton: a loose inner solve with one extra outer
         # iteration costs ~3x fewer momentum applies than tight inner solves
         newton_tol=0.0,
-        # 3e-3 calibrated on-chip (chain 5): holds the Newton loop at 2
-        # iterations (+33% @120k, +71% @1.9M vs 1e-3) and leaves the
-        # refine-2 Schafer-Turek limit cycle untouched (guard stretch:
-        # St 0.3003, Cd_max 3.2477 — identical to production tolerances)
-        newton_rtol=float(os.environ.get("BENCH_NEWTON_RTOL", "3.0e-3")),
+        newton_rtol=_calibrated_tols()[0],
         newton_maxiter=4,
         # BENCH_EW=1: Eisenstat-Walker adaptive inner forcing (re-A/B under
-        # the increment-form trajectory; the pre-increment measurement was
-        # negative, BENCH_NOTES r03)
+        # the increment-form trajectory measured negative again — it
+        # over-solves below the calibrated loose fixed tolerance;
+        # BENCH_NOTES r3 chain-5)
         ew_forcing=os.environ.get("BENCH_EW", "0") == "1",
-        linear_rtol=float(os.environ.get("BENCH_LINEAR_RTOL", "3.0e-2")),
+        linear_rtol=_calibrated_tols()[1],
         pressure_rtol=1.0e-4,
         pressure_maxiter=600,
         correction_rtol=1.0e-5,
@@ -428,11 +438,11 @@ def _bench_cavity3d(n_steps):
     stepper = FastStepper(
         prob.V, prob.Q, prob.u_bcs, prob.p_bcs, prob.rho, prob.mu,
         rotational_form=True, newton_tol=0.0,
-        # same env knobs as the karman path (calibrated defaults)
-        newton_rtol=float(os.environ.get("BENCH_NEWTON_RTOL", "3.0e-3")),
+        # same env knobs + calibrated defaults as the karman path
+        newton_rtol=_calibrated_tols()[0],
         convection=os.environ.get("BENCH_CONVECTION", "newton"),
         newton_maxiter=4,
-        linear_rtol=float(os.environ.get("BENCH_LINEAR_RTOL", "3.0e-2")),
+        linear_rtol=_calibrated_tols()[1],
         pressure_rtol=1.0e-4,
         correction_rtol=1.0e-5, cfl_target=1.0, dt_max=0.1,
     )

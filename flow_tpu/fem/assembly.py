@@ -23,7 +23,13 @@ import jax.numpy as jnp
 from . import elements, quadrature
 from .spaces import FunctionSpace
 
+# quadrature degree for the trilinear convection terms (the scheme layer
+# re-exports this; the window kernels must tabulate at the same rule so
+# their tangents match the einsum residual's linearization)
+CONV_RULE = 5
+
 __all__ = [
+    "CONV_RULE",
     "Geometry",
     "geometry",
     "Tab",

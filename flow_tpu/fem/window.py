@@ -97,17 +97,19 @@ def _dof_graph_rcm(cell_dofs, n):
     return perm.astype(np.int32), inv.astype(np.int32)
 
 
-def build_window_layout(space, S=None):
+def build_window_layout(space, S=None, rcm=None):
     """Compute the uniform-stride WindowLayout of a FunctionSpace (scalar
     dof structure; vector components share it — state is component-major).
     S must be a multiple of 128; S=None picks it automatically from the
     RCM bandwidth so the DMA read amplification W/S stays ~<=2 (a fixed
     S=512 at 1.9M DoF gives W=8S: every block reads 8x the dofs it owns).
-    Capped at 4096 to bound per-block VMEM (window + one-hot tiles)."""
+    Capped at 4096 to bound per-block VMEM (window + one-hot tiles).
+    rcm=(perm, inv) reuses a previously computed dof permutation (it is
+    S-independent — callers re-bucketing with a different S skip the RCM)."""
     cd = np.asarray(space.cell_dofs_np)
     n = space.n_dofs
     nc, nl = cd.shape
-    perm, inv = _dof_graph_rcm(cd, n)
+    perm, inv = _dof_graph_rcm(cd, n) if rcm is None else rcm
     cdn = inv[cd.astype(np.int64)]  # cell dofs in new numbering
 
     if S is None:
@@ -134,7 +136,7 @@ def build_window_layout(space, S=None):
         off += k
         if k:
             cells[b, :k] = ids
-            cells[b, k:] = ids[-1] if k else 0
+            cells[b, k:] = ids[-1]
             valid[b, :k] = 1.0
         else:
             cells[b, :] = 0  # fully masked block

@@ -131,7 +131,12 @@ class WindowElementOperator:
         return yw[self.inv].astype(x.dtype)
 
     def apply(self, x, aloc=None):
-        return self._call(x, self.aloc if aloc is None else aloc)
+        if aloc is None:
+            aloc = self.aloc
+            assert aloc is not None, (
+                "no element matrix: pass aloc or call set_matrix first"
+            )
+        return self._call(x, aloc)
 
 
 def window_operator(form, S=None, interpret=False):

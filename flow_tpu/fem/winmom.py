@@ -361,8 +361,9 @@ class WindowLaggedMomentum:
         self.valid = jnp.asarray(wl.valid, dtype=jnp.float32)[:, None, :]
         self.perm = jnp.asarray(wl.perm.astype(np.int32))
         self.inv = jnp.asarray(wl.inv.astype(np.int32))
+        self._cells = jnp.asarray(wl.cells.astype(np.int32))
 
-        tab = assembly.tabulation(V, 5)  # CONV_RULE
+        tab = assembly.tabulation(V, assembly.CONV_RULE)
         self.tab = tab
         nq, nl = np.asarray(tab.phi).shape
         self.nq = nq
@@ -373,40 +374,20 @@ class WindowLaggedMomentum:
     def transport_qp(self, T):
         """T [n, DIM] (original numbering) -> Tq [nb, DIM*nq, C] blocked
         (row d*nq+q holds component d at quadrature point q)."""
-        tab = self.tab
-        Tloc = self.V.gather(T)  # [nc, NL, DIM]
-        Tq = assembly.values_at_qp(tab, Tloc)  # [nc, nq, DIM]
-        Tqb = jnp.asarray(
-            Tq[jnp.asarray(self.wl.cells.astype(np.int32))], jnp.float32
-        )  # [nb, C, nq, DIM]
-        nb = self.wl.nb
-        return jnp.transpose(Tqb, (0, 3, 2, 1)).reshape(
-            nb, self.dim * self.nq, -1
+        return blocked_transport_q(
+            self.tab, self._cells, self.wl.nb, self.dim, self.nq,
+            self.V.gather(T),
         )
 
     def state_qp(self, x):
         """x [n, DIM] (original numbering) -> (Tq, Uq, Gu) blocked tables
         for the Newton tangent: values (row m*nq+q) and physical gradients
         (row (d*DIM+m)*nq+q holds d_d x_m) at quadrature points."""
-        tab = self.tab
         geom = assembly.geometry(self.V.mesh)
-        nb, nq, dim = self.wl.nb, self.nq, self.dim
-        cells = jnp.asarray(self.wl.cells.astype(np.int32))
-        Xloc = self.V.gather(x)  # [nc, NL, DIM]
-        Xq = assembly.values_at_qp(tab, Xloc)  # [nc, nq, DIM]
-        Tq = jnp.transpose(
-            jnp.asarray(Xq[cells], jnp.float32), (0, 3, 2, 1)
-        ).reshape(nb, dim * nq, -1)
-        # reference gradients -> physical: d_d x_m = G[d,k] dphi[q,j,k] X[j,m]
-        dphi = jnp.asarray(np.asarray(tab.dphi, np.float32))  # [nq, NL, dim]
-        rgrad = jnp.einsum(
-            "cjm,qjk->cqkm", Xloc.astype(jnp.float32), dphi
+        return blocked_state_q(
+            self.tab, self._cells, self.wl.nb, self.dim, self.nq,
+            self.V.gather(x), geom.G,
         )
-        G = jnp.asarray(geom.G, jnp.float32)  # [nc, dim(d), dim(k)]
-        gU = jnp.einsum("cdk,cqkm->cdmq", G, rgrad)  # [nc, d, m, q]
-        Gub = jnp.asarray(gU[cells], jnp.float32)  # [nb, C, d, m, q]
-        Gu = jnp.transpose(Gub, (0, 2, 3, 4, 1)).reshape(nb, dim * dim * nq, -1)
-        return Tq, Tq, Gu  # Uq shares Tq's (m*nq+q) row layout
 
     # -- applies -------------------------------------------------------------
     def _pallas(self, x_flat_pad, Tq, mass_w, s_rho, s_mu, Uq=None, Gu=None):
@@ -461,7 +442,28 @@ class WindowLaggedMomentum:
         return self._apply_jit(x, Tq, mass_w, s_rho, s_mu)
 
 
-def _ref_stiffness(V):
-    from .forms import ref_stiffness
+# -- shared blocked-table builders (single-chip methods above and the
+#    distributed per-device path in parallel/halo_win.py both delegate
+#    here so the kernel row-layout conventions live in one place) ----------
+def blocked_transport_q(tab, cells, nb, dim, nq, Tloc):
+    """Local dof values Tloc [nc, NL, DIM] -> Tq [nb, DIM*nq, C] blocked
+    (row m*nq+q holds component m at quadrature point q)."""
+    Xq = assembly.values_at_qp(tab, Tloc)  # [nc, nq, DIM]
+    Tqb = jnp.asarray(Xq, jnp.float32)[cells]  # [nb, C, nq, DIM]
+    return jnp.transpose(Tqb, (0, 3, 2, 1)).reshape(nb, dim * nq, -1)
 
-    return ref_stiffness(V.degree, assembly._dim(V))
+
+def blocked_state_q(tab, cells, nb, dim, nq, Xloc, G):
+    """(Tq, Uq, Gu) blocked Newton tables from local dof values Xloc
+    [nc, NL, DIM] and geometry G [nc, dim, dim]. Gu row (d*DIM+m)*nq+q
+    holds d_d x_m at quadrature point q; Uq shares Tq's layout."""
+    Tq = blocked_transport_q(tab, cells, nb, dim, nq, Xloc)
+    # reference gradients -> physical: d_d x_m = G[d,k] dphi[q,j,k] X[j,m]
+    dphi = jnp.asarray(np.asarray(tab.dphi, np.float32))  # [nq, NL, dim]
+    rgrad = jnp.einsum("cjm,qjk->cqkm", Xloc.astype(jnp.float32), dphi)
+    gU = jnp.einsum(
+        "cdk,cqkm->cdmq", jnp.asarray(G, jnp.float32), rgrad
+    )  # [nc, d, m, q]
+    Gub = gU[cells]  # [nb, C, d, m, q]
+    Gu = jnp.transpose(Gub, (0, 2, 3, 4, 1)).reshape(nb, dim * dim * nq, -1)
+    return Tq, Tq, Gu

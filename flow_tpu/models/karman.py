@@ -315,6 +315,7 @@ def run_karman_fast(
     initial_state=None,
     time_step_method="backward euler",
     force_probe="consistent",
+    convection="newton",
 ):
     """High-throughput Karman driver: the whole simulation is ONE compiled
     lax.scan (FastStepper) with on-device CFL dt control, multigrid-
@@ -355,6 +356,7 @@ def run_karman_fast(
         problem.mu,
         time_step_method=time_step_method,
         rotational_form=True,
+        convection=convection,
         newton_tol=0.0,
         newton_rtol=newton_rtol,
         newton_maxiter=newton_maxiter,

@@ -39,7 +39,7 @@ from ..message import Message, info
 
 __all__ = ["Chorin", "IPCS", "Rotational"]
 
-CONV_RULE = 5  # quadrature degree for the trilinear convection terms
+CONV_RULE = assembly.CONV_RULE  # canonical home: fem/assembly.py
 F_RULE = 6  # quadrature degree for external force integrals
 
 

@@ -22,12 +22,17 @@ import jax.numpy as jnp
 
 from ..fem import assembly
 from ..fem.window import build_window_layout, overlap_add_fn
-from ..fem.winmom import _LO, momentum_tables_apply, smem_tables
+from ..fem.winmom import (
+    _LO,
+    blocked_state_q,
+    blocked_transport_q,
+    momentum_tables_apply,
+    smem_tables,
+)
+from ..fem.assembly import CONV_RULE
 
 __all__ = ["build_halo_window_tables", "halo_window_momentum",
            "halo_transport_q", "halo_state_q"]
-
-CONV_RULE = 5
 
 
 def build_halo_window_tables(Vh, detJ_np, G_np, C_np, dim):
@@ -44,18 +49,26 @@ def build_halo_window_tables(Vh, detJ_np, G_np, C_np, dim):
     f32, i32 = np.float32, np.int32
 
     shims, reals = [], []
+    empty = np.zeros(ndev, dtype=bool)
     for d in range(ndev):
         cd_d = cd_ext[d]
         real = np.where(~np.all(cd_d == dummy, axis=1))[0]
-        assert len(real), "device with zero real cells"
+        if len(real) == 0:
+            # device owns only padding cells (tiny mesh over many devices —
+            # the einsum halo path supports this); emit one fully-masked
+            # block so the stacked shapes stay uniform
+            empty[d] = True
+            real = np.zeros(1, dtype=np.int64)
         reals.append(real)
         shims.append(
             SimpleNamespace(cell_dofs_np=cd_d[real], n_dofs=n_ext)
         )
     tmp = [build_window_layout(s) for s in shims]
     S = max(w.S for w in tmp)
+    # the RCM dof permutation is S-independent: reuse it when re-bucketing
+    # a device at the fleet-wide S
     wls = [
-        w if w.S == S else build_window_layout(s, S=S)
+        w if w.S == S else build_window_layout(s, S=S, rcm=(w.perm, w.inv))
         for w, s in zip(tmp, shims)
     ]
     W = max(w.W for w in wls)
@@ -73,7 +86,8 @@ def build_halo_window_tables(Vh, detJ_np, G_np, C_np, dim):
     for d, w in enumerate(wls):
         nb_d, C_d = w.nb, w.C
         lidx[d, :nb_d, :, :C_d] = np.transpose(np.asarray(w.lidx), (0, 2, 1))
-        valid[d, :nb_d, 0, :C_d] = w.valid
+        if not empty[d]:
+            valid[d, :nb_d, 0, :C_d] = w.valid
         loc_cells = reals[d][np.asarray(w.cells, dtype=np.int64)]
         cells[d, :nb_d, :C_d] = loc_cells
         sl = slice(d * c_per, (d + 1) * c_per)
@@ -112,30 +126,17 @@ def build_halo_window_tables(Vh, detJ_np, G_np, C_np, dim):
 def halo_transport_q(meta, tab, cells, cd_V, T_ext):
     """Blocked transport at quadrature points, per device (in-shard):
     T_ext [n_ext, DIM] -> Tq [nb, DIM*nq, C]."""
-    Tloc = T_ext[cd_V]  # [c_per, nl, DIM]
-    Xq = assembly.values_at_qp(tab, Tloc)  # [c_per, nq, DIM]
-    Tqb = jnp.asarray(Xq, jnp.float32)[cells]  # [nb, C, nq, DIM]
-    return jnp.transpose(Tqb, (0, 3, 2, 1)).reshape(
-        meta["nb"], meta["DIM"] * meta["NQ"], -1
+    return blocked_transport_q(
+        tab, cells, meta["nb"], meta["DIM"], meta["NQ"], T_ext[cd_V]
     )
 
 
 def halo_state_q(meta, tab, cells, cd_V, G_cells, x_ext):
     """(Tq, Uq, Gu) blocked Newton tables, per device (in-shard).
     G_cells [c_per, dim, dim] is the device's geometry shard."""
-    dim, nq, nb = meta["DIM"], meta["NQ"], meta["nb"]
-    Tq = halo_transport_q(meta, tab, cells, cd_V, x_ext)
-    Xloc = jnp.asarray(x_ext[cd_V], jnp.float32)  # [c_per, nl, DIM]
-    dphi = jnp.asarray(np.asarray(tab.dphi, np.float32))
-    rgrad = jnp.einsum("cjm,qjk->cqkm", Xloc, dphi)
-    gU = jnp.einsum(
-        "cdk,cqkm->cdmq", jnp.asarray(G_cells, jnp.float32), rgrad
-    )  # [c_per, d, m, q]
-    Gub = gU[cells]  # [nb, C, d, m, q]
-    Gu = jnp.transpose(Gub, (0, 2, 3, 4, 1)).reshape(
-        nb, dim * dim * nq, -1
+    return blocked_state_q(
+        tab, cells, meta["nb"], meta["DIM"], meta["NQ"], x_ext[cd_V], G_cells
     )
-    return Tq, Tq, Gu
 
 
 def halo_window_momentum(meta, sm_tabs, t, v_ext, Tq, mass_w, s_rho, s_mu,

@@ -16,6 +16,7 @@
 from __future__ import annotations
 
 import jax
+import numpy as np
 from jax import tree_util
 
 __all__ = ["HoistedFunction"]
@@ -65,9 +66,11 @@ class HoistedFunction:
 
     @property
     def n_const_bytes(self):
-        import numpy as np
-
-        return sum(np.asarray(c).nbytes for c in self._consts)
+        # metadata only — must not device_get the (potentially GB-sized)
+        # committed constant arrays
+        return sum(
+            int(np.prod(c.shape)) * c.dtype.itemsize for c in self._consts
+        )
 
     def __call__(self, *args):
         if not self._committed:

@@ -152,6 +152,11 @@ def main():
         # Eisenstat-Walker adaptive inner forcing (perf-candidate physics
         # validation: the bench knob BENCH_EW must not damp the Hopf mode)
         tol_kw["ew_forcing"] = os.environ["ST_EW"] == "1"
+    if os.environ.get("ST_CONVECTION"):
+        # semi-implicit (lagged/extrapolated) convection — the bench knob
+        # BENCH_CONVECTION=lagged must reproduce the limit cycle before it
+        # can become a bench default
+        tol_kw["convection"] = os.environ["ST_CONVECTION"]
 
     t0 = time.time()
     out = karman.run_karman_fast(
