@@ -89,9 +89,15 @@ def _build(lcar, n_refine):
         # BENCH_NOTES r3 chain-5)
         ew_forcing=os.environ.get("BENCH_EW", "0") == "1",
         linear_rtol=_calibrated_tols()[1],
-        pressure_rtol=1.0e-4,
+        # pressure/correction increments keep production stopping by default
+        # (the round-3 lesson: their slop is what damps the Hopf mode);
+        # env knobs exist for calibration probes, any loosened candidate
+        # must pass the stage-2 limit-cycle guard before becoming a default
+        pressure_rtol=float(os.environ.get("BENCH_PRESSURE_RTOL", "1.0e-4")),
         pressure_maxiter=600,
-        correction_rtol=1.0e-5,
+        correction_rtol=float(
+            os.environ.get("BENCH_CORRECTION_RTOL", "1.0e-5")
+        ),
         cfl_target=1.0,
         dt_max=1.0,
     )
@@ -443,8 +449,11 @@ def _bench_cavity3d(n_steps):
         convection=os.environ.get("BENCH_CONVECTION", "newton"),
         newton_maxiter=4,
         linear_rtol=_calibrated_tols()[1],
-        pressure_rtol=1.0e-4,
-        correction_rtol=1.0e-5, cfl_target=1.0, dt_max=0.1,
+        pressure_rtol=float(os.environ.get("BENCH_PRESSURE_RTOL", "1.0e-4")),
+        correction_rtol=float(
+            os.environ.get("BENCH_CORRECTION_RTOL", "1.0e-5")
+        ),
+        cfl_target=1.0, dt_max=0.1,
     )
     stepper.pressure_precond = StructuredHierarchy(prob.mesh).v_cycle
     U, P = prob.V.zeros(), prob.Q.zeros()
