@@ -26,6 +26,8 @@
 # (replacing UFL `derivative(F1, ui)`, reference :202).
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
@@ -41,6 +43,15 @@ __all__ = ["Chorin", "IPCS", "Rotational"]
 
 CONV_RULE = assembly.CONV_RULE  # canonical home: fem/assembly.py
 F_RULE = 6  # quadrature degree for external force integrals
+
+
+class _GeomView(NamedTuple):
+    """Pytree view of the per-cell Geometry fields the volume forms read
+    (detJ [nc], G [nc,d,d], C [nc,d,d]) — lax.map-able chunk slices."""
+
+    detJ: jnp.ndarray
+    G: jnp.ndarray
+    C: jnp.ndarray
 
 
 def _increment_form():
@@ -128,14 +139,19 @@ class _Context:
     # ------------------------------------------------------------------
     # Substep 1: tentative velocity (reference :147-255)
     # ------------------------------------------------------------------
-    def _rhs_weak_loc(self, Wloc, Fq, rho, mu, Ploc, Tloc=None):
+    def _rhs_weak_loc(self, Wloc, Fq, rho, mu, Ploc, Tloc=None, geom=None):
         """Local (pre-dof-sum) rhs_weak volume contributions [nc, nl, m].
 
         Tloc (optional): fixed transport field for the convection term —
         the semi-implicit/lagged linearization (see
         forms.skew_convection_lagged_loc). Default: transport = Wloc
-        (full skew nonlinearity, the reference's Newton semantics)."""
-        V, Q, geom = self.V, self.Q, self.geom
+        (full skew nonlinearity, the reference's Newton semantics).
+
+        geom (optional): per-cell geometry view — the cell-chunked
+        evaluation passes chunk slices here (default: the full mesh)."""
+        V, Q = self.V, self.Q
+        if geom is None:
+            geom = self.geom
         if Tloc is None:
             loc = -rho * forms.skew_convection_combined_loc(
                 V, geom, Wloc, rule_degree=CONV_RULE
@@ -185,6 +201,80 @@ class _Context:
             val = val - 0.5 * rho * jnp.maximum(tn, 0.0)[:, :, None] * wb
         return bt.integrate_rhs(val)
 
+    def _volume_loc(
+        self, geom, Uiloc, U0loc, Ploc, Tloc, Fq_expl, Fq_impl, rho, mu, dt,
+        theta_explicit,
+    ):
+        """Volume local contributions [nc, nl, m] of the momentum residual:
+        mass term + theta-weighted rhs_weak. geom is passed explicitly so
+        the chunked path can feed per-chunk geometry slices."""
+        V = self.V
+        w_ex, w_im = theta_explicit
+        loc = forms.mass_loc(V, geom, Uiloc - U0loc)
+        if w_ex:
+            loc = loc - (dt / rho) * w_ex * self._rhs_weak_loc(
+                U0loc, Fq_expl, rho, mu, Ploc, geom=geom
+            )
+        if w_im:
+            loc = loc - (dt / rho) * w_im * self._rhs_weak_loc(
+                Uiloc, Fq_impl, rho, mu, Ploc, Tloc=Tloc, geom=geom
+            )
+        return loc
+
+    def _volume_loc_dispatch(
+        self, Uiloc, U0loc, Ploc, Tloc, Fq_expl, Fq_impl, rho, mu, dt,
+        theta_explicit,
+    ):
+        """Whole-mesh or cell-chunked volume evaluation.
+
+        FLOW_CELL_CHUNK=<cells> bounds the quadrature intermediates to one
+        chunk at a time via a sequential lax.map — the fix for the 3-D
+        large-size HBM OOM: the (nc, nq, dim, nl)-class temps (plus their
+        jvp tangent duplicates) dominate HBM at ~1M+ tet cells (measured:
+        cavity3d N=48 OOM'd 17.6 G on [663552,3,10] temps, BENCH_NOTES r3
+        chain-4/6). Use with FLOW_TANGENT_MODE=jvp: forward-mode
+        differentiates the scan chunk-by-chunk, so tangent temps stay
+        chunk-sized too (reverse/linearize would store per-chunk primals
+        across all chunks and win nothing)."""
+        import os
+
+        chunk = int(os.environ.get("FLOW_CELL_CHUNK", "0"))
+        nc = Uiloc.shape[0]
+        if not chunk or nc <= chunk:
+            return self._volume_loc(
+                self.geom, Uiloc, U0loc, Ploc, Tloc, Fq_expl, Fq_impl,
+                rho, mu, dt, theta_explicit,
+            )
+        k = -(-nc // chunk)
+        pad = k * chunk - nc
+        geom = self.geom
+
+        def prep(a):
+            if a is None:
+                return None
+            if pad:
+                a = jnp.concatenate(
+                    [a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])],
+                    axis=0,
+                )
+            return a.reshape((k, chunk) + a.shape[1:])
+
+        gv = _GeomView(detJ=prep(geom.detJ), G=prep(geom.G), C=prep(geom.C))
+        xs = (
+            gv, prep(Uiloc), prep(U0loc), prep(Ploc), prep(Tloc),
+            prep(Fq_expl), prep(Fq_impl),
+        )
+
+        def body(t):
+            gvc, ui, u0, p, tl, fe, fi = t
+            return self._volume_loc(
+                gvc, ui, u0, p, tl, fe, fi, rho, mu, dt, theta_explicit
+            )
+
+        loc = jax.lax.map(body, xs)
+        loc = loc.reshape((k * chunk,) + loc.shape[2:])
+        return loc[:nc] if pad else loc
+
     def _residual(
         self, Ui, U0, Fq_expl, Fq_impl, P0, rho, mu, dt, theta_explicit,
         transport=None,
@@ -200,7 +290,7 @@ class _Context:
         IMPLICIT terms — the semi-implicit/lagged linearization that makes
         F1 affine in Ui (one linear solve per step, no Newton loop). The
         explicit terms always transport with U0 (already known)."""
-        V, Q, geom = self.V, self.Q, self.geom
+        V, Q = self.V, self.Q
         w_ex, w_im = theta_explicit
 
         Uiloc = V.gather(Ui)
@@ -208,15 +298,10 @@ class _Context:
         Ploc = Q.gather(P0)
         Tloc = None if transport is None else V.gather(transport)
 
-        loc = forms.mass_loc(V, geom, Uiloc - U0loc)
-        if w_ex:
-            loc = loc - (dt / rho) * w_ex * self._rhs_weak_loc(
-                U0loc, Fq_expl, rho, mu, Ploc
-            )
-        if w_im:
-            loc = loc - (dt / rho) * w_im * self._rhs_weak_loc(
-                Uiloc, Fq_impl, rho, mu, Ploc, Tloc=Tloc
-            )
+        loc = self._volume_loc_dispatch(
+            Uiloc, U0loc, Ploc, Tloc, Fq_expl, Fq_impl, rho, mu, dt,
+            theta_explicit,
+        )
         r = V.dof_sum(loc)
 
         bnd = None
