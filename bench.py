@@ -71,11 +71,14 @@ def _build(lcar, n_refine):
         packed=(
             False if os.environ.get("BENCH_PACKED", "") == "0" else "auto"
         ),
-        # BENCH_CONVECTION=lagged: semi-implicit extrapolated convection —
-        # one linear momentum solve per step (2-3x fewer tangent applies
-        # measured on CPU; trajectory matches Newton far below the
-        # time-discretization error)
-        convection=os.environ.get("BENCH_CONVECTION", "newton"),
+        # semi-implicit (lagged/extrapolated) convection, DEFAULT since r3
+        # chain-7: one linear momentum solve per step. Physics-guarded the
+        # same way as the stopping pair — the 148k-DoF stage-2 limit cycle
+        # under lagged + the aggressive tolerances reproduces the
+        # production-newton values (St 0.30013 vs 0.3001, Cd_max 3.2502 vs
+        # 3.2477, Cl 0.99) and runs 1.9x faster there. BENCH_CONVECTION=
+        # newton restores the full-Newton path.
+        convection=os.environ.get("BENCH_CONVECTION", "lagged"),
         rotational_form=True,
         # f32 benchmark tolerances (physics-accuracy checked in the f64
         # suite). Inexact Newton: a loose inner solve with one extra outer
@@ -446,7 +449,8 @@ def _bench_cavity3d(n_steps):
         rotational_form=True, newton_tol=0.0,
         # same env knobs + calibrated defaults as the karman path
         newton_rtol=_calibrated_tols()[0],
-        convection=os.environ.get("BENCH_CONVECTION", "newton"),
+        # lagged default shared with the karman path (guard: chain-7)
+        convection=os.environ.get("BENCH_CONVECTION", "lagged"),
         newton_maxiter=4,
         linear_rtol=_calibrated_tols()[1],
         pressure_rtol=float(os.environ.get("BENCH_PRESSURE_RTOL", "1.0e-4")),
