@@ -83,6 +83,30 @@ def test_stage2_shedding_strouhal_drag_lift():
     assert abs(fy[q0:].max() - fy[k0:].max()) < 0.02 * FORCE_SCALE
 
 
+def test_stage2_lagged_convection_guard():
+    # Physics guard for the LAGGED-convection bench default (r3 chain-7):
+    # the same 148k-DoF limit cycle developed ENTIRELY under the candidate
+    # bench config (convection="lagged", newton_rtol 1e-2, linear_rtol
+    # 1e-1; seeded from a from-scratch stage-1 run prolonged one level).
+    # Settled-half values recorded 2026-08-19 on real TPU: St = 0.30013,
+    # Cd_max = 3.2502, Cl_max = 0.9881 / Cl_min = -0.9909 — identical to
+    # the production-newton campaign (St 0.3001, Cd_max 3.2477, Cl 0.9908)
+    # within 0.1%. Any change that makes the lagged linearization filter
+    # the Hopf mode (the round-3 failure class) breaks this pin.
+    t, fx, fy = _load("schafer_turek_stage2_lagged.npz")
+    k0 = len(t) // 2
+    cd = fx[k0:] / FORCE_SCALE
+    cl = fy[k0:] / FORCE_SCALE
+    st = karman.strouhal_number(t[k0:], fy[k0:], diameter=DIAMETER, u_ref=U_REF)
+    assert st is not None
+    assert 0.295 <= st <= 0.305, st
+    assert 3.20 <= cd.max() <= 3.27, cd.max()
+    assert 0.95 <= cl.max() <= 1.03, cl.max()
+    assert -1.03 <= cl.min() <= -0.95, cl.min()
+    q0 = 3 * len(t) // 4
+    assert abs(fy[q0:].max() - fy[k0:].max()) < 0.02 * FORCE_SCALE
+
+
 def test_stage3_shedding_strouhal_drag_lift():
     # Mesh-convergence point: refine-3 (~590k DoF) campaign, recorded
     # 2026-08-18 on real TPU (scripts/shed_stage3.sh — BDF2 rotational,
