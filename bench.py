@@ -335,7 +335,10 @@ def main():
     refines = sorted(
         int(x) for x in os.environ.get("BENCH_REFINES", "3,5").split(",")
     )
-    per_size_timeout = float(os.environ.get("BENCH_SIZE_TIMEOUT", "1500"))
+    # a COLD-cache refine-5 (machine swap wipes nothing in-repo, but the
+    # .jax_cache is per-machine) spends ~15 min in the remote compiler
+    # before stepping — give each size room for compile + warm + timed
+    per_size_timeout = float(os.environ.get("BENCH_SIZE_TIMEOUT", "2700"))
     series = {}
     headline = None  # (n_refine, entry) — largest size that succeeded
     for i, n_refine in enumerate(refines):
