@@ -38,6 +38,18 @@ SP_REFINE=5 SP_CONVECTION=newton SP_REPS=3 timeout 3600 \
   python scripts/step_profile.py > $R/profile_r5_newton.log 2>&1
 tail -12 $R/profile_r5_newton.log
 
+# 0b) component decomposition (gather / dof_sum / einsum chain split) —
+#     the direct measurement behind the "row-count-bound" model, never
+#     recorded at the bench sizes
+gate
+timeout 2400 python scripts/profile_hotpath.py 0.02 3 \
+  > $R/hotpath_r3.log 2>&1
+tail -14 $R/hotpath_r3.log
+gate
+timeout 3600 python scripts/profile_hotpath.py 0.02 5 \
+  > $R/hotpath_r5.log 2>&1
+tail -14 $R/hotpath_r5.log
+
 # 1) cavity3d chunked ladder (granular + jvp + chunk)
 for N in 48 64; do
   gate || continue
