@@ -184,6 +184,15 @@ class ELLGraph:
         # slot-validity mask (diag() correctness does not depend on the
         # zero-padding invariant of externally-constructed vals)
         self._valid = jnp.asarray(np.arange(width)[None, :] < counts[:, None])
+        # row-class split for apply(): P2 vertex rows are ~2x wider than
+        # edge-midpoint rows (valence ~17-25 vs <=9), and TPU gathers are
+        # row-count-bound — one table padded to the global max gathers
+        # ~1.9x more rows than exist. Dof numbering puts vertices first
+        # (FunctionSpace._build), so apply() slices the SAME [n, W] value
+        # layout into [:nv, :W] and [nv:, :We] — assemble() is unchanged.
+        nv = space.mesh.n_points if space.degree == 2 else n
+        self.n_vert = int(nv)
+        self.w_edge = int(counts[nv:].max()) if nv < n else 0
         # flat destination slot for every (cell, i, j) entry
         slot_of_uniq = (r * width + pos).astype(np.int32)
         self.dest_np = slot_of_uniq[inv].reshape(nc, nl, nl)
@@ -231,6 +240,16 @@ class ELLGraph:
         self._tab_lo = jnp.asarray(tab_lo)
         self._tab_hi = jnp.asarray(tab_hi)
         self._perm = jnp.asarray(perm_src)
+        # class-split permutation (same motivation as apply(): the edge-row
+        # slots beyond w_edge are all padding, ~47% of n*W on P2 — skip
+        # gathering them and pad with a cheap bandwidth write instead)
+        if 0 < self.w_edge < width and self.n_vert < n:
+            pm = perm_src.reshape(n, width)
+            self._perm_v = jnp.asarray(pm[: self.n_vert].ravel())
+            self._perm_e = jnp.asarray(pm[self.n_vert :, : self.w_edge].ravel())
+        else:
+            self._perm_v = None
+            self._perm_e = None
 
     def assemble_np(self, loc):
         """Host (numpy) assembly of element tensors — for constant operator
@@ -261,6 +280,12 @@ class ELLGraph:
         r_lo = flat[self._tab_lo].sum(axis=1)  # [n_lo(,m,m)]
         r_hi = flat[self._tab_hi].sum(axis=1)  # [n_hi(,m,m)]
         cat = jnp.concatenate([r_lo, r_hi, pad], axis=0)
+        if self._perm_v is not None:
+            nv, w, we = self.n_vert, self.width, self.w_edge
+            out_v = cat[self._perm_v].reshape((nv, w) + block)
+            out_e = cat[self._perm_e].reshape((self.n - nv, we) + block)
+            padw = [(0, 0), (0, w - we)] + [(0, 0)] * len(block)
+            return jnp.concatenate([out_v, jnp.pad(out_e, padw)], axis=0)
         out = cat[self._perm]
         return out.reshape((self.n, self.width) + block)
 
@@ -269,8 +294,22 @@ class ELLGraph:
 
         One row-gather x[cols] plus a small contraction — the whole point:
         ~2 HBM reads per nonzero vs the quadrature pipeline's
-        gather -> einsum chain -> dof-sum per apply."""
-        xg = x[self.cols]
+        gather -> einsum chain -> dof-sum per apply. Vertex and edge row
+        classes are gathered at their own widths (see _build)."""
+        nv, we = self.n_vert, self.w_edge
+        if 0 < we < self.width and nv < self.n:
+            return jnp.concatenate(
+                [
+                    self._apply_rows(vals[:nv], self.cols[:nv], x),
+                    self._apply_rows(vals[nv:, :we], self.cols[nv:, :we], x),
+                ],
+                axis=0,
+            )
+        return self._apply_rows(vals, self.cols, x)
+
+    @staticmethod
+    def _apply_rows(vals, cols, x):
+        xg = x[cols]
         if vals.ndim == 2:
             if x.ndim == 1:
                 return jnp.einsum("nk,nk->n", vals, xg)
@@ -285,6 +324,35 @@ class ELLGraph:
             return jnp.sum(jnp.where(eye, vals, 0.0), axis=1)
         d = jnp.einsum("nkaa->nka", vals)
         return jnp.sum(jnp.where(eye[:, :, None], d, 0.0), axis=1)
+
+
+class FacetMassELL:
+    """Per-step device assembly of a weighted facet mass term into the cell
+    ELL graph: given per-facet-qp weights s [nb, nq],
+
+        vals[i, j] += sum_f sum_q  wl[f,q] s[f,q] phi_i(x_q) phi_j(x_q)
+
+    Used for the directional do-nothing ds-Jacobian 0.5 rho (T.n)+ (u, v) ds
+    of the semi-implicit momentum operator, whose weight follows the lagged
+    transport each step. The scatter-add is O(nb * nl^2) — surface-sized —
+    so a plain XLA scatter is fine here (unlike the volume assembly, which
+    ELLGraph turns into gathers)."""
+
+    def __init__(self, graph: ELLGraph, btab, dtype):
+        phi = np.asarray(btab.phi, dtype=np.float64)  # [f, q, i]
+        wl = np.asarray(btab.wl, dtype=np.float64)  # [f, q]
+        cells = np.asarray(btab.cells)
+        core = np.einsum("fq,fqi,fqj->fqij", wl, phi, phi)
+        self._core = jnp.asarray(core, dtype=dtype)
+        self._dest = jnp.asarray(graph.dest_np[cells].reshape(-1))
+        self._n, self._w = graph.n, graph.width
+
+    def assemble(self, s):
+        """s [nb, nq] -> vals [n, W] (zero outside boundary-cell slots)."""
+        el = jnp.einsum("fqij,fq->fij", self._core, s)
+        flat = jnp.zeros(self._n * self._w, dtype=el.dtype)
+        flat = flat.at[self._dest].add(el.reshape(-1))
+        return flat.reshape(self._n, self._w)
 
 
 def momentum_const_ell(V: FunctionSpace, geom, graph: ELLGraph):

@@ -223,6 +223,26 @@ def skew_convection_lagged_loc(V, geom, Tloc, Uloc, rule_degree=5):
     return loc
 
 
+def conv_lagged_jacobian_loc(V, geom, Tloc, rule_degree=5):
+    """Element Jacobian of skew_convection_lagged_loc wrt the velocity dofs
+    with the transport T FROZEN: component-diagonal SCALAR [nc, nl, nl]
+
+        J[e, i, j] = 0.5 int [ phi_i (T.grad phi_j) - phi_j (T.grad phi_i) ]
+
+    (the antisymmetric `s23` part of conv_jacobian_loc — the t1/t4 reaction
+    blocks vanish because T does not move with the state). This is the whole
+    x-dependent volume operator of the semi-implicit momentum solve, so the
+    assembled-ELL lagged path rebuilds only this scalar tensor once per step."""
+    tab = assembly.tabulation(V, rule_degree)
+    Tq = assembly.values_at_qp(tab, Tloc)  # [e,q,d]
+    wd = tab.w[None, :] * geom.detJ[:, None]
+    phi = jnp.asarray(tab.phi, dtype=Tloc.dtype)
+    dphi = jnp.asarray(tab.dphi, dtype=Tloc.dtype)
+    A = jnp.einsum("eqd,qmk,edk->eqm", Tq, dphi, geom.G)  # (T.grad phi_m)
+    s = jnp.einsum("eq,qi,eqj->eij", wd, phi, A)
+    return 0.5 * (s - jnp.swapaxes(s, 1, 2))
+
+
 def conv_jacobian_loc(V, geom, Wloc, rule_degree=5):
     """Element Jacobian of skew_convection_combined_loc wrt the velocity
     dofs: d(conv_loc[e, i, a]) / d(U[j, b]) -> [nc, nl, nl, d, d]

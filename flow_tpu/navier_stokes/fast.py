@@ -18,6 +18,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..fem import assembly, forms
 from ..fem.spaces import FunctionSpace
@@ -242,6 +243,52 @@ class FastStepper:
             self._mom_mass = jnp.asarray(mass_v, dtype=dtp)
             self._mom_visc1 = jnp.asarray(visc1_v, dtype=dtp)
             self._mom_visc2 = jnp.asarray(visc2_v, dtype=dtp)
+
+        # assembled-ELL LAGGED momentum operator: with frozen transport the
+        # momentum solve's operator is FIXED for the whole step, so one
+        # scalar convection rebuild (forms.conv_lagged_jacobian_loc — the
+        # antisymmetric s23 part only, 4x less data than the Newton block
+        # Jacobian) is amortized over every BiCGStab matvec, each of which
+        # becomes a row-gather ELL apply instead of the quadrature tangent
+        # pipeline (measured 0.75x the tangent apply at 120k DoF). Unlike
+        # the Newton assembled path, the operator here is EXACT: both
+        # ds-term Jacobians are included (the linear stress term folded
+        # into the constant block, the do-nothing term assembled per step
+        # through FacetMassELL), so the single linear solve has identical
+        # semantics to the jax.linearize matrix-free branch.
+        lag_ell_env = _os0.environ.get("FLOW_LAGGED_ELL", "auto")
+        self._lagmom_graph = None
+        # "auto" resolves OFF until the TPU A/B lands (flip here)
+        if self.lagged and not self.winkernel and lag_ell_env == "1":
+            from ..fem.ell import (
+                ELLGraph,
+                FacetMassELL,
+                momentum_const_ell,
+                momentum_bnd_stress_ell_vals,
+            )
+
+            dtp = V.mesh.dtype
+            g = self._mom_graph if self._mom_graph is not None else ELLGraph(V)
+            mass_v, visc1_v, visc2_v = momentum_const_ell(V, self.ctx.geom, g)
+            self._lagmom_graph = g
+            self._lagmom_mass = jnp.asarray(mass_v, dtype=dtp)
+            self._lagmom_visc1 = jnp.asarray(visc1_v, dtype=dtp)
+            visc2B = np.asarray(visc2_v, dtype=np.float64)
+            if self.ctx.btab is not None and self.ctx._ds_stress:
+                visc2B = visc2B - momentum_bnd_stress_ell_vals(
+                    V, self.ctx.geom, self.ctx.btab, g
+                )
+            self._lagmom_visc2 = jnp.asarray(visc2B, dtype=dtp)
+            eye_nw = (
+                np.asarray(g.cols_np) == np.arange(g.n)[:, None]
+            ) & np.asarray(g._valid)
+            dblk = (visc2B * eye_nw[:, :, None, None]).sum(axis=1)
+            self._lagmom_dvisc2 = jnp.asarray(
+                np.einsum("naa->na", dblk), dtype=dtp
+            )
+            self._lagmom_fm = None
+            if self.ctx.btab is not None and self.ctx._ds_dn:
+                self._lagmom_fm = FacetMassELL(g, self.ctx.btab, dtp)
 
         # lane-packed hot path (fem/packed.py): component-major flat state
         # [2n] + 1-D tables; removes the 10-60x TPU tile-padding overhead
@@ -768,6 +815,70 @@ class FastStepper:
                     maxiter=300,
                 )
                 dx = dxp[inv]
+                Ui = x0 + dx
+                rn = res_lag(Ui)
+                nres = jnp.sqrt(jnp.sum(rn * rn))
+                return self._finish_substeps(
+                    Ui, U, P, dt, jnp.array(1), nres, sinfo.iters
+                )
+
+            if self._lagmom_graph is not None:
+                # assembled-ELL operator: scalar part rebuilt once per step
+                # (mass + viscous delta_ab + lagged skew convection + the
+                # do-nothing ds term), constant grad-transpose/stress block
+                # kept separate so nothing block-sized is written per step.
+                # Exact (matches jax.linearize(res_lag) to roundoff), so
+                # solve semantics are identical to the matrix-free branch.
+                g = self._lagmom_graph
+                s = (dt / rho) * w_im
+                conv_el = forms.conv_lagged_jacobian_loc(
+                    ctx.V, ctx.geom, ctx.V.gather(x0), rule_degree=CONV_RULE
+                )
+                scal = (
+                    self._lagmom_mass
+                    + (s * mu) * self._lagmom_visc1
+                    + (s * rho) * g.assemble(conv_el)
+                )
+                if self._lagmom_fm is not None:
+                    tb = ctx.btab.values(x0)
+                    tn = jnp.einsum("bqm,bm->bq", tb, ctx.btab.normals)
+                    scal = scal + (s * 0.5 * rho) * self._lagmom_fm.assemble(
+                        jnp.maximum(tn, 0.0)
+                    )
+                visc2B = self._lagmom_visc2
+                smu = s * mu
+                nv, we, W = g.n_vert, g.w_edge, g.width
+
+                def _av(sc, bl, cols, v):
+                    xg = v[cols]  # [rows, w, d] — scal and block share it
+                    return jnp.einsum(
+                        "nk,nkm->nm", sc, xg
+                    ) + smu * jnp.einsum("nkab,nkb->na", bl, xg)
+
+                def Jv(v):
+                    if 0 < we < W and nv < g.n:
+                        av = jnp.concatenate(
+                            [
+                                _av(scal[:nv], visc2B[:nv], g.cols[:nv], v),
+                                _av(
+                                    scal[nv:, :we],
+                                    visc2B[nv:, :we],
+                                    g.cols[nv:, :we],
+                                    v,
+                                ),
+                            ],
+                            axis=0,
+                        )
+                    else:
+                        av = _av(scal, visc2B, g.cols, v)
+                    return free_u * av + self.mask_u * v
+
+                dex = g.diag(scal)[:, None] + smu * self._lagmom_dvisc2
+                dex = free_u * dex + self.mask_u
+                dx, sinfo = krylov.bicgstab(
+                    Jv, -r0, M=lambda t: t / dex, rtol=self.newton_rtol,
+                    atol=0.05 * self.newton_tol, maxiter=300,
+                )
                 Ui = x0 + dx
                 rn = res_lag(Ui)
                 nres = jnp.sqrt(jnp.sum(rn * rn))

@@ -25,6 +25,16 @@ gate() {
 R=/tmp/r3chain10
 mkdir -p $R
 
+# 0) assembled-ELL lagged momentum A/B (new this chain): exactness is
+#    CPU-pinned (test_lagged_ell_*), so this is wall-clock only. The
+#    baseline arm is chain-6/7's committed numbers under identical knobs
+#    (120k 6.877, 1.9M 0.296 steps/s); only the ELL=1 arm runs.
+gate
+FLOW_LAGGED_ELL=1 BENCH_REFINES=3,5 BENCH_SIZE_TIMEOUT=2400 \
+  timeout 6000 python bench.py \
+  > $R/bench_lagell_35.json 2> $R/bench_lagell_35.err
+tail -1 $R/bench_lagell_35.json
+
 # 1) stage-1 seed (cold perturbation -> saturated limit cycle, ~20 s phys)
 if [ ! -f st1_r3.npz ]; then
   gate
@@ -53,6 +63,15 @@ BENCH_PRESSURE_RTOL=3.0e-4 BENCH_CORRECTION_RTOL=1.0e-4 \
   BENCH_REFINES=3,5 BENCH_SIZE_TIMEOUT=2400 timeout 6000 python bench.py \
   > $R/bench_pc_35.json 2> $R/bench_pc_35.err
 tail -1 $R/bench_pc_35.json
+
+# 3b) cavity3d N=64 (6.7M DoF 3-D): chain-8 ran 7/10 steps at ~0.01
+#     steps/s then hit its 3600 s bound — rerun with 4 measured steps
+gate
+BENCH_MODE=cavity3d BENCH_N=64 BENCH_GRANULAR=1 FLOW_TANGENT_MODE=jvp \
+  FLOW_CELL_CHUNK=131072 BENCH_STEPS=4 BENCH_SIZE_TIMEOUT=5400 \
+  timeout 6600 python bench.py \
+  > $R/cavity3d_N64_s4.json 2> $R/cavity3d_N64_s4.err
+tail -1 $R/cavity3d_N64_s4.json
 
 # 4) winmom bisect: refine-5 smaller windows, refine-4 reduced vmem
 gate

@@ -376,3 +376,85 @@ def test_granular_winkernel_matches_fused(monkeypatch):
     rel = float(jnp.linalg.norm(U1g - U1f) / jnp.linalg.norm(U1f))
     assert rel < 2e-5, rel
     assert stats["newton_iters"] >= 1 and stats["linear_iters"] >= 1
+
+
+def test_lagged_ell_operator_matches_linearize(monkeypatch):
+    # Assembled-ELL lagged momentum operator (FLOW_LAGGED_ELL=1): must equal
+    # the jax.linearize tangent of the affine lagged residual to roundoff on
+    # an OPEN boundary (both ds-term Jacobians live in the operator: the
+    # linear stress fold and the per-step do-nothing facet mass).
+    from flow_tpu.fem import forms
+    from flow_tpu.models.karman import KarmanProblem
+
+    monkeypatch.setenv("FLOW_LAGGED_ELL", "1")
+    prob = KarmanProblem(lcar=0.15)
+    st = FastStepper(
+        prob.V, prob.Q, prob.u_bcs, prob.p_bcs, rho=prob.rho, mu=prob.mu,
+        rotational_form=True, convection="lagged",
+    )
+    assert st._lagmom_graph is not None
+    V, ctx = prob.V, st.ctx
+    rng = np.random.default_rng(7)
+    x0 = jnp.asarray(rng.standard_normal((V.n_dofs, 2)))
+    v = jnp.asarray(rng.standard_normal((V.n_dofs, 2)))
+    U = jnp.asarray(rng.standard_normal((V.n_dofs, 2)))
+    P = jnp.asarray(rng.standard_normal(prob.Q.n_dofs))
+    dt = jnp.asarray(2.0e-2)
+    free = 1.0 - st.mask_u
+
+    def res_lag(x):
+        r = ctx._residual(
+            x, U, None, None, P, st.rho, st.mu, dt, st.theta, transport=x0
+        )
+        return free * r + st.mask_u * (x - st.val_u)
+
+    _, Jv_lin = jax.linearize(res_lag, x0)
+    want = Jv_lin(v)
+
+    g = st._lagmom_graph
+    s = (dt / st.rho) * st.theta[1]
+    conv_el = forms.conv_lagged_jacobian_loc(
+        V, ctx.geom, V.gather(x0), rule_degree=5
+    )
+    scal = (
+        st._lagmom_mass
+        + (s * st.mu) * st._lagmom_visc1
+        + (s * st.rho) * g.assemble(conv_el)
+    )
+    tb = ctx.btab.values(x0)
+    tn = jnp.einsum("bqm,bm->bq", tb, ctx.btab.normals)
+    scal = scal + (s * 0.5 * st.rho) * st._lagmom_fm.assemble(
+        jnp.maximum(tn, 0.0)
+    )
+    xg = v[g.cols]
+    av = jnp.einsum("nk,nkm->nm", scal, xg) + (s * st.mu) * jnp.einsum(
+        "nkab,nkb->na", st._lagmom_visc2, xg
+    )
+    got = free * av + st.mask_u * v
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-11)
+
+
+def test_lagged_ell_step_matches_matrix_free(monkeypatch):
+    # End-to-end: one lagged step through the assembled-ELL branch matches
+    # the matrix-free lagged branch (exact operator -> identical solve
+    # semantics; differences are Krylov roundoff only).
+    from flow_tpu.models.karman import KarmanProblem
+
+    prob = KarmanProblem(lcar=0.15)
+    u0 = project((0.0, 0.0), prob.V)
+    p0 = project(0.0, prob.Q)
+    kw = dict(
+        rho=prob.rho, mu=prob.mu, rotational_form=True, convection="lagged",
+        newton_tol=1e-12,
+    )
+    st_mf = FastStepper(prob.V, prob.Q, prob.u_bcs, prob.p_bcs, **kw)
+    monkeypatch.setenv("FLOW_LAGGED_ELL", "1")
+    st_el = FastStepper(prob.V, prob.Q, prob.u_bcs, prob.p_bcs, **kw)
+    assert st_mf._lagmom_graph is None and st_el._lagmom_graph is not None
+    dt = jnp.asarray(1e-2)
+    U1a, P1a, stats_a = st_mf.step(u0.vector, p0.vector, dt)
+    U1b, P1b, stats_b = st_el.step(u0.vector, p0.vector, dt)
+    np.testing.assert_allclose(np.asarray(U1b), np.asarray(U1a), atol=2e-9)
+    np.testing.assert_allclose(np.asarray(P1b), np.asarray(P1a), atol=2e-8)
+    # exact operator: same iteration counts up to roundoff-level drift
+    assert abs(int(stats_b.linear_iters) - int(stats_a.linear_iters)) <= 2
