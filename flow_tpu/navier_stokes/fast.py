@@ -250,15 +250,22 @@ class FastStepper:
         # antisymmetric s23 part only, 4x less data than the Newton block
         # Jacobian) is amortized over every BiCGStab matvec, each of which
         # becomes a row-gather ELL apply instead of the quadrature tangent
-        # pipeline (measured 0.75x the tangent apply at 120k DoF). Unlike
-        # the Newton assembled path, the operator here is EXACT: both
-        # ds-term Jacobians are included (the linear stress term folded
-        # into the constant block, the do-nothing term assembled per step
-        # through FacetMassELL), so the single linear solve has identical
-        # semantics to the jax.linearize matrix-free branch.
+        # pipeline. Unlike the Newton assembled path, the operator here is
+        # EXACT: both ds-term Jacobians are included (the linear stress
+        # term folded into the constant block, the do-nothing term
+        # assembled per step through FacetMassELL), so the single linear
+        # solve has identical semantics to the matrix-free branch.
+        #
+        # On-chip verdict (r3 chain-10 A/B, real v5e): NEGATIVE — 4.90 vs
+        # 6.88 steps/s at 120k, 0.035 vs 0.296 at 1.9M. TPU gathers are
+        # row-count-bound, and the ELL matvec gathers ~25 neighbor rows
+        # per dof where the quadrature tangent gathers 6 dofs per cell
+        # (~2.7 rows/dof) — the assembled form REREADS the sparsity every
+        # matvec while the quadrature path re-derives it from 9x fewer
+        # gathered rows. Stays opt-in for algorithm studies.
         lag_ell_env = _os0.environ.get("FLOW_LAGGED_ELL", "auto")
         self._lagmom_graph = None
-        # "auto" resolves OFF until the TPU A/B lands (flip here)
+        # "auto" resolves OFF (measured negative on-chip, above)
         if self.lagged and not self.winkernel and lag_ell_env == "1":
             from ..fem.ell import (
                 ELLGraph,
