@@ -136,3 +136,25 @@ def test_diffstep_grad_u0_adjoint_matches_fd():
     h = 1e-6
     fd = (loss_u0(u0 + h * v) - loss_u0(u0 - h * v)) / (2 * h)
     np.testing.assert_allclose(float(jnp.vdot(g, v)), float(fd), rtol=5e-6)
+
+
+def test_diffstep_second_order_ad_matches_fd():
+    # forward-over-reverse through custom_linear_solve: the curvature used
+    # by scripts/adjoint_demo.py's Newton loop
+    _, V, Q, u_bcs = _cavity(6)
+    ds = DiffStepper(V, Q, u_bcs, [], rho=1.0, mu=0.05)
+    u0 = project((0.0, 0.0), V).vector
+    p0 = project(0.0, Q).vector
+    dt = jnp.asarray(1e-2)
+
+    def J(mu):
+        U, P = u0, p0
+        for _ in range(2):
+            U, P = ds.step(U, P, dt, mu=mu)
+        return jnp.sum(U * U)
+
+    g = jax.grad(J)
+    H = float(jax.jacfwd(g)(jnp.asarray(0.05)))
+    h = 1e-5
+    fdH = (float(g(jnp.asarray(0.05 + h))) - float(g(jnp.asarray(0.05 - h)))) / (2 * h)
+    np.testing.assert_allclose(H, fdH, rtol=1e-5)
