@@ -90,6 +90,7 @@ class DiffStepper:
         self.correction_rtol = correction_rtol
         self.maxiter = maxiter
         self.step = jax.jit(self._step_impl)
+        self.rollout = jax.jit(self._rollout_impl, static_argnames=("n_steps",))
 
     # -- solve callbacks (preconditioners are stop_gradient'd: they change
     #    iteration counts, never the solution, so this is exact) ----------
@@ -114,6 +115,23 @@ class DiffStepper:
             return x
 
         return solve
+
+    def _rollout_impl(self, U, P, dt, n_steps, mu=None, rho=None):
+        """n_steps differentiable steps as ONE lax.scan — program size stays
+        constant in n_steps (a Python loop of steps re-traces the whole
+        pipeline per step). Each scan body is jax.checkpoint'ed: the
+        backward pass stores only the per-step (U, P) carries and
+        recomputes everything else, so adjoint memory is
+        O(n_steps x state), independent of solver internals."""
+
+        @jax.checkpoint
+        def body(carry, _):
+            U_, P_ = carry
+            U1, P1 = self._step_impl(U_, P_, dt, mu=mu, rho=rho)
+            return (U1, P1), None
+
+        (U, P), _ = lax.scan(body, (U, P), None, length=n_steps)
+        return U, P
 
     # -- one differentiable projection step ------------------------------
     def _step_impl(self, U, P, dt, mu=None, rho=None, x0=None):

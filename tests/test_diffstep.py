@@ -158,3 +158,28 @@ def test_diffstep_second_order_ad_matches_fd():
     h = 1e-5
     fdH = (float(g(jnp.asarray(0.05 + h))) - float(g(jnp.asarray(0.05 - h)))) / (2 * h)
     np.testing.assert_allclose(H, fdH, rtol=1e-5)
+
+
+def test_diffstep_rollout_matches_loop_and_grad():
+    # lax.scan rollout == Python loop of steps, forward AND gradient
+    _, V, Q, u_bcs = _cavity(6)
+    ds = DiffStepper(V, Q, u_bcs, [], rho=1.0, mu=0.05)
+    u0 = project((0.0, 0.0), V).vector
+    p0 = project(0.0, Q).vector
+    dt = jnp.asarray(1e-2)
+
+    def J_loop(mu):
+        U, P = u0, p0
+        for _ in range(4):
+            U, P = ds.step(U, P, dt, mu=mu)
+        return jnp.sum(U * U)
+
+    def J_roll(mu):
+        U, P = ds.rollout(u0, p0, dt, 4, mu=mu)
+        return jnp.sum(U * U)
+
+    mu0 = jnp.asarray(0.05)
+    np.testing.assert_allclose(float(J_roll(mu0)), float(J_loop(mu0)), rtol=1e-12)
+    np.testing.assert_allclose(
+        float(jax.grad(J_roll)(mu0)), float(jax.grad(J_loop)(mu0)), rtol=1e-9
+    )
