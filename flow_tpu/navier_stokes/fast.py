@@ -263,6 +263,16 @@ class FastStepper:
         # (~2.7 rows/dof) — the assembled form REREADS the sparsity every
         # matvec while the quadrature path re-derives it from 9x fewer
         # gathered rows. Stays opt-in for algorithm studies.
+        # momentum Krylov dispatch: BiCGStab (default) costs 2 matvecs per
+        # iteration; at the calibrated ~10-iteration lagged solves GMRES
+        # costs ~1 matvec/iteration plus an [m+1, N] MXU orthogonalization
+        # (~0.2 ms at 1.9M — trivial next to the ~82 ms matvec), so IF its
+        # iteration count stays <~1.6x BiCGStab's it wins wall-clock on
+        # the dominant substep. Opt-in pending the on-chip A/B.
+        self.mom_solver = _os0.environ.get("FLOW_MOM_SOLVER", "bicgstab")
+        self.gmres_restart = int(_os0.environ.get("FLOW_GMRES_RESTART", "32"))
+        assert self.mom_solver in ("bicgstab", "gmres"), self.mom_solver
+
         lag_ell_env = _os0.environ.get("FLOW_LAGGED_ELL", "auto")
         self._lagmom_graph = None
         # "auto" resolves OFF (measured negative on-chip, above)
@@ -373,6 +383,16 @@ class FastStepper:
         self.run = self._run_hoisted if self.hoist_constants else self._run_jit
         if self.bdf2:
             self.step_bdf2 = jax.jit(self._step_impl_bdf2)
+
+    def _mom_krylov(self, A, b, M, rtol, maxiter=300):
+        """Momentum-solve Krylov dispatch (see mom_solver in __init__)."""
+        atol = 0.05 * self.newton_tol
+        if self.mom_solver == "gmres":
+            return krylov.gmres(
+                A, b, M=M, rtol=rtol, atol=atol, maxiter=maxiter,
+                restart=self.gmres_restart,
+            )
+        return krylov.bicgstab(A, b, M=M, rtol=rtol, atol=atol, maxiter=maxiter)
 
     def _run_hoisted(
         self, U, P, dt0, n_steps, Fq=None, Um1=None, dtp0=None,
@@ -580,10 +600,7 @@ class FastStepper:
 
             r0 = res_lag(x0)
             _, Jv = jax.linearize(res_lag, x0)
-            dx, sinfo = krylov.bicgstab(
-                Jv, -r0, M=M_mom, rtol=self.newton_rtol,
-                atol=0.05 * self.newton_tol, maxiter=300,
-            )
+            dx, sinfo = self._mom_krylov(Jv, -r0, M_mom, self.newton_rtol)
             Uif = x0 + dx
             rn = res_lag(Uif)
             nres = jnp.sqrt(jnp.sum(rn * rn))
@@ -603,10 +620,7 @@ class FastStepper:
 
             else:
                 r, Jv = jax.linearize(res_bc, x)
-            dx, sinfo = krylov.bicgstab(
-                Jv, -r, M=M_mom, rtol=eta,
-                atol=0.05 * self.newton_tol, maxiter=300,
-            )
+            dx, sinfo = self._mom_krylov(Jv, -r, M_mom, eta)
             x = x + dx
             rn = res_bc(x)
             rnorm_new = jnp.sqrt(jnp.sum(rn * rn))
@@ -816,10 +830,8 @@ class FastStepper:
                     return freep * av + maskp * vp
 
                 r0p = r0[permi]
-                dxp, sinfo = krylov.bicgstab(
-                    Jv_p, -r0p, M=lambda t: t / diagp,
-                    rtol=self.newton_rtol, atol=0.05 * self.newton_tol,
-                    maxiter=300,
+                dxp, sinfo = self._mom_krylov(
+                    Jv_p, -r0p, lambda t: t / diagp, self.newton_rtol
                 )
                 dx = dxp[inv]
                 Ui = x0 + dx
@@ -882,9 +894,8 @@ class FastStepper:
 
                 dex = g.diag(scal)[:, None] + smu * self._lagmom_dvisc2
                 dex = free_u * dex + self.mask_u
-                dx, sinfo = krylov.bicgstab(
-                    Jv, -r0, M=lambda t: t / dex, rtol=self.newton_rtol,
-                    atol=0.05 * self.newton_tol, maxiter=300,
+                dx, sinfo = self._mom_krylov(
+                    Jv, -r0, lambda t: t / dex, self.newton_rtol
                 )
                 Ui = x0 + dx
                 rn = res_lag(Ui)
@@ -904,10 +915,7 @@ class FastStepper:
             # the solve IS the step: stop on the Newton target semantics
             # (rtol on |r0| / absolute newton_tol), not the inexact-Newton
             # inner linear_rtol
-            dx, sinfo = krylov.bicgstab(
-                Jv, -r0, M=M_mom, rtol=self.newton_rtol,
-                atol=0.05 * self.newton_tol, maxiter=300,
-            )
+            dx, sinfo = self._mom_krylov(Jv, -r0, M_mom, self.newton_rtol)
             Ui = x0 + dx
             rn = res_lag(Ui)
             nres = jnp.sqrt(jnp.sum(rn * rn))
@@ -968,9 +976,8 @@ class FastStepper:
                     av = av - s * b
                 return freep * av + maskp * vp
 
-            dxp, sinfo = krylov.bicgstab(
-                Jv_p, -r[permi], M=lambda t: t / diagp,
-                rtol=eta, atol=0.05 * self.newton_tol, maxiter=300,
+            dxp, sinfo = self._mom_krylov(
+                Jv_p, -r[permi], lambda t: t / diagp, eta
             )
             x = x + dxp[inv]
             rn = res_bc(x)
@@ -1020,14 +1027,7 @@ class FastStepper:
                 # every matvec)
                 r, Jv = jax.linearize(res_bc, x)
 
-            dx, sinfo = krylov.bicgstab(
-                Jv,
-                -r,
-                M=M_mom,
-                rtol=eta,
-                atol=0.05 * self.newton_tol,
-                maxiter=300,
-            )
+            dx, sinfo = self._mom_krylov(Jv, -r, M_mom, eta)
             x = x + dx
             rn = res_bc(x)
             rnorm_new = jnp.sqrt(jnp.sum(rn * rn))
@@ -1303,9 +1303,8 @@ class FastStepper:
                     av = av - s * b
                 return freep * av + maskp * vp
 
-            dxp, sinfo = krylov.bicgstab(
-                Jv_p, -r[permi], M=lambda t: t / diagp,
-                rtol=self.linear_rtol, atol=0.05 * self.newton_tol,
+            dxp, sinfo = self._mom_krylov(
+                Jv_p, -r[permi], lambda t: t / diagp, self.linear_rtol,
                 maxiter=kry_maxiter,
             )
             x1 = x + dxp[inv]
@@ -1324,9 +1323,8 @@ class FastStepper:
 
         else:
             r, Jv = jax.linearize(res_bc, x)
-        dx, sinfo = krylov.bicgstab(
-            Jv, -r, M=M_mom, rtol=self.linear_rtol,
-            atol=0.05 * self.newton_tol, maxiter=kry_maxiter,
+        dx, sinfo = self._mom_krylov(
+            Jv, -r, M_mom, self.linear_rtol, maxiter=kry_maxiter
         )
         x1 = x + dx
         r1 = res_bc(x1)
@@ -1368,9 +1366,8 @@ class FastStepper:
 
         else:
             r, Jv = jax.linearize(res_bc, x)
-        dx, sinfo = krylov.bicgstab(
-            Jv, -r, M=M_mom, rtol=self.linear_rtol,
-            atol=0.05 * self.newton_tol, maxiter=kry_maxiter,
+        dx, sinfo = self._mom_krylov(
+            Jv, -r, M_mom, self.linear_rtol, maxiter=kry_maxiter
         )
         x1 = x + dx
         r1 = res_bc(x1)

@@ -458,3 +458,26 @@ def test_lagged_ell_step_matches_matrix_free(monkeypatch):
     np.testing.assert_allclose(np.asarray(P1b), np.asarray(P1a), atol=2e-8)
     # exact operator: same iteration counts up to roundoff-level drift
     assert abs(int(stats_b.linear_iters) - int(stats_a.linear_iters)) <= 2
+
+
+def test_gmres_momentum_solver_matches_bicgstab(monkeypatch):
+    # FLOW_MOM_SOLVER=gmres swaps the momentum Krylov; at tight stopping
+    # both must land on the same step (solver choice is not a scheme change)
+    from flow_tpu.models.karman import KarmanProblem
+
+    prob = KarmanProblem(lcar=0.15)
+    u0 = project((0.0, 0.0), prob.V)
+    p0 = project(0.0, prob.Q)
+    kw = dict(
+        rho=prob.rho, mu=prob.mu, rotational_form=True, convection="lagged",
+        newton_tol=1e-12,
+    )
+    st_b = FastStepper(prob.V, prob.Q, prob.u_bcs, prob.p_bcs, **kw)
+    monkeypatch.setenv("FLOW_MOM_SOLVER", "gmres")
+    st_g = FastStepper(prob.V, prob.Q, prob.u_bcs, prob.p_bcs, **kw)
+    assert st_b.mom_solver == "bicgstab" and st_g.mom_solver == "gmres"
+    dt = jnp.asarray(1e-2)
+    U1a, P1a, _ = st_b.step(u0.vector, p0.vector, dt)
+    U1b, P1b, _ = st_g.step(u0.vector, p0.vector, dt)
+    np.testing.assert_allclose(np.asarray(U1b), np.asarray(U1a), atol=2e-9)
+    np.testing.assert_allclose(np.asarray(P1b), np.asarray(P1a), atol=2e-8)
