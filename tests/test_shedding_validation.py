@@ -134,3 +134,27 @@ def test_stage3_shedding_strouhal_drag_lift():
     # saturation: last-quarter amplitude equals settled-half amplitude
     q0 = 3 * len(t) // 4
     assert abs(fy[q0:].max() - fy[k0:].max()) < 0.02 * FORCE_SCALE
+
+
+def test_stage2_pc_stopping_guard():
+    # Physics guard for the pressure/correction stopping candidate
+    # (r3 chain-10): the 148k-DoF limit cycle developed ENTIRELY under
+    # lagged + aggressive pair + BENCH_PRESSURE_RTOL=3e-4 +
+    # BENCH_CORRECTION_RTOL=1e-4 (from-scratch stage-1 seed, 3200 steps,
+    # ~24 periods). Settled-half values recorded 2026-08-19 on real TPU:
+    # St = 0.30013, Cd_max = 3.2502, Cl +0.9881/-0.9909 — identical to
+    # the production-tolerance cycle. Looser pressure/correction stopping
+    # was the round-3 failure class (full-field stopping floors filtered
+    # the Hopf mode); this pin certifies the candidate does not.
+    t, fx, fy = _load("schafer_turek_stage2_pcstop.npz")
+    k0 = len(t) // 2
+    cd = fx[k0:] / FORCE_SCALE
+    cl = fy[k0:] / FORCE_SCALE
+    st = karman.strouhal_number(t[k0:], fy[k0:], diameter=DIAMETER, u_ref=U_REF)
+    assert st is not None
+    assert 0.295 <= st <= 0.305, st
+    assert 3.20 <= cd.max() <= 3.27, cd.max()
+    assert 0.95 <= cl.max() <= 1.03, cl.max()
+    assert -1.03 <= cl.min() <= -0.95, cl.min()
+    q0 = 3 * len(t) // 4
+    assert abs(fy[q0:].max() - fy[k0:].max()) < 0.02 * FORCE_SCALE
