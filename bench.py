@@ -274,6 +274,7 @@ def _run_single(lcar, n_refine, n_steps, with_axes):
         f"newton_iters={np.asarray(tel['newton_iters']).tolist()} "
         f"linear_iters={np.asarray(tel['linear_iters']).tolist()} "
         f"pressure_iters={np.asarray(tel['pressure_iters']).tolist()} "
+        f"correction_iters={np.asarray(tel['correction_iters']).tolist()} "
         f"dt_final={dtf:.3e}",
         file=sys.stderr,
     )
