@@ -40,4 +40,14 @@ FLOW_MOM_SOLVER=gmres BENCH_PRESSURE_RTOL=3.0e-4 BENCH_CORRECTION_RTOL=1.0e-4 \
   > $R/bench_pcgmres_35.json 2> $R/bench_pcgmres_35.err
 tail -1 $R/bench_pcgmres_35.json
 
+# 3) cavity3d N=64 (6.7M DoF 3-D): chain-8 ran 7/10 steps at ~0.01
+#    steps/s then hit its 3600 s bound; chain-10's inserted step was
+#    skipped by the already-running bash — record the point with 4 steps
+gate
+BENCH_MODE=cavity3d BENCH_N=64 BENCH_GRANULAR=1 FLOW_TANGENT_MODE=jvp \
+  FLOW_CELL_CHUNK=131072 BENCH_STEPS=4 BENCH_SIZE_TIMEOUT=5400 \
+  timeout 6600 python bench.py \
+  > $R/cavity3d_N64_s4.json 2> $R/cavity3d_N64_s4.err
+tail -1 $R/cavity3d_N64_s4.json
+
 echo CHAIN11_DONE
