@@ -29,9 +29,12 @@ def main():
     refine = int(os.environ.get("WM_REFINE", "3"))
     S = int(os.environ.get("WM_S", "512"))
     reps = int(os.environ.get("WM_REPS", "20"))
+    # WM_LCAR ladders sizes BETWEEN the integer refines (each refine
+    # quadruples n) — the r5 runtime-fault bisect needs intermediate n
+    lcar = float(os.environ.get("WM_LCAR", "0.07"))
 
     with setup_on_cpu():
-        prob = KarmanProblem(lcar=0.07, n_refine=refine)
+        prob = KarmanProblem(lcar=lcar, n_refine=refine)
         V = prob.V
         geom = assembly.geometry(V.mesh)
         # interpret only for CPU smoke runs (default platform is axon);
