@@ -388,9 +388,12 @@ class FastStepper:
         """Momentum-solve Krylov dispatch (see mom_solver in __init__)."""
         atol = 0.05 * self.newton_tol
         if self.mom_solver == "gmres":
+            # clamp the restart to the iteration budget: the inner Arnoldi
+            # cycle runs up to `restart` matvecs regardless of maxiter, and
+            # granular mode's maxiter IS the watchdog budget per execution
             return krylov.gmres(
                 A, b, M=M, rtol=rtol, atol=atol, maxiter=maxiter,
-                restart=self.gmres_restart,
+                restart=min(self.gmres_restart, maxiter),
             )
         return krylov.bicgstab(A, b, M=M, rtol=rtol, atol=atol, maxiter=maxiter)
 
