@@ -73,6 +73,7 @@ class FastStepper:
         momentum_precond=None,
         packed="auto",
         convection="newton",
+        momentum_solver="bicgstab",
     ):
         # setup work (context diagonals, BC masks, ELL assembly) runs on the
         # host CPU backend — see utils/hostsetup.py
@@ -86,6 +87,7 @@ class FastStepper:
                 pressure_precond, correction_rtol, cfl_target, dt_max,
                 forces_probe, divergence_probe, assembled_jacobian,
                 hoist_constants, momentum_precond, packed, convection,
+                momentum_solver,
             )
 
     def _build_setup(
@@ -95,7 +97,7 @@ class FastStepper:
         pressure_precond, correction_rtol, cfl_target, dt_max,
         forces_probe, divergence_probe, assembled_jacobian,
         hoist_constants=True, momentum_precond=None, packed="auto",
-        convection="newton",
+        convection="newton", momentum_solver="bicgstab",
     ):
         import os as _os0
 
@@ -269,7 +271,7 @@ class FastStepper:
         # (~0.2 ms at 1.9M — trivial next to the ~82 ms matvec), so IF its
         # iteration count stays <~1.6x BiCGStab's it wins wall-clock on
         # the dominant substep. Opt-in pending the on-chip A/B.
-        self.mom_solver = _os0.environ.get("FLOW_MOM_SOLVER", "bicgstab")
+        self.mom_solver = _os0.environ.get("FLOW_MOM_SOLVER", "") or momentum_solver
         self.gmres_restart = int(_os0.environ.get("FLOW_GMRES_RESTART", "32"))
         assert self.mom_solver in ("bicgstab", "gmres"), self.mom_solver
 
