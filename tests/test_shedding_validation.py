@@ -158,3 +158,28 @@ def test_stage2_pc_stopping_guard():
     assert -1.03 <= cl.min() <= -0.95, cl.min()
     q0 = 3 * len(t) // 4
     assert abs(fy[q0:].max() - fy[k0:].max()) < 0.02 * FORCE_SCALE
+
+
+def test_stage2_gmres_momentum_guard():
+    # Physics guard for the GMRES momentum-solver bench default
+    # (r3 chain-13): the 148k-DoF limit cycle developed ENTIRELY under
+    # the full calibrated candidate set — lagged convection + aggressive
+    # newton/linear pair + FLOW_MOM_SOLVER=gmres (from-scratch stage-1
+    # seed, 3200 steps, ~24 periods). At loose stopping the GMRES iterate
+    # differs from BiCGStab's, so the solver swap needs the same physics
+    # certification as every calibrated knob. Settled-half values recorded
+    # 2026-08-19 on real TPU: St = 0.30013, Cd_max = 3.2487,
+    # Cl +0.9890/-0.9864 — identical limit cycle to the production-newton
+    # campaign (St 0.3001, Cd_max 3.2477) and the lagged/pcstop guards.
+    t, fx, fy = _load("schafer_turek_stage2_gmres.npz")
+    k0 = len(t) // 2
+    cd = fx[k0:] / FORCE_SCALE
+    cl = fy[k0:] / FORCE_SCALE
+    st = karman.strouhal_number(t[k0:], fy[k0:], diameter=DIAMETER, u_ref=U_REF)
+    assert st is not None
+    assert 0.295 <= st <= 0.305, st
+    assert 3.20 <= cd.max() <= 3.27, cd.max()
+    assert 0.95 <= cl.max() <= 1.03, cl.max()
+    assert -1.03 <= cl.min() <= -0.95, cl.min()
+    q0 = 3 * len(t) // 4
+    assert abs(fy[q0:].max() - fy[k0:].max()) < 0.02 * FORCE_SCALE
