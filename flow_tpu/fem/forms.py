@@ -186,6 +186,27 @@ def pressure_grad_loc(V: FunctionSpace, Q: FunctionSpace, geom: Geometry, Ploc):
     return jnp.einsum("e,eak,kmi,em->eia", geom.detJ, geom.G, Bref, Ploc)
 
 
+def stiffness_scalar_loc(V: FunctionSpace, geom: Geometry, dtype):
+    """Constant component-diagonal scalar element tensor of the stress form:
+    Kscal[e, i, j] = C[e, k, l] Kref[k, l, i, j] — i.e. the grad(u):grad(v)
+    half of 2 eps(u):eps(v) as a per-cell [nl, nl] matrix (exact, affine
+    geometry). The transpose half couples components and stays factored
+    (sym_grad_transpose_loc); together they reproduce sym_grad_loc."""
+    Kref = jnp.asarray(ref_stiffness(V.degree, assembly._dim(V)), dtype=dtype)
+    return jnp.einsum("ekl,klij->eij", jnp.asarray(geom.C, dtype=dtype), Kref)
+
+
+def sym_grad_transpose_loc(V: FunctionSpace, geom: Geometry, Xloc):
+    """loc[e,i,a] = detJ[e] G[e,a,k] G[e,b,l] Kref[k,l,j,i] X[e,j,b] — the
+    component-coupling grad(u)^T:grad(v) half of the stress form, applied
+    through its factored reference tensor (no per-cell block storage)."""
+    Kref = jnp.asarray(ref_stiffness(V.degree, assembly._dim(V)), dtype=Xloc.dtype)
+    # contraction order keeps every intermediate at [e, small, small]
+    w = jnp.einsum("ebl,ejb->elj", geom.G, Xloc)
+    u = jnp.einsum("klji,elj->eki", Kref, w)
+    return jnp.einsum("e,eak,eki->eia", geom.detJ, geom.G, u)
+
+
 def skew_convection_combined_loc(V, geom, Wloc, rule_degree=5):
     tab = assembly.tabulation(V, rule_degree)
     Wq = assembly.values_at_qp(tab, Wloc)  # [e,q,d]

@@ -309,6 +309,45 @@ class FastStepper:
             if self.ctx.btab is not None and self.ctx._ds_dn:
                 self._lagmom_fm = FacetMassELL(g, self.ctx.btab, dtp)
 
+        # matrix-free ELEMENT-MATRIX apply for the lagged momentum solve
+        # (FLOW_LAGGED_EMA=1): with frozen transport the volume operator
+        # decomposes as SCALAR[e,i,j] x delta_ab (mass + component-viscous
+        # + lagged skew convection) plus the CONSTANT factored
+        # grad-transpose stress coupling, so ONE per-step quadrature build
+        # of the [nc, nl, nl] scalar tensor replaces the per-matvec
+        # quadrature einsum chain (~half the measured matvec at 1.9M DoF,
+        # BENCH_NOTES chain-8: einsum 40.9 of 82 ms) while KEEPING the
+        # nl-dofs-per-cell gather structure that beats assembled-ELL on
+        # TPU (gathers are row-count-bound; dof-graph ELL rereads ~25
+        # neighbor rows/dof — chain-10 negative result). Stored flat
+        # [nc, nl*nl]: the [nc,nl,nl] layout tile-pads ~21x on TPU
+        # (round-3 padding discovery).
+        ema_env = _os0.environ.get("FLOW_LAGGED_EMA", "auto")
+        self._lagged_ema = (
+            self.lagged
+            and not self.winkernel
+            and self._lagmom_graph is None
+            and ema_env == "1"
+        )
+        if self._lagged_ema:
+            from ..utils.hostsetup import setup_on_cpu
+
+            dtp = V.mesh.dtype
+            with setup_on_cpu():
+                ks = np.asarray(
+                    forms.stiffness_scalar_loc(V, self.ctx.geom, dtp)
+                )
+            nlv = ks.shape[1]
+            self._ema_nl = nlv
+            self._ema_kscal = jnp.asarray(
+                ks.reshape(ks.shape[0], nlv * nlv), dtype=dtp
+            )
+            Mref = np.asarray(
+                assembly.ref_mass(V.degree, assembly._dim(V)),
+                dtype=np.float64,
+            )
+            self._ema_mref = jnp.asarray(Mref.reshape(-1), dtype=dtp)
+
         # lane-packed hot path (fem/packed.py): component-major flat state
         # [2n] + 1-D tables; removes the 10-60x TPU tile-padding overhead
         # measured on the [n,2]/[nc,small] layouts (BENCH_NOTES round 3).
@@ -480,6 +519,76 @@ class FastStepper:
         rowpos = np.arange(len(vv_s)) - starts[vv_s]
         tabv[vv_s, rowpos] = ee_s
         self._vp_v2e = jnp.asarray(tabv)
+
+    def _ema_Jv(self, x0, dt, free_u):
+        """Element-matrix tangent of the LAGGED momentum residual at frozen
+        transport x0 (FLOW_LAGGED_EMA=1). The volume operator decomposes as
+        SCALAR[e,i,j] x delta_ab — mass + component-viscous + lagged skew
+        convection, built ONCE here by quadrature and stored flat
+        [nc, nl*nl] (the [nc,nl,nl] layout tile-pads ~21x on TPU) — plus
+        the constant factored grad-transpose stress coupling and the
+        O(surface) ds tangents. Each Krylov matvec is then one gather +
+        nl small contractions + one dof-sum: the per-matvec quadrature
+        einsum chain (measured ~half the 82 ms matvec at 1.9M DoF) is paid
+        once per solve instead of once per matvec. Exactness vs
+        jax.linearize pinned in tests/test_ema.py."""
+        ctx = self.ctx
+        rho, mu = self.rho, self.mu
+        nl = self._ema_nl
+        s = (dt / rho) * self.theta[1]
+        conv_s = forms.conv_lagged_jacobian_loc(
+            ctx.V, ctx.geom, ctx.V.gather(x0), rule_degree=CONV_RULE
+        )
+        nc = conv_s.shape[0]
+        S = (
+            ctx.geom.detJ[:, None] * self._ema_mref[None, :]
+            + (s * mu) * self._ema_kscal
+            + (s * rho) * conv_s.reshape(nc, nl * nl)
+        )
+        bt = ctx.btab
+        tnp_ = None
+        if bt is not None and ctx._ds_dn:
+            tb = bt.values(x0)
+            tn = jnp.einsum("bqm,bm->bq", tb, bt.normals)
+            tnp_ = jnp.maximum(tn, 0.0)
+
+        def bnd_t(v):
+            # tangent of the x-dependent ds-terms (stress linear,
+            # do-nothing with frozen transport)
+            if bt is None:
+                return None
+            val = None
+            if ctx._ds_stress:
+                gw = bt.grads(v, ctx.geom)
+                val = mu * jnp.einsum("bqma,bm->bqa", gw, bt.normals)
+            if tnp_ is not None:
+                t = -0.5 * rho * tnp_[:, :, None] * bt.values(v)
+                val = t if val is None else val + t
+            if val is None:
+                return None
+            return bt.integrate_rhs(val)
+
+        def Jv(v):
+            vloc = ctx.V.gather(v)
+            loc = jnp.stack(
+                [
+                    jnp.einsum(
+                        "ej,eja->ea", S[:, i * nl:(i + 1) * nl], vloc
+                    )
+                    for i in range(nl)
+                ],
+                axis=1,
+            )
+            loc = loc + (s * mu) * forms.sym_grad_transpose_loc(
+                ctx.V, ctx.geom, vloc
+            )
+            av = ctx.V.dof_sum(loc)
+            b = bnd_t(v)
+            if b is not None:
+                av = av - s * b
+            return free_u * av + self.mask_u * v
+
+        return Jv
 
     def _vertex_precond_M(self, U, dt, free, diag):
         """Lagged-diagonal vertex-correction preconditioner at (U, dt):
@@ -909,6 +1018,21 @@ class FastStepper:
                     Ui, U, P, dt, jnp.array(1), nres, sinfo.iters
                 )
 
+            if self._lagged_ema:
+                # element-matrix apply: one per-step scalar tensor build
+                # (quadrature, amortized over every Krylov matvec) — see
+                # _ema_Jv; exactness pinned in tests/test_ema.py
+                Jv = self._ema_Jv(x0, dt, free_u)
+                dx, sinfo = self._mom_krylov(
+                    Jv, -r0, M_mom, self.newton_rtol
+                )
+                Ui = x0 + dx
+                rn = res_lag(Ui)
+                nres = jnp.sqrt(jnp.sum(rn * rn))
+                return self._finish_substeps(
+                    Ui, U, P, dt, jnp.array(1), nres, sinfo.iters
+                )
+
             if self.tangent_mode == "jvp":
                 # no linearize storage (the [nc,nq,...] quadrature
                 # intermediates OOM large 3-D problems); ~2x tangent cost
@@ -1315,7 +1439,13 @@ class FastStepper:
             x1 = x + dxp[inv]
             r1 = res_bc(x1)
             return x1, jnp.sqrt(jnp.sum(r1 * r1)), sinfo.iters
-        if self.tangent_mode == "jvp":
+        if self._lagged_ema and T is not None:
+            # element-matrix tangent (see _ema_Jv): rebuilt per granular
+            # sweep (transport is fixed for the whole step, so the extra
+            # quadrature builds across sweeps are redundant but exact)
+            r = res_bc(x)
+            Jv = self._ema_Jv(T, dt, free_u)
+        elif self.tangent_mode == "jvp":
             # huge-size mode: linearize STORES the [nc, nq, ...]
             # quadrature intermediates, which TPU tile-padding inflates
             # 20-60x (measured OOM at 7.6M DoF: 29.4G demanded of 15.75G

@@ -1,0 +1,166 @@
+# Element-matrix apply (EMA) for the lagged momentum solve
+# (FLOW_LAGGED_EMA=1, navier_stokes/fast.py): the volume operator with
+# frozen transport decomposes as SCALAR[e,i,j] x delta_ab (mass +
+# component-viscous + lagged skew convection) plus the constant factored
+# grad-transpose stress coupling. These tests pin (a) that decomposition
+# against the jax.linearize tangent of the affine lagged residual on an
+# OPEN boundary (both ds-term tangents included), and (b) the end-to-end
+# EMA step against the matrix-free lagged branch.
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flow_tpu.fem import forms
+from flow_tpu.fem.interpolate import project
+from flow_tpu.models.karman import KarmanProblem
+from flow_tpu.navier_stokes.fast import FastStepper
+
+
+def test_lagged_ema_operator_matches_linearize(monkeypatch):
+    # the scalar+factored decomposition, rebuilt here from the public
+    # forms pieces exactly as the fast.py branch builds it, must equal
+    # the jax.linearize tangent of the lagged residual to roundoff
+    monkeypatch.setenv("FLOW_LAGGED_EMA", "1")
+    prob = KarmanProblem(lcar=0.15)
+    st = FastStepper(
+        prob.V, prob.Q, prob.u_bcs, prob.p_bcs, rho=prob.rho, mu=prob.mu,
+        rotational_form=True, convection="lagged",
+    )
+    assert st._lagged_ema
+    V, ctx = prob.V, st.ctx
+    rng = np.random.default_rng(7)
+    x0 = jnp.asarray(rng.standard_normal((V.n_dofs, 2)))
+    v = jnp.asarray(rng.standard_normal((V.n_dofs, 2)))
+    U = jnp.asarray(rng.standard_normal((V.n_dofs, 2)))
+    P = jnp.asarray(rng.standard_normal(prob.Q.n_dofs))
+    dt = jnp.asarray(2.0e-2)
+    free = 1.0 - st.mask_u
+
+    def res_lag(x):
+        r = ctx._residual(
+            x, U, None, None, P, st.rho, st.mu, dt, st.theta, transport=x0
+        )
+        return free * r + st.mask_u * (x - st.val_u)
+
+    _, Jv_lin = jax.linearize(res_lag, x0)
+    want = Jv_lin(v)
+
+    nl = st._ema_nl
+    s = (dt / st.rho) * st.theta[1]
+    conv_s = forms.conv_lagged_jacobian_loc(
+        V, ctx.geom, V.gather(x0), rule_degree=5
+    )
+    nc = conv_s.shape[0]
+    S = (
+        ctx.geom.detJ[:, None] * st._ema_mref[None, :]
+        + (s * st.mu) * st._ema_kscal
+        + (s * st.rho) * conv_s.reshape(nc, nl * nl)
+    )
+    vloc = V.gather(v)
+    loc = jnp.stack(
+        [
+            jnp.einsum("ej,eja->ea", S[:, i * nl:(i + 1) * nl], vloc)
+            for i in range(nl)
+        ],
+        axis=1,
+    )
+    loc = loc + (s * st.mu) * forms.sym_grad_transpose_loc(V, ctx.geom, vloc)
+    av = V.dof_sum(loc)
+    # ds tangents: stress (linear) + do-nothing with frozen transport
+    bt = ctx.btab
+    tb = bt.values(x0)
+    tnp_ = jnp.maximum(jnp.einsum("bqm,bm->bq", tb, bt.normals), 0.0)
+    gw = bt.grads(v, ctx.geom)
+    val = st.mu * jnp.einsum("bqma,bm->bqa", gw, bt.normals)
+    val = val - 0.5 * st.rho * tnp_[:, :, None] * bt.values(v)
+    av = av - s * bt.integrate_rhs(val)
+    got = free * av + st.mask_u * v
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-11)
+
+
+def test_scalar_plus_transpose_equals_sym_grad():
+    # stiffness_scalar_loc + sym_grad_transpose_loc == sym_grad_loc
+    prob = KarmanProblem(lcar=0.2)
+    V, geom = prob.V, prob.geom if hasattr(prob, "geom") else None
+    from flow_tpu.fem.assembly import Geometry
+
+    geom = Geometry(V.mesh)
+    rng = np.random.default_rng(3)
+    Uloc = jnp.asarray(rng.standard_normal((V.mesh.cells.shape[0], 6, 2)))
+    mu = 0.37
+    want = forms.sym_grad_loc(V, geom, Uloc, mu)
+    ks = forms.stiffness_scalar_loc(V, geom, Uloc.dtype)
+    got = mu * (
+        jnp.einsum("eij,eja->eia", ks, Uloc)
+        + forms.sym_grad_transpose_loc(V, geom, Uloc)
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-12)
+
+
+def test_lagged_ema_step_matches_matrix_free(monkeypatch):
+    # end-to-end: one lagged step through the EMA branch matches the
+    # matrix-free (jvp/linearize) lagged branch within Krylov roundoff
+    prob = KarmanProblem(lcar=0.15)
+    u0 = project((0.0, 0.0), prob.V)
+    p0 = project(0.0, prob.Q)
+    kw = dict(
+        rho=prob.rho, mu=prob.mu, rotational_form=True, convection="lagged",
+        newton_tol=1e-12,
+    )
+    st_mf = FastStepper(prob.V, prob.Q, prob.u_bcs, prob.p_bcs, **kw)
+    monkeypatch.setenv("FLOW_LAGGED_EMA", "1")
+    st_em = FastStepper(prob.V, prob.Q, prob.u_bcs, prob.p_bcs, **kw)
+    assert not st_mf._lagged_ema and st_em._lagged_ema
+    dt = jnp.asarray(1e-2)
+    U1a, P1a, stats_a = st_mf.step(u0.vector, p0.vector, dt)
+    U1b, P1b, stats_b = st_em.step(u0.vector, p0.vector, dt)
+    np.testing.assert_allclose(np.asarray(U1b), np.asarray(U1a), atol=2e-9)
+    np.testing.assert_allclose(np.asarray(P1b), np.asarray(P1a), atol=2e-8)
+    # exact operator: same iteration counts up to roundoff-level drift
+    assert abs(int(stats_b.linear_iters) - int(stats_a.linear_iters)) <= 2
+
+
+def test_lagged_ema_step_matches_matrix_free_3d(monkeypatch):
+    # dimension-generic: P2 tets (nl=10, [nc,100] scalar tensor) through
+    # the 3-D lid cavity — the cavity3d bench path is lagged too
+    from flow_tpu.models.cavity3d import Cavity3DProblem
+
+    prob = Cavity3DProblem(n=3)
+    kw = dict(
+        rho=prob.rho, mu=prob.mu, rotational_form=True, convection="lagged",
+        newton_tol=1e-12,
+    )
+    st_mf = FastStepper(prob.V, prob.Q, prob.u_bcs, prob.p_bcs, **kw)
+    monkeypatch.setenv("FLOW_LAGGED_EMA", "1")
+    st_em = FastStepper(prob.V, prob.Q, prob.u_bcs, prob.p_bcs, **kw)
+    assert st_em._lagged_ema and st_em._ema_nl == 10
+    U, P = prob.V.zeros(), prob.Q.zeros()
+    dt = jnp.asarray(1e-2)
+    # a couple of ramp steps so the transport field is nontrivial
+    U1a, P1a, _ = st_mf.step(U, P, dt)
+    U2a, P2a, stats_a = st_mf.step(U1a, P1a, dt)
+    U1b, P1b, _ = st_em.step(U, P, dt)
+    U2b, P2b, stats_b = st_em.step(U1b, P1b, dt)
+    np.testing.assert_allclose(np.asarray(U2b), np.asarray(U2a), atol=2e-9)
+    np.testing.assert_allclose(np.asarray(P2b), np.asarray(P2a), atol=2e-8)
+
+
+def test_lagged_ema_granular_matches_fused(monkeypatch):
+    # the granular (watchdog-segmented) path rebuilds the EMA tangent per
+    # Newton sweep at the SAME frozen transport — segmented Krylov must
+    # converge the same affine solve as the fused EMA branch
+    monkeypatch.setenv("FLOW_LAGGED_EMA", "1")
+    prob = KarmanProblem(lcar=0.15)
+    u0 = project((0.0, 0.0), prob.V)
+    p0 = project(0.0, prob.Q)
+    st = FastStepper(
+        prob.V, prob.Q, prob.u_bcs, prob.p_bcs, rho=prob.rho, mu=prob.mu,
+        rotational_form=True, convection="lagged", newton_tol=1e-12,
+    )
+    assert st._lagged_ema
+    dt = jnp.asarray(1e-2)
+    U1f, P1f, _ = st.step(u0.vector, p0.vector, dt)
+    U1g, P1g, stats = st.step_granular(u0.vector, p0.vector, dt, kry_maxiter=5)
+    np.testing.assert_allclose(np.asarray(U1g), np.asarray(U1f), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(P1g), np.asarray(P1f), atol=1e-8)
+    assert stats["newton_iters"] >= 1
