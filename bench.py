@@ -119,8 +119,12 @@ def _build(lcar, n_refine):
         dt_max=1.0,
     )
     if n_refine > 0:
+        # BENCH_MG_DEGREE: Chebyshev smoother degree per pre/post smooth —
+        # the V-cycle cost knob (fine-level ELL applies per cycle scale
+        # with it; pressure CG iteration count may grow as it shrinks)
         hier = P1Hierarchy(
-            prob.mesh_hierarchy, bc_mask=stepper.mask_p, smoother_degree=3
+            prob.mesh_hierarchy, bc_mask=stepper.mask_p,
+            smoother_degree=int(os.environ.get("BENCH_MG_DEGREE", "3")),
         )
         stepper.pressure_precond = hier.v_cycle
     return prob, stepper

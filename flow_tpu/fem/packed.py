@@ -377,6 +377,109 @@ class PackedContext:
         return self.dof_sum_V2(loc)
 
     # ------------------------------------------------------------------
+    # element-matrix apply (EMA) for the lagged momentum solve: the
+    # x-dependent volume operator with frozen transport is SCALAR per
+    # component — S[i][j] (x) delta_ab — plus the constant grad-transpose
+    # stress coupling. These builders produce S as nlV x nlV lists of
+    # [nc] lane vectors (pad-free), so each Krylov matvec is gathers +
+    # nl^2 fused multiply-adds + dof-sum instead of the full quadrature
+    # chain. Exactness pinned in tests/test_ema.py.
+    # ------------------------------------------------------------------
+    def stiffness_scalar_pairs(self):
+        """Kscal[i][j] = C_kl Kref[k,l,i,j] as [nc] vectors (constant;
+        the grad:grad half of the stress form; symmetric in (i,j))."""
+        out = []
+        for i in range(self.nlV):
+            row = []
+            for j in range(self.nlV):
+                s = None
+                for k in range(2):
+                    for l in range(2):
+                        w = self.Kref[k, l, i, j]
+                        if w == 0.0:
+                            continue
+                        t = w * self.C[k][l]
+                        s = t if s is None else s + t
+                row.append(
+                    s if s is not None else jnp.zeros_like(self.detJ)
+                )
+            out.append(row)
+        return out
+
+    def lagged_scalar_tensor(self, Tl, alpha_mass, c_visc, c_conv, kscal):
+        """Per-step scalar element tensor S[i][j] ([nc] vectors):
+        alpha_mass * detJ * Mref + c_visc * Kscal
+        + c_conv * 0.5 int [phi_i (T.grad phi_j) - phi_j (T.grad phi_i)].
+        The convection part is antisymmetric: each (i<j) pair is built
+        once per quadrature point."""
+        S = [[None] * self.nlV for _ in range(self.nlV)]
+        for i in range(self.nlV):
+            for j in range(self.nlV):
+                s = alpha_mass * self.Mref[i, j] * self.detJ
+                s = s + c_visc * kscal[i][j]
+                S[i][j] = s
+        phi, dphi, w = self.cq_phi, self.cq_dphi, self.cq_w
+        for q in range(self.nq):
+            wdq = (w[q] * 0.5 * c_conv) * self.detJ
+            Tq = []
+            for d in range(2):
+                st = None
+                for m in range(self.nlV):
+                    p = phi[q, m]
+                    if p == 0.0:
+                        continue
+                    t = p * Tl[d][m]
+                    st = t if st is None else st + t
+                Tq.append(st)
+            tg = []
+            for j in range(self.nlV):
+                g0 = self.G[0][0] * dphi[q, j, 0] + self.G[0][1] * dphi[q, j, 1]
+                g1 = self.G[1][0] * dphi[q, j, 0] + self.G[1][1] * dphi[q, j, 1]
+                tg.append(Tq[0] * g0 + Tq[1] * g1)
+            for i in range(self.nlV):
+                for j in range(i + 1, self.nlV):
+                    c = wdq * (phi[q, i] * tg[j] - phi[q, j] * tg[i])
+                    S[i][j] = S[i][j] + c
+                    S[j][i] = S[j][i] - c
+        return S
+
+    def ema_scalar_apply(self, loc, S, Vl):
+        """loc[a][i] += sum_j S[i][j] * Vl[a][j]."""
+        for a in range(2):
+            for i in range(self.nlV):
+                s = None
+                for j in range(self.nlV):
+                    t = S[i][j] * Vl[a][j]
+                    s = t if s is None else s + t
+                loc[a][i] = loc[a][i] + s
+        return loc
+
+    def sym_grad_transpose_loc_acc(self, loc, Ul, mu):
+        """loc[a][i] += mu * detJ G_ak G_bl Kref[k,l,j,i] U_b[j] — the
+        component-coupling half of sym_grad_loc_acc alone (the grad:grad
+        half lives in the EMA scalar tensor)."""
+        Kref = self.Kref
+        for a in range(2):
+            for i in range(self.nlV):
+                s = None
+                for b in range(2):
+                    for k in range(2):
+                        for l in range(2):
+                            cj = None
+                            for j in range(self.nlV):
+                                w = Kref[k, l, j, i]
+                                if w == 0.0:
+                                    continue
+                                t = w * Ul[b][j]
+                                cj = t if cj is None else cj + t
+                            if cj is None:
+                                continue
+                            t = self.detJ * ((self.G[a][k] * self.G[b][l]) * cj)
+                            s = t if s is None else s + t
+                loc[a][i] = loc[a][i] + mu * s
+        return loc
+
+    # ------------------------------------------------------------------
     # pressure-step pieces
     # ------------------------------------------------------------------
     def div_rhs(self, Uf):

@@ -329,24 +329,6 @@ class FastStepper:
             and self._lagmom_graph is None
             and ema_env == "1"
         )
-        if self._lagged_ema:
-            from ..utils.hostsetup import setup_on_cpu
-
-            dtp = V.mesh.dtype
-            with setup_on_cpu():
-                ks = np.asarray(
-                    forms.stiffness_scalar_loc(V, self.ctx.geom, dtp)
-                )
-            nlv = ks.shape[1]
-            self._ema_nl = nlv
-            self._ema_kscal = jnp.asarray(
-                ks.reshape(ks.shape[0], nlv * nlv), dtype=dtp
-            )
-            Mref = np.asarray(
-                assembly.ref_mass(V.degree, assembly._dim(V)),
-                dtype=np.float64,
-            )
-            self._ema_mref = jnp.asarray(Mref.reshape(-1), dtype=dtp)
 
         # lane-packed hot path (fem/packed.py): component-major flat state
         # [2n] + 1-D tables; removes the 10-60x TPU tile-padding overhead
@@ -388,6 +370,32 @@ class FastStepper:
             self.val_uf = self.pctx.pack(self.val_u)
             self.mass_diag_f = self.pctx.pack(self.ctx.mass_diag_V)
             self.stiff_diag_f = self.pctx.pack(self.ctx.stiff_diag_V)
+            if self._lagged_ema:
+                # packed EMA: constant grad:grad scalar pairs as pad-free
+                # [nc] lane vectors (the packed analog of _ema_kscal)
+                from ..utils.hostsetup import setup_on_cpu
+
+                with setup_on_cpu():
+                    self._ema_kscal_pk = self.pctx.stiffness_scalar_pairs()
+        if self._lagged_ema and not self.packed:
+            # dense-layout EMA tables (flat [nc, nl*nl]; see _ema_Jv)
+            from ..utils.hostsetup import setup_on_cpu
+
+            dtp = V.mesh.dtype
+            with setup_on_cpu():
+                ks = np.asarray(
+                    forms.stiffness_scalar_loc(V, self.ctx.geom, dtp)
+                )
+            nlv = ks.shape[1]
+            self._ema_nl = nlv
+            self._ema_kscal = jnp.asarray(
+                ks.reshape(ks.shape[0], nlv * nlv), dtype=dtp
+            )
+            Mref = np.asarray(
+                assembly.ref_mass(V.degree, assembly._dim(V)),
+                dtype=np.float64,
+            )
+            self._ema_mref = jnp.asarray(Mref.reshape(-1), dtype=dtp)
 
         # vertex-correction momentum preconditioner (momentum_precond=
         # "vertex"): additive two-level with a diagonal-only coarse solve,
@@ -590,6 +598,41 @@ class FastStepper:
 
         return Jv
 
+    def _ema_Jv_pk(self, x0f, dt, free):
+        """Packed-layout EMA lagged tangent (see _ema_Jv): flat [2n]
+        states, scalar tensor S as nlV x nlV pad-free [nc] lane vectors
+        (fem/packed.py lagged_scalar_tensor). This is the >=3M-DoF memory
+        layout, so the 7.6M/10M momentum solves get the same
+        one-quadrature-build-per-solve amortization."""
+        pc, ctx = self.pctx, self.ctx
+        rho, mu = self.rho, self.mu
+        s = (dt / rho) * self.theta[1]
+        T = pc.comps(x0f)
+        Tl = [pc.gatherV(T[0]), pc.gatherV(T[1])]
+        S = pc.lagged_scalar_tensor(
+            Tl, 1.0, s * mu, s * rho, self._ema_kscal_pk
+        )
+        zQ = jnp.zeros(self.Q.n_dofs, dtype=x0f.dtype)
+
+        def Jv(vf):
+            v = pc.comps(vf)
+            Vl = [pc.gatherV(v[0]), pc.gatherV(v[1])]
+            loc = pc._zero_loc(vf)
+            loc = pc.ema_scalar_apply(loc, S, Vl)
+            loc = pc.sym_grad_transpose_loc_acc(loc, Vl, mu=s * mu)
+            av = pc.dof_sum_V2(loc)
+            if ctx.btab is not None and (ctx._ds_stress or ctx._ds_dn):
+                # Pf = 0 makes boundary_rhs exactly the ds tangent
+                # (stress linear; do-nothing with frozen transport)
+                b = pc.boundary_rhs(
+                    ctx.btab, ctx.btabQ, vf, zQ, rho, mu,
+                    ds_stress=ctx._ds_stress, ds_dn=ctx._ds_dn, Tf=x0f,
+                )
+                av = av - s * b
+            return free * av + self.mask_uf * vf
+
+        return Jv
+
     def _vertex_precond_M(self, U, dt, free, diag):
         """Lagged-diagonal vertex-correction preconditioner at (U, dt):
         one extra quadrature pass per STEP; each application is two small
@@ -713,7 +756,10 @@ class FastStepper:
                 return free * r + self.mask_uf * (x - self.val_uf)
 
             r0 = res_lag(x0)
-            _, Jv = jax.linearize(res_lag, x0)
+            if self._lagged_ema:
+                Jv = self._ema_Jv_pk(x0, dt, free)
+            else:
+                _, Jv = jax.linearize(res_lag, x0)
             dx, sinfo = self._mom_krylov(Jv, -r0, M_mom, self.newton_rtol)
             Uif = x0 + dx
             rn = res_lag(Uif)
@@ -1493,7 +1539,11 @@ class FastStepper:
             M_mom = self._vertex_precond_M(Uf, dt, free, diag)
         else:
             M_mom = lambda t: t / diag
-        if self.tangent_mode == "jvp":
+        if self._lagged_ema and Tf is not None:
+            # packed element-matrix tangent (see _ema_Jv_pk)
+            r = res_bc(x)
+            Jv = self._ema_Jv_pk(Tf, dt, free)
+        elif self.tangent_mode == "jvp":
             r = res_bc(x)
 
             def Jv(v):

@@ -145,6 +145,36 @@ def test_lagged_ema_step_matches_matrix_free_3d(monkeypatch):
     np.testing.assert_allclose(np.asarray(P2b), np.asarray(P2a), atol=2e-8)
 
 
+def test_lagged_ema_packed_matches_dense(monkeypatch):
+    # packed-layout EMA (the >=3M-DoF memory path, flat [2n] state +
+    # [nc]-lane-vector scalar tensor): fused and granular packed steps
+    # must match the dense EMA step within Krylov roundoff
+    monkeypatch.setenv("FLOW_LAGGED_EMA", "1")
+    prob = KarmanProblem(lcar=0.15)
+    u0 = project((0.0, 0.0), prob.V)
+    p0 = project(0.0, prob.Q)
+    kw = dict(
+        rho=prob.rho, mu=prob.mu, rotational_form=True, convection="lagged",
+        newton_tol=1e-12,
+    )
+    st_d = FastStepper(prob.V, prob.Q, prob.u_bcs, prob.p_bcs,
+                       packed=False, **kw)
+    st_p = FastStepper(prob.V, prob.Q, prob.u_bcs, prob.p_bcs,
+                       packed=True, **kw)
+    assert st_d._lagged_ema and st_p._lagged_ema and st_p.packed
+    dt = jnp.asarray(1e-2)
+    U1a, P1a, _ = st_d.step(u0.vector, p0.vector, dt)
+    U1b, P1b, _ = st_p.step(u0.vector, p0.vector, dt)
+    np.testing.assert_allclose(np.asarray(U1b), np.asarray(U1a), atol=2e-9)
+    np.testing.assert_allclose(np.asarray(P1b), np.asarray(P1a), atol=2e-8)
+    U1g, P1g, stats = st_p.step_granular(
+        u0.vector, p0.vector, dt, kry_maxiter=5
+    )
+    np.testing.assert_allclose(np.asarray(U1g), np.asarray(U1a), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(P1g), np.asarray(P1a), atol=1e-8)
+    assert stats["newton_iters"] >= 1
+
+
 def test_lagged_ema_granular_matches_fused(monkeypatch):
     # the granular (watchdog-segmented) path rebuilds the EMA tangent per
     # Newton sweep at the SAME frozen transport — segmented Krylov must
