@@ -762,8 +762,10 @@ class FastStepper:
                 _, Jv = jax.linearize(res_lag, x0)
             dx, sinfo = self._mom_krylov(Jv, -r0, M_mom, self.newton_rtol)
             Uif = x0 + dx
-            rn = res_lag(Uif)
-            nres = jnp.sqrt(jnp.sum(rn * rn))
+            # affine residual: res_lag(x0 + dx) = r0 + J dx, which is
+            # exactly the Krylov solver's tracked residual — no extra
+            # residual evaluation for telemetry
+            nres = sinfo.resnorm
             P1, piters = self._pressure_solve_pk(Uif, Pf, dt)
             U1f, citers = self._correction_pk(Uif, P1, Pf, dt)
             return U1f, P1, StepStats(
@@ -995,8 +997,7 @@ class FastStepper:
                 )
                 dx = dxp[inv]
                 Ui = x0 + dx
-                rn = res_lag(Ui)
-                nres = jnp.sqrt(jnp.sum(rn * rn))
+                nres = sinfo.resnorm  # affine: r0 + J dx = Krylov residual
                 return self._finish_substeps(
                     Ui, U, P, dt, jnp.array(1), nres, sinfo.iters
                 )
@@ -1058,8 +1059,7 @@ class FastStepper:
                     Jv, -r0, lambda t: t / dex, self.newton_rtol
                 )
                 Ui = x0 + dx
-                rn = res_lag(Ui)
-                nres = jnp.sqrt(jnp.sum(rn * rn))
+                nres = sinfo.resnorm  # affine: r0 + J dx = Krylov residual
                 return self._finish_substeps(
                     Ui, U, P, dt, jnp.array(1), nres, sinfo.iters
                 )
@@ -1073,8 +1073,7 @@ class FastStepper:
                     Jv, -r0, M_mom, self.newton_rtol
                 )
                 Ui = x0 + dx
-                rn = res_lag(Ui)
-                nres = jnp.sqrt(jnp.sum(rn * rn))
+                nres = sinfo.resnorm  # affine: r0 + J dx = Krylov residual
                 return self._finish_substeps(
                     Ui, U, P, dt, jnp.array(1), nres, sinfo.iters
                 )
@@ -1092,8 +1091,7 @@ class FastStepper:
             # inner linear_rtol
             dx, sinfo = self._mom_krylov(Jv, -r0, M_mom, self.newton_rtol)
             Ui = x0 + dx
-            rn = res_lag(Ui)
-            nres = jnp.sqrt(jnp.sum(rn * rn))
+            nres = sinfo.resnorm  # affine: r0 + J dx = Krylov residual
             niters = jnp.array(1)
             lin_iters = sinfo.iters
             return self._finish_substeps(Ui, U, P, dt, niters, nres, lin_iters)
