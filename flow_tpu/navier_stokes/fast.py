@@ -322,12 +322,17 @@ class FastStepper:
         # neighbor rows/dof — chain-10 negative result). Stored flat
         # [nc, nl*nl]: the [nc,nl,nl] layout tile-pads ~21x on TPU
         # (round-3 padding discovery).
+        # Default ON for lagged solves: the swap is exact
+        # (tests/test_ema.py pins vs jax.linearize) and measured
+        # +15%/+6%/+13% steps/s at 120k/1.9M/cavity3d-860k on the real
+        # chip (BENCH_NOTES chain-16). FLOW_LAGGED_EMA=0 restores the
+        # per-matvec quadrature chain.
         ema_env = _os0.environ.get("FLOW_LAGGED_EMA", "auto")
         self._lagged_ema = (
             self.lagged
             and not self.winkernel
             and self._lagmom_graph is None
-            and ema_env == "1"
+            and ema_env in ("1", "auto")
         )
 
         # lane-packed hot path (fem/packed.py): component-major flat state

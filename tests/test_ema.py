@@ -107,6 +107,7 @@ def test_lagged_ema_step_matches_matrix_free(monkeypatch):
         rho=prob.rho, mu=prob.mu, rotational_form=True, convection="lagged",
         newton_tol=1e-12,
     )
+    monkeypatch.setenv("FLOW_LAGGED_EMA", "0")
     st_mf = FastStepper(prob.V, prob.Q, prob.u_bcs, prob.p_bcs, **kw)
     monkeypatch.setenv("FLOW_LAGGED_EMA", "1")
     st_em = FastStepper(prob.V, prob.Q, prob.u_bcs, prob.p_bcs, **kw)
@@ -130,9 +131,11 @@ def test_lagged_ema_step_matches_matrix_free_3d(monkeypatch):
         rho=prob.rho, mu=prob.mu, rotational_form=True, convection="lagged",
         newton_tol=1e-12,
     )
+    monkeypatch.setenv("FLOW_LAGGED_EMA", "0")
     st_mf = FastStepper(prob.V, prob.Q, prob.u_bcs, prob.p_bcs, **kw)
     monkeypatch.setenv("FLOW_LAGGED_EMA", "1")
     st_em = FastStepper(prob.V, prob.Q, prob.u_bcs, prob.p_bcs, **kw)
+    assert not st_mf._lagged_ema
     assert st_em._lagged_ema and st_em._ema_nl == 10
     U, P = prob.V.zeros(), prob.Q.zeros()
     dt = jnp.asarray(1e-2)
