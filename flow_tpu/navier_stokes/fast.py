@@ -334,6 +334,20 @@ class FastStepper:
             and self._lagmom_graph is None
             and ema_env in ("1", "auto")
         )
+        # FLOW_EMA_PREC=bf16: store the per-solve scalar element tensor S
+        # and the gathered Krylov vectors in bfloat16 — the tangent matvec
+        # is HBM-bandwidth-bound (measured gather/einsum split, BENCH_NOTES
+        # chain-8), so halving the operator's resident bytes attacks the
+        # measured bound directly, and bf16 inputs are the MXU's native
+        # mode. The OUTER residual (and therefore the converged answer)
+        # stays f32: a low-precision tangent is classic defect correction —
+        # it can only change iteration counts, not the fixed point
+        # (tests/test_ema.py pins solution parity). Opt-in pending an
+        # on-chip A/B.
+        self._ema_bf16 = (
+            self._lagged_ema
+            and _os0.environ.get("FLOW_EMA_PREC", "f32") == "bf16"
+        )
 
         # lane-packed hot path (fem/packed.py): component-major flat state
         # [2n] + 1-D tables; removes the 10-60x TPU tile-padding overhead
@@ -558,6 +572,8 @@ class FastStepper:
             + (s * mu) * self._ema_kscal
             + (s * rho) * conv_s.reshape(nc, nl * nl)
         )
+        if self._ema_bf16:
+            S = S.astype(jnp.bfloat16)
         bt = ctx.btab
         tnp_ = None
         if bt is not None and ctx._ds_dn:
@@ -582,11 +598,13 @@ class FastStepper:
             return bt.integrate_rhs(val)
 
         def Jv(v):
-            vloc = ctx.V.gather(v)
+            vg = v.astype(jnp.bfloat16) if self._ema_bf16 else v
+            vloc = ctx.V.gather(vg)
             loc = jnp.stack(
                 [
                     jnp.einsum(
-                        "ej,eja->ea", S[:, i * nl:(i + 1) * nl], vloc
+                        "ej,eja->ea", S[:, i * nl:(i + 1) * nl], vloc,
+                        preferred_element_type=v.dtype,
                     )
                     for i in range(nl)
                 ],
@@ -594,7 +612,7 @@ class FastStepper:
             )
             loc = loc + (s * mu) * forms.sym_grad_transpose_loc(
                 ctx.V, ctx.geom, vloc
-            )
+            ).astype(v.dtype)
             av = ctx.V.dof_sum(loc)
             b = bnd_t(v)
             if b is not None:
@@ -617,10 +635,13 @@ class FastStepper:
         S = pc.lagged_scalar_tensor(
             Tl, 1.0, s * mu, s * rho, self._ema_kscal_pk
         )
+        if self._ema_bf16:
+            S = [[sij.astype(jnp.bfloat16) for sij in row] for row in S]
         zQ = jnp.zeros(self.Q.n_dofs, dtype=x0f.dtype)
 
         def Jv(vf):
-            v = pc.comps(vf)
+            vg = vf.astype(jnp.bfloat16) if self._ema_bf16 else vf
+            v = pc.comps(vg)
             Vl = [pc.gatherV(v[0]), pc.gatherV(v[1])]
             loc = pc._zero_loc(vf)
             loc = pc.ema_scalar_apply(loc, S, Vl)
