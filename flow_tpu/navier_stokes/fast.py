@@ -456,12 +456,25 @@ class FastStepper:
         """Momentum-solve Krylov dispatch (see mom_solver in __init__)."""
         atol = 0.05 * self.newton_tol
         if self.mom_solver == "gmres":
+            # FLOW_GMRES_BASIS=bf16: Arnoldi basis in bfloat16 — the
+            # batched-MGS basis reads are the solve's dominant HBM
+            # traffic at large n (2 x [m+1, N] per iteration, more than
+            # the EMA matvec itself); ~1e-3 orthogonality is ample for
+            # the momentum forcing tolerances. Opt-in pending on-chip A/B.
+            import os as _os
+
+            bd = (
+                jnp.bfloat16
+                if _os.environ.get("FLOW_GMRES_BASIS", "") == "bf16"
+                else None
+            )
             # clamp the restart to the iteration budget: the inner Arnoldi
             # cycle runs up to `restart` matvecs regardless of maxiter, and
             # granular mode's maxiter IS the watchdog budget per execution
             return krylov.gmres(
                 A, b, M=M, rtol=rtol, atol=atol, maxiter=maxiter,
                 restart=min(self.gmres_restart, maxiter),
+                basis_dtype=bd,
             )
         return krylov.bicgstab(A, b, M=M, rtol=rtol, atol=atol, maxiter=maxiter)
 

@@ -291,6 +291,7 @@ def gmres(
     maxiter=1000,
     restart=40,
     dot: Optional[Callable] = None,
+    basis_dtype=None,
 ):
     """Restarted GMRES(m), first-class implementation (replaces the earlier
     jax.scipy delegate, which reported iters=-1).
@@ -302,7 +303,16 @@ def gmres(
     orthogonalization is a single MXU matmul against the full (masked)
     basis rather than a j-term loop. Fixed shapes throughout; inner and
     outer loops are lax.while_loops. `dot` overrides the inner product for
-    SPMD-partitioned vectors (psum-reducing, as in bicgstab)."""
+    SPMD-partitioned vectors (psum-reducing, as in bicgstab).
+
+    `basis_dtype` (e.g. jnp.bfloat16) stores the Arnoldi basis V in a
+    reduced precision: the basis is read TWICE per iteration by the
+    batched MGS matmuls ([m+1, N] each way), which at large N dominates
+    the solve's HBM traffic — more than the operator apply itself. A
+    bf16 basis halves that traffic; orthogonality and the solution
+    update then hold to ~1e-3 relative, appropriate for loose forcing
+    tolerances (the momentum solve), not for tight solves. Givens/H/g
+    bookkeeping and all residual norms stay in the working dtype."""
     M = M or _identity
     _dot_ = dot or _dot
     x = jnp.zeros_like(b) if x0 is None else x0
@@ -326,11 +336,13 @@ def gmres(
     r0 = b - A(x)
     rnorm0 = jnp.sqrt(_dot_(r0, r0))
 
+    bd = basis_dtype or dtype
+
     def inner(x, r, beta):
         """One restart cycle from residual r (norm beta). Returns
         (x_new, rnorm, n_iters)."""
-        V = jnp.zeros((m + 1, N), dtype=dtype)
-        V = V.at[0].set(flat(r) / _nz(beta))
+        V = jnp.zeros((m + 1, N), dtype=bd)
+        V = V.at[0].set((flat(r) / _nz(beta)).astype(bd))
         H = jnp.zeros((m + 1, m), dtype=dtype)
         cs = jnp.zeros(m, dtype=dtype)
         sn = jnp.zeros(m, dtype=dtype)
@@ -342,22 +354,32 @@ def gmres(
 
         def body(s):
             V, H, cs, sn, g, j, brk = s
-            w = flat(A(M(unflat(V[j]))))
+            w = flat(A(M(unflat(V[j].astype(dtype)))))
             # batched MGS: project against the whole stored basis; rows
             # > j are zero so the mask is implicit in V itself
-            h = V @ w  # [m+1]
+            h = jnp.einsum("ij,j->i", V, w.astype(bd),
+                           preferred_element_type=dtype)  # [m+1]
             rowmask = jnp.arange(m + 1) <= j
             h = jnp.where(rowmask, h, 0.0)
-            w = w - h @ V
+            w = w - jnp.einsum("i,ij->j", h.astype(bd), V,
+                               preferred_element_type=dtype)
             # one re-orthogonalization pass (classical DGKS condition
             # skipped — fixed single pass keeps shapes/trace static and is
             # the standard practical choice)
-            h2 = jnp.where(rowmask, V @ w, 0.0)
-            w = w - h2 @ V
+            h2 = jnp.where(
+                rowmask,
+                jnp.einsum("ij,j->i", V, w.astype(bd),
+                           preferred_element_type=dtype),
+                0.0,
+            )
+            w = w - jnp.einsum("i,ij->j", h2.astype(bd), V,
+                               preferred_element_type=dtype)
             h = h + h2
             hj1 = jnp.sqrt(dotf(w, w))
             brk = hj1 <= jnp.finfo(dtype).tiny * 10.0
-            V = V.at[j + 1].set(jnp.where(brk, 0.0, w / _nz(hj1)))
+            V = V.at[j + 1].set(
+                jnp.where(brk, 0.0, w / _nz(hj1)).astype(bd)
+            )
 
             # apply the accumulated Givens rotations to the new column
             col = h.at[j + 1].set(hj1)
@@ -394,7 +416,8 @@ def gmres(
         Hm = Hm + jnp.diag(jnp.where(colmask, 0.0, jnp.ones(m, dtype=dtype)))
         gm = jnp.where(colmask, g[:m], 0.0)
         y = jax.scipy.linalg.solve_triangular(Hm, gm, lower=False)
-        dx = y @ V[:m]
+        dx = jnp.einsum("i,ij->j", y.astype(bd), V[:m],
+                        preferred_element_type=dtype)
         x = x + M(unflat(dx))
         return x, jnp.abs(g[j]), j
 
@@ -407,6 +430,13 @@ def gmres(
         r = b - A(x)
         beta = jnp.sqrt(_dot_(r, r))
         x, rn, j = inner(x, r, beta)
+        if bd != dtype:
+            # the Givens estimate drifts with a reduced-precision basis
+            # (it can read converged while the true residual is not):
+            # re-measure before deciding to stop — one extra apply per
+            # restart cycle, only on the reduced-precision path
+            rt = b - A(x)
+            rn = jnp.sqrt(_dot_(rt, rt))
         return (x, rn, k + j, j)
 
     x, rnorm, iters, _ = lax.while_loop(

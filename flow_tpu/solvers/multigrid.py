@@ -58,6 +58,16 @@ class P1Hierarchy:
         if winkernel is None:
             winkernel = _os.environ.get("FLOW_WINKERNEL", "") == "1"
         self._winkernel = winkernel
+        # FLOW_MG_PREC=bf16: store the large levels' ELL operators in
+        # bfloat16 and run their applies (the V-cycle's dominant HBM
+        # traffic: smoother matvecs + defect evaluation) in bf16 with an
+        # f32 interface. Preconditioner-side only — the CG iteration
+        # measures the f32 residual, so this can change iteration counts
+        # but never the solution. Coarse levels stay f32 (negligible
+        # traffic; keeps the coarse correction sharp). Opt-in pending an
+        # on-chip A/B.
+        self._bf16_min = int(_os.environ.get("FLOW_MG_BF16_MIN", "20000"))
+        self._bf16 = _os.environ.get("FLOW_MG_PREC", "f32") == "bf16"
         self._winkernel_min = winkernel_min_dofs
         with setup_on_cpu():
             self._build(meshes, bc_mask, smoother_degree, coarse_dense_max, lmin_ratio)
@@ -95,11 +105,25 @@ class P1Hierarchy:
 
             ellK = ell_stiffness(space, geom)
             L.ell = ellK
+            if self._bf16 and L.n >= self._bf16_min:
+                import dataclasses as _dc
+
+                e16 = _dc.replace(ellK) if _dc.is_dataclass(ellK) else None
+                if e16 is None:
+                    import copy as _copy
+
+                    e16 = _copy.copy(ellK)
+                e16.vals = ellK.vals.astype(jnp.bfloat16)
+                L.ell16 = e16
 
             # gather-free window apply for the big levels (FLOW_WINKERNEL;
             # smoother accuracy is preconditioner-side, so the kernel's f32
             # internals are safe even in f64 runs)
             base_apply = ellK.apply
+            if getattr(L, "ell16", None) is not None:
+
+                def base_apply(x, _e16=L.ell16, _dt=dtype):
+                    return _e16.apply(x.astype(jnp.bfloat16)).astype(_dt)
             if self._winkernel and L.n >= self._winkernel_min:
                 import jax as _jax
 

@@ -88,3 +88,25 @@ def test_cg_bicgstab_minres_agree_on_spd():
         np.testing.assert_allclose(
             np.asarray(x), xref, rtol=1e-7, err_msg=solver.__name__
         )
+
+
+def test_gmres_bf16_basis_converges_at_loose_tolerance():
+    # basis_dtype=bfloat16 (the large-n HBM-traffic option): restarted
+    # GMRES must still converge at the loose forcing tolerances it is
+    # meant for, and the reported TRUE residual must satisfy the target
+    rng = np.random.default_rng(5)
+    n = 300
+    Am = np.eye(n) + 0.3 * rng.standard_normal((n, n)) / np.sqrt(n)
+    b = jnp.asarray(rng.standard_normal(n), dtype=jnp.float32)
+    A = lambda x: jnp.asarray(Am, dtype=jnp.float32) @ x
+
+    x16, info16 = krylov.gmres(
+        A, b, rtol=1e-3, restart=10, maxiter=200,
+        basis_dtype=jnp.bfloat16,
+    )
+    assert bool(info16.converged)
+    r = np.asarray(b) - Am @ np.asarray(x16, dtype=np.float64)
+    assert np.linalg.norm(r) <= 1.1e-3 * np.linalg.norm(np.asarray(b))
+    # iteration count stays in the same regime as the f32 basis
+    _, info32 = krylov.gmres(A, b, rtol=1e-3, restart=10, maxiter=200)
+    assert int(info16.iters) <= 2 * int(info32.iters) + 5

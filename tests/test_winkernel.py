@@ -131,3 +131,52 @@ def test_winkernel_mg_vcycle_matches_ell(monkeypatch):
         np.asarray(y_win), np.asarray(y_ref), rtol=5e-5,
         atol=5e-5 * float(jnp.max(jnp.abs(y_ref))),
     )
+
+
+def test_mg_bf16_vcycle_close_and_cg_converges(monkeypatch):
+    # FLOW_MG_PREC=bf16 (large levels' ELL operators + applies in
+    # bfloat16, f32 interface): the V-cycle stays a ~1e-2-accurate copy
+    # of the f32 preconditioner, and CG preconditioned with it still
+    # converges to the SAME solution (the preconditioner cannot move the
+    # fixed point) with a comparable iteration count
+    from flow_tpu import FunctionSpace, unit_square_mesh
+    from flow_tpu.fem import assembly
+    from flow_tpu.mesh import refine_uniform
+    from flow_tpu.solvers import krylov
+    from flow_tpu.solvers.multigrid import P1Hierarchy
+
+    m0 = unit_square_mesh(8, "crossed")
+    meshes = [m0, refine_uniform(m0), refine_uniform(refine_uniform(m0))]
+    Q = FunctionSpace(meshes[-1], 1)
+    rng = np.random.default_rng(23)
+    r = jnp.asarray(rng.standard_normal(Q.n_dofs))
+    r = r - jnp.mean(r)
+
+    ref_h = P1Hierarchy(meshes, bc_mask=None, smoother_degree=3)
+    monkeypatch.setenv("FLOW_MG_PREC", "bf16")
+    monkeypatch.setenv("FLOW_MG_BF16_MIN", "1")
+    b16_h = P1Hierarchy(meshes, bc_mask=None, smoother_degree=3)
+    assert all(getattr(L, "ell16", None) is not None for L in b16_h.levels)
+    y_ref = ref_h.v_cycle(r)
+    y_b16 = b16_h.v_cycle(r)
+    scale = float(jnp.max(jnp.abs(y_ref)))
+    np.testing.assert_allclose(
+        np.asarray(y_b16), np.asarray(y_ref), atol=3e-2 * scale
+    )
+
+    # CG on the f32 fine operator, preconditioned by each V-cycle
+    K = ref_h.levels[-1].K
+
+    def solve(h):
+        x, info = krylov.cg(
+            K, r, M=h.v_cycle, rtol=1e-8, maxiter=100
+        )
+        return x - jnp.mean(x), int(info.iters)
+
+    x_ref, it_ref = solve(ref_h)
+    x_b16, it_b16 = solve(b16_h)
+    np.testing.assert_allclose(
+        np.asarray(x_b16), np.asarray(x_ref),
+        atol=1e-6 * float(jnp.max(jnp.abs(x_ref))),
+    )
+    assert it_b16 <= it_ref + 5, (it_ref, it_b16)
