@@ -464,6 +464,12 @@ def _bench_cavity3d(n_steps):
     from flow_tpu.solvers.structured_mg import StructuredHierarchy
 
     n = int(os.environ.get("BENCH_N", "32"))
+    # large 3-D sizes OOM on unchunked (nc, nq, nl)-class quadrature temps
+    # (measured: N=48 17.6G, N=64 41.6G vs 15.75G HBM — chains 4/17);
+    # default the cell chunk on so the ladder doesn't depend on the
+    # campaign script remembering it
+    if n >= 48 and not os.environ.get("FLOW_CELL_CHUNK"):
+        os.environ["FLOW_CELL_CHUNK"] = "131072"
     prob = Cavity3DProblem(n=n, mu=0.01)
     n_dofs = 3 * prob.V.n_dofs + prob.Q.n_dofs
     stepper = FastStepper(

@@ -253,7 +253,49 @@ def conv_lagged_jacobian_loc(V, geom, Tloc, rule_degree=5):
     (the antisymmetric `s23` part of conv_jacobian_loc — the t1/t4 reaction
     blocks vanish because T does not move with the state). This is the whole
     x-dependent volume operator of the semi-implicit momentum solve, so the
-    assembled-ELL lagged path rebuilds only this scalar tensor once per step."""
+    assembled-ELL lagged path rebuilds only this scalar tensor once per step.
+
+    Honors FLOW_CELL_CHUNK: the [nc, nq, nl(,nl)]-class quadrature temps of
+    this build dominate HBM for large 3-D meshes (P2 tets: nq=15, nl=10 —
+    measured OOM at cavity3d N=64, BENCH_NOTES chain-17), so the evaluation
+    runs chunk-by-chunk through a sequential lax.map exactly like the
+    residual path's _volume_loc_dispatch."""
+    import os as _os
+
+    chunk = int(_os.environ.get("FLOW_CELL_CHUNK", "0"))
+    nc = Tloc.shape[0]
+    if chunk and nc > chunk:
+        import jax as _jax
+
+        k = -(-nc // chunk)
+        pad = k * chunk - nc
+
+        def prep(a):
+            if pad:
+                a = jnp.concatenate(
+                    [a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])],
+                    axis=0,
+                )
+            return a.reshape((k, chunk) + a.shape[1:])
+
+        class _G:
+            pass
+
+        def body(t):
+            tl, dj, Gm = t
+            g = _G()
+            g.detJ, g.G = dj, Gm
+            return _conv_lagged_jacobian_impl(V, g, tl, rule_degree)
+
+        s = _jax.lax.map(
+            body, (prep(Tloc), prep(geom.detJ), prep(geom.G))
+        )
+        s = s.reshape((k * chunk,) + s.shape[2:])
+        return s[:nc] if pad else s
+    return _conv_lagged_jacobian_impl(V, geom, Tloc, rule_degree)
+
+
+def _conv_lagged_jacobian_impl(V, geom, Tloc, rule_degree):
     tab = assembly.tabulation(V, rule_degree)
     Tq = assembly.values_at_qp(tab, Tloc)  # [e,q,d]
     wd = tab.w[None, :] * geom.detJ[:, None]

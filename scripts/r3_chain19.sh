@@ -50,3 +50,14 @@ env $ARMS \
 tail -1 $R/b10m_bf16.json
 
 echo CHAIN19_DONE
+
+# 3) cavity3d N=64 retry with the chunked EMA build (chain-17 OOM fix:
+#    bench now defaults FLOW_CELL_CHUNK for N>=48 and the lagged
+#    scalar-tensor build honors it)
+gate
+BENCH_MODE=cavity3d BENCH_N=64 BENCH_GRANULAR=1 BENCH_STEPS=4 \
+  BENCH_SIZE_TIMEOUT=4200 timeout 5400 python bench.py \
+  > $R/c3d64_retry.json 2> $R/c3d64_retry.err
+tail -1 $R/c3d64_retry.json
+
+echo CHAIN19_ALL_DONE

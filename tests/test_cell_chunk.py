@@ -63,3 +63,26 @@ def test_chunked_residual_matches_whole_mesh(dim, monkeypatch):
     np.testing.assert_allclose(
         jax.linearize(res, Ui)[1](tang), jv_ref, rtol=0, atol=1e-12
     )
+
+
+def test_conv_lagged_jacobian_chunked_matches_whole(monkeypatch):
+    # the EMA/lagged scalar-tensor build honors FLOW_CELL_CHUNK (the 3-D
+    # large-size OOM fix, chain-17): chunked evaluation must be exact
+    import jax.numpy as jnp
+    import numpy as np
+
+    from flow_tpu.fem import forms
+    from flow_tpu.fem.assembly import Geometry
+    from flow_tpu.models.cavity3d import Cavity3DProblem
+
+    prob = Cavity3DProblem(n=3)
+    V = prob.V
+    geom = Geometry(V.mesh)
+    rng = np.random.default_rng(11)
+    Tloc = jnp.asarray(
+        rng.standard_normal((V.mesh.cells.shape[0], 10, 3))
+    )
+    want = forms.conv_lagged_jacobian_loc(V, geom, Tloc)
+    monkeypatch.setenv("FLOW_CELL_CHUNK", "7")
+    got = forms.conv_lagged_jacobian_loc(V, geom, Tloc)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-13)
