@@ -1,16 +1,15 @@
 #!/bin/bash
-# Round-3 TPU campaign, chain 19 (after chain 18): physics guard for any
-# ADOPTABLE bf16 arm + large-size points under the winning combination.
-#   1) stage-2 limit-cycle guard under the FULL bf16 candidate set
-#      (FLOW_EMA_PREC + FLOW_MG_PREC + FLOW_GMRES_BASIS all bf16):
-#      the fused bf16-EMA arm shifts solutions at operator-perturbation
-#      level, so it needs the same certification as every calibrated
-#      default (settled half must reproduce St 0.3001 / Cd_max ~3.250 /
-#      Cl ~0.99). Guarding the triple also covers each single arm.
-#   2) 10M-DoF point under the chain-18 winners (granular mode).
-# If a bf16 arm measured NEGATIVE in chain-18, skip adopting it; the
-# guard still certifies whichever arms are positive (run them solo by
-# editing the env below before launch).
+# Round-3 TPU campaign, chain 19 (after chain 18):
+#  0) 10M FUSED attempt — the 7.6M fused point (0.027, 37 s/step)
+#     survived the tunnel watchdog, and chain-17 showed granular costs
+#     ~3x at these sizes; if a fused 10M step (~45-60 s) survives too,
+#     the headline jumps ~3x. Cheap to try; failure tells us which
+#     limit (watchdog / HBM / compile) actually binds at 10M.
+#  1) stage-2 limit-cycle guard under the FULL bf16 candidate set
+#     (certifies fused bf16-EMA adoption; covers the single arms)
+#  2) 10M-DoF granular point under the bf16 arms
+#  3) cavity3d N=64 retry with the chunked EMA build (chain-17 OOM fix)
+# Edit CHAIN19_ARMS before launch if chain-18 rejected any arm.
 set -x
 cd "$(dirname "$0")/.."
 
@@ -27,6 +26,13 @@ mkdir -p $R
 
 ARMS="${CHAIN19_ARMS:-FLOW_EMA_PREC=bf16 FLOW_MG_PREC=bf16 FLOW_GMRES_BASIS=bf16}"
 
+# 0) 10M FUSED attempt under adopted defaults (no BENCH_GRANULAR)
+gate
+BENCH_LCAR=0.0175 BENCH_REFINES=6 FLOW_TANGENT_MODE=jvp \
+  BENCH_STEPS=4 BENCH_SIZE_TIMEOUT=5000 timeout 5400 python bench.py \
+  > $R/b10m_fused.json 2> $R/b10m_fused.err
+tail -1 $R/b10m_fused.json
+
 # 1) stage-2 guard under the bf16 candidate set
 if [ -f st1_r3.npz ]; then
   gate
@@ -40,7 +46,7 @@ if [ -f st1_r3.npz ]; then
   tail -6 $R/stage2_bf16_guard.log
 fi
 
-# 2) 10M point under the winning arms (granular + jvp as in chain-16)
+# 2) 10M granular point under the bf16 arms
 gate
 env $ARMS \
   BENCH_LCAR=0.0175 BENCH_REFINES=6 BENCH_GRANULAR=1 \
@@ -49,15 +55,11 @@ env $ARMS \
   > $R/b10m_bf16.json 2> $R/b10m_bf16.err
 tail -1 $R/b10m_bf16.json
 
-echo CHAIN19_DONE
-
-# 3) cavity3d N=64 retry with the chunked EMA build (chain-17 OOM fix:
-#    bench now defaults FLOW_CELL_CHUNK for N>=48 and the lagged
-#    scalar-tensor build honors it)
+# 3) cavity3d N=64 retry with the chunked EMA build
 gate
 BENCH_MODE=cavity3d BENCH_N=64 BENCH_GRANULAR=1 BENCH_STEPS=4 \
   BENCH_SIZE_TIMEOUT=4200 timeout 5400 python bench.py \
   > $R/c3d64_retry.json 2> $R/c3d64_retry.err
 tail -1 $R/c3d64_retry.json
 
-echo CHAIN19_ALL_DONE
+echo CHAIN19_DONE
