@@ -33,6 +33,14 @@ BENCH_LCAR=0.0175 BENCH_REFINES=6 FLOW_TANGENT_MODE=jvp \
   > $R/b10m_fused.json 2> $R/b10m_fused.err
 tail -1 $R/b10m_fused.json
 
+# 0.5) granular dispatch profile at 7.6M: decompose the ~3x granular
+#      tax (fixed per-execution tunnel cost vs compute)
+gate
+BENCH_LCAR=0.02 BENCH_REFINES=6 FLOW_TANGENT_MODE=jvp \
+  timeout 3600 python scripts/gran_profile.py \
+  > $R/gran_profile.json 2> $R/gran_profile.err
+tail -1 $R/gran_profile.json
+
 # 1) stage-2 guard under the bf16 candidate set
 if [ -f st1_r3.npz ]; then
   gate
@@ -63,13 +71,5 @@ BENCH_MODE=cavity3d BENCH_N=64 BENCH_GRANULAR=1 BENCH_STEPS=4 \
 tail -1 $R/c3d64_retry.json
 
 echo CHAIN19_DONE
-
-# 4) granular dispatch profile at 7.6M: decompose the ~3x granular tax
-#    (fixed per-execution tunnel cost vs compute) — scripts/gran_profile.py
-gate
-BENCH_LCAR=0.02 BENCH_REFINES=6 FLOW_TANGENT_MODE=jvp \
-  timeout 3600 python scripts/gran_profile.py \
-  > $R/gran_profile.json 2> $R/gran_profile.err
-tail -1 $R/gran_profile.json
 
 echo CHAIN19_ALL_DONE
