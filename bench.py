@@ -146,9 +146,14 @@ def _measure_steps(prob, stepper, n_steps):
     # fallback (BENCH_GRANULAR=1)
     granular = os.environ.get("BENCH_GRANULAR", "0")
     if granular == "1":
-        U, P, dtw, _ = stepper.run_granular(U, P, 1.0e-4, n_steps=n_steps)
+        km = int(os.environ.get("BENCH_KRY_MAXITER", "10"))
+        U, P, dtw, _ = stepper.run_granular(
+            U, P, 1.0e-4, n_steps=n_steps, kry_maxiter=km
+        )
         t0 = time.perf_counter()
-        U, P, dtf, tel = stepper.run_granular(U, P, dtw, n_steps=n_steps)
+        U, P, dtf, tel = stepper.run_granular(
+            U, P, dtw, n_steps=n_steps, kry_maxiter=km
+        )
         elapsed = time.perf_counter() - t0
         return n_steps / elapsed, float(dtf), tel, (U, P)
     # chunk the scan so one device execution stays under ~8 s: the axon
@@ -498,9 +503,14 @@ def _bench_cavity3d(n_steps):
     # HBM on the (nc, nl, m) jvp quadrature temps (N>=48 measured, chain 4)
     # or exceeds the tunnel watchdog — same switch as the karman path
     if os.environ.get("BENCH_GRANULAR", "0") == "1":
-        U, P, dtw, _ = stepper.run_granular(U, P, 1.0e-3, n_steps=n_steps)
+        km = int(os.environ.get("BENCH_KRY_MAXITER", "10"))
+        U, P, dtw, _ = stepper.run_granular(
+            U, P, 1.0e-3, n_steps=n_steps, kry_maxiter=km
+        )
         t0 = _time.perf_counter()
-        U, P, dtf, tel = stepper.run_granular(U, P, dtw, n_steps=n_steps)
+        U, P, dtf, tel = stepper.run_granular(
+            U, P, dtw, n_steps=n_steps, kry_maxiter=km
+        )
         elapsed = _time.perf_counter() - t0
     else:
         U, P, dtw, _ = stepper.run(U, P, dt0, n_steps=n_steps)

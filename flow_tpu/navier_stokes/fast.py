@@ -103,6 +103,18 @@ class FastStepper:
 
         # tangent storage policy for granular Newton (see _gran_newton_iter)
         self.tangent_mode = _os0.environ.get("FLOW_TANGENT_MODE", "linearize")
+        # granular lagged-linear fast path (see _gran_lagged_solve)
+        self.gran_linfast = _os0.environ.get("FLOW_GRAN_LINFAST", "1") == "1"
+        # extrapolated warm start for the granular lagged momentum solve
+        # (FLOW_MOM_WARMSTART=1, opt-in): seed the solve with the previous
+        # step's momentum increment scaled by dt/dt_prev. The outer stopping
+        # target stays relative to the TRUE initial residual at U (computed
+        # in the setup execution regardless), so the converged answer and
+        # the physics are unchanged — only the Krylov iteration count moves.
+        self.gran_warmstart = (
+            _os0.environ.get("FLOW_MOM_WARMSTART", "") == "1"
+        )
+        self._ws_prev = None  # (x_solution, U_at_solve, float(dt)) host refs
         # increment-form pressure/correction solves (default ON; see
         # _pressure_solve_mg docstring); FLOW_ABS_SOLVES=1 for A/B
         self.increment_form = _os0.environ.get("FLOW_ABS_SOLVES", "") != "1"
@@ -572,6 +584,14 @@ class FastStepper:
         einsum chain (measured ~half the 82 ms matvec at 1.9M DoF) is paid
         once per solve instead of once per matvec. Exactness vs
         jax.linearize pinned in tests/test_ema.py."""
+        S = self._ema_S(x0, dt)
+        return self._ema_Jv_fromS(S, x0, dt, free_u)
+
+    def _ema_S(self, x0, dt):
+        """The dense-layout EMA scalar element tensor at frozen transport
+        x0 (the once-per-solve quadrature build split out of _ema_Jv so the
+        granular lagged fast path can amortize it across Krylov segment
+        executions)."""
         ctx = self.ctx
         rho, mu = self.rho, self.mu
         nl = self._ema_nl
@@ -587,6 +607,16 @@ class FastStepper:
         )
         if self._ema_bf16:
             S = S.astype(jnp.bfloat16)
+        return S
+
+    def _ema_Jv_fromS(self, S, x0, dt, free_u):
+        """Apply-only half of _ema_Jv: the tangent closure over a
+        prebuilt scalar tensor S (x0 enters only through the O(surface)
+        ds-term tangents)."""
+        ctx = self.ctx
+        rho, mu = self.rho, self.mu
+        nl = self._ema_nl
+        s = (dt / rho) * self.theta[1]
         bt = ctx.btab
         tnp_ = None
         if bt is not None and ctx._ds_dn:
@@ -640,7 +670,13 @@ class FastStepper:
         (fem/packed.py lagged_scalar_tensor). This is the >=3M-DoF memory
         layout, so the 7.6M/10M momentum solves get the same
         one-quadrature-build-per-solve amortization."""
-        pc, ctx = self.pctx, self.ctx
+        S = self._ema_S_pk(x0f, dt)
+        return self._ema_Jv_pk_fromS(S, x0f, dt, free)
+
+    def _ema_S_pk(self, x0f, dt):
+        """Packed-layout EMA scalar tensor at frozen transport x0f (the
+        once-per-solve quadrature build; see _ema_S)."""
+        pc = self.pctx
         rho, mu = self.rho, self.mu
         s = (dt / rho) * self.theta[1]
         T = pc.comps(x0f)
@@ -650,6 +686,13 @@ class FastStepper:
         )
         if self._ema_bf16:
             S = [[sij.astype(jnp.bfloat16) for sij in row] for row in S]
+        return S
+
+    def _ema_Jv_pk_fromS(self, S, x0f, dt, free):
+        """Apply-only half of _ema_Jv_pk over a prebuilt scalar tensor."""
+        pc, ctx = self.pctx, self.ctx
+        rho, mu = self.rho, self.mu
+        s = (dt / rho) * self.theta[1]
         zQ = jnp.zeros(self.Q.n_dofs, dtype=x0f.dtype)
 
         def Jv(vf):
@@ -1595,6 +1638,162 @@ class FastStepper:
         r1 = res_bc(x1)
         return x1, jnp.sqrt(jnp.sum(r1 * r1)), sinfo.iters
 
+    # -- granular lagged-linear fast path ------------------------------------
+    # With frozen (lagged) transport the momentum residual is AFFINE in the
+    # iterate, so the granular "Newton" sweeps are segments of ONE linear
+    # solve. The generic sweeps (_gran_newton_iter*) rebuild the EMA scalar
+    # tensor (a full quadrature pass over all cells) and evaluate the
+    # residual by quadrature TWICE in every segment execution; here the
+    # tensor and the initial residual are built once per step and each
+    # segment updates the residual algebraically (r1 = r + J dx, one extra
+    # matvec — exact for an affine residual). Stopping semantics match the
+    # FUSED path (_step_impl): relative to the true initial residual (the
+    # generic granular loop used the first post-update residual as a
+    # conservative stand-in, one execution cheaper — here the initial
+    # residual is free in the setup execution). FLOW_GRAN_LINFAST=0
+    # restores the generic sweeps.
+    @property
+    def _gran_fast_ok(self):
+        # _ema_bf16 is excluded: its granular guarantee (defect correction
+        # to the f32 fixed point) depends on the generic sweeps recomputing
+        # the TRUE residual by quadrature; the algebraic update here would
+        # converge to the bf16 operator's fixed point instead.
+        return (
+            self.lagged
+            and self._lagged_ema
+            and not self._ema_bf16
+            and self.momentum_precond is None
+            and not self.winkernel
+            and self.gran_linfast
+        )
+
+    def _gran_lagged_setup(self, U, P, dt):
+        ctx = self.ctx
+        rho, mu = self.rho, self.mu
+        free_u = 1.0 - self.mask_u
+        T = free_u * U + self.mask_u * self.val_u
+        r0 = ctx._residual(
+            U, U, None, None, P, rho, mu, dt, self.theta, transport=T
+        )
+        r0 = free_u * r0 + self.mask_u * (U - self.val_u)
+        S = self._ema_S(T, dt)
+        return r0, jnp.sqrt(jnp.sum(r0 * r0)), S
+
+    def _gran_lagged_segment(self, x, r, S, U, dt, kry_maxiter):
+        rho = self.rho
+        free_u = 1.0 - self.mask_u
+        T = free_u * U + self.mask_u * self.val_u
+        w_im = self.theta[1]
+        diag = self.ctx.mass_diag_V + (dt / rho) * w_im * (
+            2.0 * self.mu
+        ) * self.ctx.stiff_diag_V
+        diag = free_u * diag + self.mask_u
+        Jv = self._ema_Jv_fromS(S, T, dt, free_u)
+        dx, sinfo = self._mom_krylov(
+            Jv, -r, lambda t: t / diag, self.linear_rtol, maxiter=kry_maxiter
+        )
+        x1 = x + dx
+        r1 = r + Jv(dx)
+        return x1, r1, jnp.sqrt(jnp.sum(r1 * r1)), sinfo.iters
+
+    def _gran_lagged_setup_pk(self, Uf, Pf, dt):
+        pc, ctx = self.pctx, self.ctx
+        rho, mu = self.rho, self.mu
+        w_im = self.theta[1]
+        free = 1.0 - self.mask_uf
+        Tf = free * Uf + self.mask_uf * self.val_uf
+        r0 = pc.residual_volume(Uf, Uf, Pf, rho, mu, dt, w_im, Tf=Tf)
+        b = pc.boundary_rhs(
+            ctx.btab, ctx.btabQ, Uf, Pf, rho, mu,
+            ds_stress=ctx._ds_stress, ds_dn=ctx._ds_dn, Tf=Tf,
+        )
+        r0 = r0 - (dt / rho) * w_im * b
+        r0 = free * r0 + self.mask_uf * (Uf - self.val_uf)
+        S = self._ema_S_pk(Tf, dt)
+        return r0, jnp.sqrt(jnp.sum(r0 * r0)), S
+
+    def _gran_lagged_segment_pk(self, x, r, S, Uf, dt, kry_maxiter):
+        rho = self.rho
+        w_im = self.theta[1]
+        free = 1.0 - self.mask_uf
+        Tf = free * Uf + self.mask_uf * self.val_uf
+        diag = self.mass_diag_f + (dt / rho) * w_im * (
+            2.0 * self.mu
+        ) * self.stiff_diag_f
+        diag = free * diag + self.mask_uf
+        Jv = self._ema_Jv_pk_fromS(S, Tf, dt, free)
+        dx, sinfo = self._mom_krylov(
+            Jv, -r, lambda t: t / diag, self.linear_rtol, maxiter=kry_maxiter
+        )
+        x1 = x + dx
+        r1 = r + Jv(dx)
+        return x1, r1, jnp.sqrt(jnp.sum(r1 * r1)), sinfo.iters
+
+    def _gran_lagged_warm(self, r, S, Uf, xp, Up, alpha, dt, packed):
+        """Warm-start execution: seed the affine solve with the previous
+        step's increment d = xp - Up scaled by alpha = dt/dt_prev. Exact
+        residual update (affine): r_ws = r + alpha J d."""
+        if packed:
+            free = 1.0 - self.mask_uf
+            Tf = free * Uf + self.mask_uf * self.val_uf
+            Jv = self._ema_Jv_pk_fromS(S, Tf, dt, free)
+        else:
+            free = 1.0 - self.mask_u
+            T = free * Uf + self.mask_u * self.val_u
+            Jv = self._ema_Jv_fromS(S, T, dt, free)
+        d = alpha * (xp - Up)
+        x = Uf + d
+        r_ws = r + Jv(d)
+        return x, r_ws, jnp.sqrt(jnp.sum(r_ws * r_ws))
+
+    def _gran_lagged_solve(self, Uf, Pf, dt, kry_maxiter, packed):
+        """Segmented lagged momentum solve; returns (x, n_segments,
+        linear_iters_total). Layout-agnostic via the packed flag."""
+        setup = self._gran_lagged_setup_pk if packed else self._gran_lagged_setup
+        seg = (
+            self._gran_lagged_segment_pk if packed else self._gran_lagged_segment
+        )
+        tag = "pk" if packed else ""
+        r, rn0, S = self._gran_cached(
+            f"lag_setup{tag}",
+            lambda Uf, Pf, dt: setup(Uf, Pf, dt),
+            Uf, Pf, dt,
+        )
+        rnorm0 = float(rn0)
+        target = max(self.newton_tol, self.newton_rtol * rnorm0)
+        x = Uf
+        rn = rnorm0
+        ws = self._ws_prev
+        if (
+            self.gran_warmstart
+            and ws is not None
+            and jnp.shape(ws[0]) == jnp.shape(Uf)
+        ):
+            xp, Up, dtp = ws
+            alpha = jnp.asarray(float(dt) / dtp, dtype=Uf.dtype)
+            x, r, rn_w = self._gran_cached(
+                f"lag_warm{tag}",
+                lambda r, S, Uf, xp, Up, a, dt: self._gran_lagged_warm(
+                    r, S, Uf, xp, Up, a, dt, packed
+                ),
+                r, S, Uf, xp, Up, alpha, dt,
+            )
+            rn = float(rn_w)
+        n_seg = 0
+        lin_total = 0
+        while rn > target and n_seg < self.newton_maxiter:
+            x, r, rn_a, li = self._gran_cached(
+                f"lag_seg{tag}{kry_maxiter}",
+                lambda x, r, S, Uf, dt: seg(x, r, S, Uf, dt, kry_maxiter),
+                x, r, S, Uf, dt,
+            )
+            n_seg += 1
+            lin_total += int(li)
+            rn = float(rn_a)
+        if self.gran_warmstart:
+            self._ws_prev = (x, Uf, float(dt))
+        return x, n_seg, lin_total
+
     def step_granular(self, U, P, dt, kry_maxiter=10):
         """One projection step as a sequence of watchdog-sized executions.
         Returns (U1, P1, stats-dict of host ints). Accepts [n,2] or (when
@@ -1602,25 +1801,30 @@ class FastStepper:
         if self.packed:
             was2d = U.ndim == 2
             Uf = self.pctx.pack(U) if was2d else U
-            x = Uf
-            rnorm0 = None
-            n_newton = 0
-            lin_total = 0
-            for _ in range(self.newton_maxiter):
-                x, rnorm, li = self._gran_cached(
-                    f"newton_pk{kry_maxiter}",
-                    lambda x, Uf, Pf, dt: self._gran_newton_iter_pk(
-                        x, Uf, Pf, dt, kry_maxiter
-                    ),
-                    x, Uf, P, dt,
+            if self._gran_fast_ok:
+                x, n_newton, lin_total = self._gran_lagged_solve(
+                    Uf, P, dt, kry_maxiter, packed=True
                 )
-                n_newton += 1
-                lin_total += int(li)
-                rn = float(rnorm)
-                if rnorm0 is None:
-                    rnorm0 = rn
-                if rn <= max(self.newton_tol, self.newton_rtol * rnorm0):
-                    break
+            else:
+                x = Uf
+                rnorm0 = None
+                n_newton = 0
+                lin_total = 0
+                for _ in range(self.newton_maxiter):
+                    x, rnorm, li = self._gran_cached(
+                        f"newton_pk{kry_maxiter}",
+                        lambda x, Uf, Pf, dt: self._gran_newton_iter_pk(
+                            x, Uf, Pf, dt, kry_maxiter
+                        ),
+                        x, Uf, P, dt,
+                    )
+                    n_newton += 1
+                    lin_total += int(li)
+                    rn = float(rnorm)
+                    if rnorm0 is None:
+                        rnorm0 = rn
+                    if rn <= max(self.newton_tol, self.newton_rtol * rnorm0):
+                        break
             P1, piters = self._gran_cached(
                 "pressure_pk",
                 lambda Ui, P, dt: self._pressure_solve_pk(Ui, P, dt),
@@ -1638,29 +1842,34 @@ class FastStepper:
                 "pressure_iters": int(piters),
                 "correction_iters": int(citers),
             }
-        x = U
-        rnorm0 = None
-        n_newton = 0
-        lin_total = 0
-        for _ in range(self.newton_maxiter):
-            x, rnorm, li = self._gran_cached(
-                f"newton{kry_maxiter}",
-                lambda x, U, P, dt: self._gran_newton_iter(
-                    x, U, P, dt, kry_maxiter
-                ),
-                x, U, P, dt,
+        if self._gran_fast_ok:
+            x, n_newton, lin_total = self._gran_lagged_solve(
+                U, P, dt, kry_maxiter, packed=False
             )
-            n_newton += 1
-            lin_total += int(li)
-            rn = float(rnorm)
-            if rnorm0 is None:
-                # the target mirrors _step_impl: absolute OR relative to the
-                # FIRST post-update residual (a conservative stand-in for
-                # the initial residual, which granular mode never evaluates
-                # separately — one fewer execution)
-                rnorm0 = rn
-            if rn <= max(self.newton_tol, self.newton_rtol * rnorm0):
-                break
+        else:
+            x = U
+            rnorm0 = None
+            n_newton = 0
+            lin_total = 0
+            for _ in range(self.newton_maxiter):
+                x, rnorm, li = self._gran_cached(
+                    f"newton{kry_maxiter}",
+                    lambda x, U, P, dt: self._gran_newton_iter(
+                        x, U, P, dt, kry_maxiter
+                    ),
+                    x, U, P, dt,
+                )
+                n_newton += 1
+                lin_total += int(li)
+                rn = float(rnorm)
+                if rnorm0 is None:
+                    # the target mirrors _step_impl: absolute OR relative to
+                    # the FIRST post-update residual (a conservative stand-in
+                    # for the initial residual, which the generic granular
+                    # loop never evaluates separately — one fewer execution)
+                    rnorm0 = rn
+                if rn <= max(self.newton_tol, self.newton_rtol * rnorm0):
+                    break
         Ui = x
         P1, piters = self._gran_cached(
             "pressure",

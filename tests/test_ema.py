@@ -249,3 +249,100 @@ def test_lagged_ema_bf16_tangent_matches_f32(monkeypatch):
                                      kry_maxiter=5)
     np.testing.assert_allclose(np.asarray(U1q), np.asarray(U1a), atol=1e-7)
     np.testing.assert_allclose(np.asarray(P1q), np.asarray(P1a), atol=1e-6)
+
+
+def test_gran_lagged_linfast_matches_generic_sweeps(monkeypatch):
+    # The granular lagged-linear fast path (FLOW_GRAN_LINFAST, default on:
+    # one setup execution builds the EMA tensor + true initial residual,
+    # then Krylov segments update the residual algebraically r1 = r + J dx
+    # — exact for the affine lagged residual) must converge the same
+    # solve as the generic per-sweep-rebuild path, in both layouts.
+    monkeypatch.setenv("FLOW_LAGGED_EMA", "1")
+    prob = KarmanProblem(lcar=0.15)
+    u0 = project((0.0, 0.0), prob.V)
+    p0 = project(0.0, prob.Q)
+    kw = dict(
+        rho=prob.rho, mu=prob.mu, rotational_form=True, convection="lagged",
+        newton_tol=1e-12,
+    )
+    dt = jnp.asarray(1e-2)
+    for packed in (False, True):
+        st_f = FastStepper(prob.V, prob.Q, prob.u_bcs, prob.p_bcs,
+                           packed=packed, **kw)
+        assert st_f._gran_fast_ok
+        U1a, P1a, sa = st_f.step_granular(u0.vector, p0.vector, dt,
+                                          kry_maxiter=5)
+        monkeypatch.setenv("FLOW_GRAN_LINFAST", "0")
+        st_g = FastStepper(prob.V, prob.Q, prob.u_bcs, prob.p_bcs,
+                           packed=packed, **kw)
+        assert not st_g._gran_fast_ok
+        U1b, P1b, sb = st_g.step_granular(u0.vector, p0.vector, dt,
+                                          kry_maxiter=5)
+        monkeypatch.delenv("FLOW_GRAN_LINFAST")
+        np.testing.assert_allclose(np.asarray(U1a), np.asarray(U1b),
+                                   atol=1e-9)
+        np.testing.assert_allclose(np.asarray(P1a), np.asarray(P1b),
+                                   atol=1e-8)
+        assert sa["newton_iters"] >= 1 and sb["newton_iters"] >= 1
+
+
+def test_gran_lagged_linfast_algebraic_residual_is_true(monkeypatch):
+    # the segment's algebraic residual update must equal the quadrature
+    # residual at the updated iterate to roundoff (affine exactness)
+    monkeypatch.setenv("FLOW_LAGGED_EMA", "1")
+    prob = KarmanProblem(lcar=0.15)
+    u0 = project((0.3, 0.1), prob.V)
+    p0 = project(0.0, prob.Q)
+    st = FastStepper(
+        prob.V, prob.Q, prob.u_bcs, prob.p_bcs, rho=prob.rho, mu=prob.mu,
+        rotational_form=True, convection="lagged", newton_tol=1e-12,
+    )
+    assert st._gran_fast_ok and not st.packed
+    U, P = u0.vector, p0.vector
+    dt = jnp.asarray(1e-2)
+    r0, rn0, S = st._gran_lagged_setup(U, P, dt)
+    x1, r1, rn1, _ = st._gran_lagged_segment(U, r0, S, U, dt, 4)
+    # recompute the true residual at x1 by quadrature (the setup residual
+    # is evaluated at the iterate == transport state, so rebuild by hand)
+    ctx = st.ctx
+    free_u = 1.0 - st.mask_u
+    T = free_u * U + st.mask_u * st.val_u
+    rt = ctx._residual(x1, U, None, None, P, st.rho, st.mu, dt, st.theta,
+                       transport=T)
+    rt = free_u * rt + st.mask_u * (x1 - st.val_u)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(rt), atol=1e-11)
+    assert float(rn1) < float(rn0)
+
+
+def test_gran_lagged_warmstart_matches_cold(monkeypatch):
+    # FLOW_MOM_WARMSTART=1 seeds each granular lagged solve with the
+    # previous step's increment (scaled by dt/dt_prev). The outer stopping
+    # target is relative to the TRUE initial residual either way, so a
+    # tight-tolerance trajectory must agree with the cold-start one, and
+    # the warm path must not need MORE segments once the flow is smooth.
+    monkeypatch.setenv("FLOW_LAGGED_EMA", "1")
+    prob = KarmanProblem(lcar=0.15)
+    u0 = project((0.0, 0.0), prob.V)
+    p0 = project(0.0, prob.Q)
+    kw = dict(
+        rho=prob.rho, mu=prob.mu, rotational_form=True, convection="lagged",
+        newton_tol=1e-12,
+    )
+    st_c = FastStepper(prob.V, prob.Q, prob.u_bcs, prob.p_bcs, **kw)
+    monkeypatch.setenv("FLOW_MOM_WARMSTART", "1")
+    st_w = FastStepper(prob.V, prob.Q, prob.u_bcs, prob.p_bcs, **kw)
+    assert st_w.gran_warmstart and not st_c.gran_warmstart
+    Uc, Pc = u0.vector, p0.vector
+    Uw, Pw = u0.vector, p0.vector
+    dts = [1e-2, 1.2e-2, 1.5e-2]
+    lin_c = lin_w = 0
+    for dt in dts:
+        Uc, Pc, sc = st_c.step_granular(Uc, Pc, jnp.asarray(dt),
+                                        kry_maxiter=6)
+        Uw, Pw, sw = st_w.step_granular(Uw, Pw, jnp.asarray(dt),
+                                        kry_maxiter=6)
+        lin_c += sc["linear_iters"]
+        lin_w += sw["linear_iters"]
+    np.testing.assert_allclose(np.asarray(Uw), np.asarray(Uc), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(Pw), np.asarray(Pc), atol=1e-7)
+    assert lin_w <= lin_c
