@@ -1830,10 +1830,15 @@ class FastStepper:
                 lambda Ui, P, dt: self._pressure_solve_pk(Ui, P, dt),
                 x, P, dt,
             )
-            U1f, citers = self._gran_cached(
-                "correction_pk",
-                lambda Ui, P1, P, dt: self._correction_pk(Ui, P1, P, dt),
-                x, P1, P, dt,
+            def _corr_umax_pk(Ui, P1, P, dt):
+                # fold the CFL readback into the correction execution (one
+                # fewer granular dispatch per step)
+                U1f, ci = self._correction_pk(Ui, P1, P, dt)
+                a, b = self.pctx.comps(U1f)
+                return U1f, ci, jnp.sqrt(jnp.max(a * a + b * b))
+
+            U1f, citers, umax = self._gran_cached(
+                "correction_pk", _corr_umax_pk, x, P1, P, dt
             )
             U1 = self.pctx.unpack(U1f) if was2d else U1f
             return U1, P1, {
@@ -1841,6 +1846,7 @@ class FastStepper:
                 "linear_iters": lin_total,
                 "pressure_iters": int(piters),
                 "correction_iters": int(citers),
+                "umax": float(umax),
             }
         if self._gran_fast_ok:
             x, n_newton, lin_total = self._gran_lagged_solve(
@@ -1882,19 +1888,24 @@ class FastStepper:
             )[:2],
             Ui, P, dt,
         )
-        U1, citers, _ = self._gran_cached(
-            "correction",
-            lambda Ui, P1, P, dt: self.ctx._velocity_correction_impl(
+        def _corr_umax(Ui, P1, P, dt):
+            # fold the CFL readback into the correction execution (one
+            # fewer granular dispatch per step)
+            U1, ci, _ = self.ctx._velocity_correction_impl(
                 Ui, P1, P, self.rho, self.mu, dt, self.mask_u, self.val_u,
                 self.correction_rtol, rotational=self.rotational,
-            ),
-            Ui, P1, P, dt,
+            )
+            return U1, ci, jnp.sqrt(jnp.max(jnp.sum(U1 * U1, axis=1)))
+
+        U1, citers, umax = self._gran_cached(
+            "correction", _corr_umax, Ui, P1, P, dt
         )
         return U1, P1, {
             "newton_iters": n_newton,
             "linear_iters": lin_total,
             "pressure_iters": int(piters),
             "correction_iters": int(citers),
+            "umax": float(umax),
         }
 
     def run_granular(self, U, P, dt0, n_steps, kry_maxiter=10):
@@ -1905,12 +1916,6 @@ class FastStepper:
         pk = self.packed
         if pk and U.ndim == 2:
             U = self.pctx.pack(U)
-
-        def _umax(U):
-            if pk:
-                a, b = self.pctx.comps(U)
-                return jnp.sqrt(jnp.max(a * a + b * b))
-            return jnp.sqrt(jnp.max(jnp.sum(U * U, axis=1)))
 
         import os as _os
         import sys as _sys
@@ -1941,7 +1946,7 @@ class FastStepper:
                     file=_sys.stderr,
                     flush=True,
                 )
-            umax = float(self._gran_cached("umax", _umax, U))
+            umax = stats["umax"]
             target_dt = self.cfl_target * self.hmax / max(umax, 1e-30)
             dt = min(
                 self.dt_max, dt * min(2.0, 1.0 + 0.5 * (target_dt - dt) / dt)

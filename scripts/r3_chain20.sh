@@ -48,6 +48,10 @@ run10m b10m_lf_km10 BENCH_KRY_MAXITER=10
 run10m b10m_lf_km20 BENCH_KRY_MAXITER=20
 run10m b10m_lf_km40 BENCH_KRY_MAXITER=40
 
+# warm start (FLOW_MOM_WARMSTART=1): previous step's increment seeds the
+# solve; stopping target unchanged (physics-neutral, tests/test_ema.py)
+run10m b10m_lf_km20_ws BENCH_KRY_MAXITER=20 FLOW_MOM_WARMSTART=1
+
 # 7.6M granular with linfast at km=20 (vs chain-18 fused 0.024 and the
 # chain-17 generic-granular 0.008)
 gate
