@@ -111,7 +111,7 @@ class FastStepper:
         # target stays relative to the TRUE initial residual at U (computed
         # in the setup execution regardless), so the converged answer and
         # the physics are unchanged — only the Krylov iteration count moves.
-        self.gran_warmstart = (
+        self.mom_warmstart = (
             _os0.environ.get("FLOW_MOM_WARMSTART", "") == "1"
         )
         self._ws_prev = None  # (x_solution, U_at_solve, float(dt)) host refs
@@ -464,9 +464,29 @@ class FastStepper:
         if self.bdf2:
             self.step_bdf2 = jax.jit(self._step_impl_bdf2)
 
-    def _mom_krylov(self, A, b, M, rtol, maxiter=300):
+    def _lagged_mom_solve(self, Jv, r0, M, warm, free):
+        """One affine (lagged) momentum solve, optionally warm-started with
+        a seed increment (FLOW_MOM_WARMSTART: the dt-scaled previous
+        velocity increment, threaded through the fused scan carry). The
+        affine residual updates algebraically (r_w = r0 + J d0) and the
+        stopping target stays relative to the TRUE initial residual at
+        the transport state either way, so the converged answer is
+        unchanged — only the Krylov iteration count moves."""
+        if warm is None:
+            return self._mom_krylov(Jv, -r0, M, self.newton_rtol)
+        d0 = free * warm
+        rw = r0 + Jv(d0)
+        tgt = jnp.maximum(
+            self.newton_rtol * jnp.sqrt(jnp.sum(r0 * r0)),
+            0.05 * self.newton_tol,
+        )
+        dx, sinfo = self._mom_krylov(Jv, -rw, M, 0.0, atol=tgt)
+        return d0 + dx, sinfo
+
+    def _mom_krylov(self, A, b, M, rtol, maxiter=300, atol=None):
         """Momentum-solve Krylov dispatch (see mom_solver in __init__)."""
-        atol = 0.05 * self.newton_tol
+        if atol is None:
+            atol = 0.05 * self.newton_tol
         if self.mom_solver == "gmres":
             # FLOW_GMRES_BASIS=bf16: Arnoldi basis in bfloat16 — the
             # batched-MGS basis reads are the solve's dominant HBM
@@ -798,7 +818,7 @@ class FastStepper:
         return self._step_impl(uhat, P, dt_eff, Fq, x0=x0)
 
     # -- packed-path substeps (flat [2n] velocity state) ---------------------
-    def _step_impl_pk(self, Uf, Pf, dt, Fq=None, x0=None):
+    def _step_impl_pk(self, Uf, Pf, dt, Fq=None, x0=None, warm=None):
         assert Fq is None, "packed path covers the zero-body-force surface"
         pc = self.pctx
         ctx = self.ctx
@@ -842,7 +862,7 @@ class FastStepper:
                 Jv = self._ema_Jv_pk(x0, dt, free)
             else:
                 _, Jv = jax.linearize(res_lag, x0)
-            dx, sinfo = self._mom_krylov(Jv, -r0, M_mom, self.newton_rtol)
+            dx, sinfo = self._lagged_mom_solve(Jv, r0, M_mom, warm, free)
             Uif = x0 + dx
             # affine residual: res_lag(x0 + dx) = r0 + J dx, which is
             # exactly the Krylov solver's tracked residual — no extra
@@ -979,18 +999,19 @@ class FastStepper:
         return u1, sinfo.iters
 
     # -- one projection step (all substeps fused into one XLA program) ------
-    def _step_impl(self, U, P, dt, Fq=None, x0=None):
+    def _step_impl(self, U, P, dt, Fq=None, x0=None, warm=None):
         if self.packed and Fq is None:
             if U.ndim == 2:  # public [n, 2] API — convert at the seam
                 x0f = None if x0 is None else self.pctx.pack(x0)
+                wf = None if warm is None else self.pctx.pack(warm)
                 U1f, P1, stats = self._step_impl_pk(
-                    self.pctx.pack(U), P, dt, None, x0f
+                    self.pctx.pack(U), P, dt, None, x0f, wf
                 )
                 return self.pctx.unpack(U1f), P1, stats
-            return self._step_impl_pk(U, P, dt, None, x0)
-        return self._step_impl_dense(U, P, dt, Fq, x0)
+            return self._step_impl_pk(U, P, dt, None, x0, warm)
+        return self._step_impl_dense(U, P, dt, Fq, x0, warm)
 
-    def _step_impl_dense(self, U, P, dt, Fq=None, x0=None):
+    def _step_impl_dense(self, U, P, dt, Fq=None, x0=None, warm=None):
         # Fq None means f == 0: the force integral is skipped entirely
         # (saves one dof summation per residual evaluation)
         ctx = self.ctx
@@ -1151,8 +1172,8 @@ class FastStepper:
                 # (quadrature, amortized over every Krylov matvec) — see
                 # _ema_Jv; exactness pinned in tests/test_ema.py
                 Jv = self._ema_Jv(x0, dt, free_u)
-                dx, sinfo = self._mom_krylov(
-                    Jv, -r0, M_mom, self.newton_rtol
+                dx, sinfo = self._lagged_mom_solve(
+                    Jv, r0, M_mom, warm, free_u
                 )
                 Ui = x0 + dx
                 nres = sinfo.resnorm  # affine: r0 + J dx = Krylov residual
@@ -1171,7 +1192,7 @@ class FastStepper:
             # the solve IS the step: stop on the Newton target semantics
             # (rtol on |r0| / absolute newton_tol), not the inexact-Newton
             # inner linear_rtol
-            dx, sinfo = self._mom_krylov(Jv, -r0, M_mom, self.newton_rtol)
+            dx, sinfo = self._lagged_mom_solve(Jv, r0, M_mom, warm, free_u)
             Ui = x0 + dx
             nres = sinfo.resnorm  # affine: r0 + J dx = Krylov residual
             niters = jnp.array(1)
@@ -1765,7 +1786,7 @@ class FastStepper:
         rn = rnorm0
         ws = self._ws_prev
         if (
-            self.gran_warmstart
+            self.mom_warmstart
             and ws is not None
             and jnp.shape(ws[0]) == jnp.shape(Uf)
         ):
@@ -1790,7 +1811,7 @@ class FastStepper:
             n_seg += 1
             lin_total += int(li)
             rn = float(rn_a)
-        if self.gran_warmstart:
+        if self.mom_warmstart:
             self._ws_prev = (x, Uf, float(dt))
         return x, n_seg, lin_total
 
@@ -1993,9 +2014,18 @@ class FastStepper:
                 return jnp.max(a * a + b * b)
             return jnp.max(jnp.sum(U1 * U1, axis=1))
 
+        ws = self.mom_warmstart and self.lagged
+
         def body(carry, _):
-            U, P, dt, t = carry
-            U1, P1, stats = self._step_impl(U, P, dt, Fq)
+            if ws:
+                U, P, dt, t, Um1, dtp = carry
+                # warm seed: previous full-step velocity increment scaled
+                # to the current dt (zero on the first step: Um1 == U)
+                warm = (dt / dtp) * (U - Um1)
+                U1, P1, stats = self._step_impl(U, P, dt, Fq, warm=warm)
+            else:
+                U, P, dt, t = carry
+                U1, P1, stats = self._step_impl(U, P, dt, Fq)
             t = t + dt
             # smooth CFL-style controller (mirrors the host-side logic of
             # /root/reference/tests/test_karman_vortex_street.py:261-287,
@@ -2032,11 +2062,14 @@ class FastStepper:
                 out["div_norm"] = jnp.sqrt(
                     jnp.einsum("eq,q,e->", divq * divq, tab.w, ctx.geom.detJ)
                 )
+            if ws:
+                return (U1, P1, dt_new, t, U, dt), out
             return (U1, P1, dt_new, t), out
 
-        (U, P, dt, t), telemetry = jax.lax.scan(
-            body, (U, P, dt0, jnp.asarray(0.0, dtype=U.dtype)), None, length=n_steps
-        )
+        t0 = jnp.asarray(0.0, dtype=U.dtype)
+        carry0 = (U, P, dt0, t0, U, dt0) if ws else (U, P, dt0, t0)
+        carry, telemetry = jax.lax.scan(body, carry0, None, length=n_steps)
+        U, P, dt = carry[0], carry[1], carry[2]
         if pk:
             U = self.pctx.unpack(U)
         return U, P, dt, telemetry

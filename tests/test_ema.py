@@ -331,7 +331,7 @@ def test_gran_lagged_warmstart_matches_cold(monkeypatch):
     st_c = FastStepper(prob.V, prob.Q, prob.u_bcs, prob.p_bcs, **kw)
     monkeypatch.setenv("FLOW_MOM_WARMSTART", "1")
     st_w = FastStepper(prob.V, prob.Q, prob.u_bcs, prob.p_bcs, **kw)
-    assert st_w.gran_warmstart and not st_c.gran_warmstart
+    assert st_w.mom_warmstart and not st_c.mom_warmstart
     Uc, Pc = u0.vector, p0.vector
     Uw, Pw = u0.vector, p0.vector
     dts = [1e-2, 1.2e-2, 1.5e-2]
@@ -346,3 +346,35 @@ def test_gran_lagged_warmstart_matches_cold(monkeypatch):
     np.testing.assert_allclose(np.asarray(Uw), np.asarray(Uc), atol=1e-8)
     np.testing.assert_allclose(np.asarray(Pw), np.asarray(Pc), atol=1e-7)
     assert lin_w <= lin_c
+
+
+def test_fused_lagged_warmstart_matches_cold(monkeypatch):
+    # FLOW_MOM_WARMSTART in the FUSED scan path: the carry threads the
+    # previous velocity increment; each lagged solve is seeded with the
+    # dt-scaled increment while the stopping target stays relative to the
+    # true initial residual — tight-tolerance trajectories must agree.
+    monkeypatch.setenv("FLOW_LAGGED_EMA", "1")
+    prob = KarmanProblem(lcar=0.15)
+    u0 = project((0.0, 0.0), prob.V)
+    p0 = project(0.0, prob.Q)
+    kw = dict(
+        rho=prob.rho, mu=prob.mu, rotational_form=True, convection="lagged",
+        newton_tol=1e-12, cfl_target=1.0, dt_max=5e-2,
+    )
+    for packed in (False, True):
+        st_c = FastStepper(prob.V, prob.Q, prob.u_bcs, prob.p_bcs,
+                           packed=packed, **kw)
+        monkeypatch.setenv("FLOW_MOM_WARMSTART", "1")
+        st_w = FastStepper(prob.V, prob.Q, prob.u_bcs, prob.p_bcs,
+                           packed=packed, **kw)
+        monkeypatch.delenv("FLOW_MOM_WARMSTART")
+        assert st_w.mom_warmstart and not st_c.mom_warmstart
+        Uc, Pc, dtc, telc = st_c.run(u0.vector, p0.vector, 1e-2, n_steps=4)
+        Uw, Pw, dtw, telw = st_w.run(u0.vector, p0.vector, 1e-2, n_steps=4)
+        np.testing.assert_allclose(np.asarray(Uw), np.asarray(Uc),
+                                   atol=1e-8)
+        np.testing.assert_allclose(np.asarray(Pw), np.asarray(Pc),
+                                   atol=1e-7)
+        np.testing.assert_allclose(float(dtw), float(dtc), rtol=1e-9)
+        # once the flow is moving the warm solve must not cost MORE
+        assert int(telw["linear_iters"][-1]) <= int(telc["linear_iters"][-1])
