@@ -267,6 +267,28 @@ def _measure_poisson(prob, stepper, state, reps=None):
     return ms, int(iters) // reps
 
 
+def _measure_dispatch(reps=5):
+    """Per-execution dispatch floor: N trivial executions, each
+    synchronized by a value readback. The chain-18 postmortem: a degraded
+    device window ran the 1.9M step series 3.6x slow with IDENTICAL
+    iteration counts and an IDENTICAL poisson canary (the poisson axis
+    amortizes inside ONE execution, so it is blind to per-execution
+    cost). This canary makes that mode attributable in the record."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1.0)
+    y = f(jnp.zeros(8, jnp.float32))
+    _ = float(y[0])
+    ts = []
+    for _i in range(reps):
+        t0 = time.perf_counter()
+        y = f(y)
+        _ = float(y[0])
+        ts.append(time.perf_counter() - t0)
+    return min(ts) * 1e3
+
+
 def _run_single(lcar, n_refine, n_steps, with_axes):
     """Measure one size; prints one JSON line (consumed by the parent)."""
     _setup_jax()
@@ -274,6 +296,10 @@ def _run_single(lcar, n_refine, n_steps, with_axes):
     n_dofs = 2 * prob.V.n_dofs + prob.Q.n_dofs
     sps, dtf, tel, state = _measure_steps(prob, stepper, n_steps)
     entry = {"n_dofs": n_dofs, "steps_per_sec": round(sps, 3)}
+    try:
+        entry["dispatch_ms"] = round(_measure_dispatch(), 2)
+    except Exception as e:  # noqa: BLE001
+        print(f"dispatch canary failed: {type(e).__name__}", file=sys.stderr)
     if with_axes:
         # the axes programs embed index tables as HLO constants (they are
         # standalone jits, not the hoisted step path) — at ~10M DoF they
@@ -436,6 +462,7 @@ def main():
                 ),
                 "assembly_gdof_s": entry.get("assembly_gdof_s"),
                 "poisson_ms": entry.get("poisson_ms"),
+                "dispatch_ms": entry.get("dispatch_ms"),
                 "cached_fallback": entry.get("cached_fallback", False),
                 "series": {str(k): v for k, v in series.items()},
                 # large-size points from dedicated campaigns (BENCH_LARGE
