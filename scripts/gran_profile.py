@@ -89,6 +89,31 @@ def main():
             lambda: st._gran_cached(f"prof_sweep{km}", sweep, x, x, P, dt)
         )
 
+        # 3b) linfast decomposition: one-time setup (EMA tensor + true
+        # residual by quadrature) vs a pure Krylov segment
+        if st._gran_fast_ok:
+            res["t_lf_setup_min"], res["t_lf_setup_avg"] = timed(
+                lambda: st._gran_cached(
+                    "prof_lfset",
+                    lambda Uf, Pf, dtv: st._gran_lagged_setup_pk(
+                        Uf, Pf, dtv
+                    ), x, P, dt,
+                )
+            )
+            r0, rn0, S = st._gran_cached(
+                "prof_lfset",
+                lambda Uf, Pf, dtv: st._gran_lagged_setup_pk(Uf, Pf, dtv),
+                x, P, dt,
+            )
+            res["t_lf_seg_min"], res["t_lf_seg_avg"] = timed(
+                lambda: st._gran_cached(
+                    f"prof_lfseg{km}",
+                    lambda z, r, Sv, Uf, dtv: st._gran_lagged_segment_pk(
+                        z, r, Sv, Uf, dtv, km
+                    ), x, r0, S, x, dt,
+                )
+            )
+
         # 4) pressure + correction executions
         res["t_pressure_min"], res["t_pressure_avg"] = timed(
             lambda: st._gran_cached(

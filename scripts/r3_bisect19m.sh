@@ -1,12 +1,13 @@
 #!/bin/bash
-# Bisect the chain-18 1.9M-DoF regression (0.110 steps/s vs chain-16's
-# 0.430, IDENTICAL iteration counts + healthy 494 ms poisson canary).
-# Splits tree-change vs device/tunnel-state causes:
-#   arm A: current tree            (expect 0.11 if tree-caused or device)
-#   arm B: chain-16 tree (eef9e25) (0.43 = tree regression between
-#          eef9e25..HEAD; 0.11 = device/tunnel drift, tree exonerated)
-#   arm A2: current tree again     (back-to-back variance control)
-# Runs in a detached worktree for arm B so the main tree stays intact.
+# Re-measure the 1.9M base point on a healthy worker (chain-18 postmortem:
+# the 0.110/0.090 base/ema arms ran in a degraded device window that the
+# mgbf16 worker crashes cleared — the later gb16 arm measured 0.401 and
+# cavity3d-base 0.588 matched the chain-16 ledger exactly). Adaptive:
+#   arm A: current tree. >=0.3 steps/s -> tree exonerated, STOP (the
+#          device window explains chain-18's anomaly; save TPU time for
+#          chain-20).
+#   arm B (only if A < 0.3): chain-16 worktree (eef9e25) back-to-back —
+#          splits tree regression vs persistent device drift.
 set -x
 cd "$(dirname "$0")/.."
 
@@ -24,6 +25,16 @@ mkdir -p $R
 gate
 BENCH_REFINES=5 timeout 3600 python bench.py > $R/armA_head.json 2> $R/armA_head.err
 tail -1 $R/armA_head.json
+
+VAL=$(python -c "
+import json
+try: print(json.load(open('$R/armA_head.json'))['value'])
+except Exception: print(0)")
+OK=$(python -c "print(1 if float('$VAL' or 0) >= 0.3 else 0)")
+if [ "$OK" = "1" ]; then
+  echo "BISECT19M_DONE tree-exonerated armA=$VAL"
+  exit 0
+fi
 
 WT=/tmp/wt_chain16
 git worktree remove --force $WT 2>/dev/null
