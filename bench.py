@@ -228,10 +228,10 @@ def _measure_assembly(prob, stepper, state, reps=None):
         return jax.lax.fori_loop(0, reps, body, x0)
 
     out = loop(U)
-    out.block_until_ready()
+    float(out.ravel()[0])  # value readback: block_until_ready can return early
     t0 = time.perf_counter()
     out = loop(U)
-    out.block_until_ready()
+    float(out.ravel()[0])
     per_apply = (time.perf_counter() - t0) / reps
     n_momentum_dofs = prob.V.n_dofs * prob.V.n_components
     return n_momentum_dofs / per_apply / 1.0e9, per_apply
@@ -259,10 +259,10 @@ def _measure_poisson(prob, stepper, state, reps=None):
         return jax.lax.fori_loop(0, reps, body, (p0, jnp.array(0)))
 
     (p1, iters) = loop(P * 0.0)
-    p1.block_until_ready()
+    float(p1.ravel()[0])  # value readback: block_until_ready can return early
     t0 = time.perf_counter()
     (p1, iters) = loop(P * 0.0)
-    p1.block_until_ready()
+    float(p1.ravel()[0])
     ms = (time.perf_counter() - t0) / reps * 1.0e3
     return ms, int(iters) // reps
 
@@ -541,10 +541,15 @@ def _bench_cavity3d(n_steps):
         elapsed = _time.perf_counter() - t0
     else:
         U, P, dtw, _ = stepper.run(U, P, dt0, n_steps=n_steps)
-        U.block_until_ready()
+        # axon quirk: block_until_ready on a queued execution chain can
+        # return EARLY — only an actual value readback synchronizes (the
+        # karman path's run_n already does this; chain-18's c3d32_all
+        # "48.6 steps/s" was this bug: elapsed=0.206 s measured dispatch,
+        # not execution)
+        float(dtw)
         t0 = _time.perf_counter()
         U, P, dtf, tel = stepper.run(U, P, dtw, n_steps=n_steps)
-        U.block_until_ready()
+        float(dtf)
         elapsed = _time.perf_counter() - t0
     sps = n_steps / elapsed
     print(

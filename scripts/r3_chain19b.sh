@@ -36,4 +36,13 @@ BENCH_LCAR=0.02 BENCH_REFINES=6 FLOW_TANGENT_MODE=jvp \
   > $R/gran_profile.json 2> $R/gran_profile.err
 tail -1 $R/gran_profile.json
 
+# 2) cavity3d N=32 fused RE-MEASURE under the fixed value-readback sync
+#    (the pre-fix path timed via block_until_ready, which the tunnel can
+#    early-return on queued chains — c3d32_all read a bogus 48.6; the
+#    ledger 0.520/0.587/0.588 points need an honest re-pin)
+gate
+BENCH_MODE=cavity3d BENCH_N=32 BENCH_STEPS=10 timeout 3000 python bench.py \
+  > $R/c3d32_repin.json 2> $R/c3d32_repin.err
+tail -1 $R/c3d32_repin.json
+
 echo CHAIN19B_DONE
