@@ -32,7 +32,15 @@ try: print(json.load(open('$R/armA_head.json'))['value'])
 except Exception: print(0)")
 OK=$(python -c "print(1 if float('$VAL' or 0) >= 0.3 else 0)")
 if [ "$OK" = "1" ]; then
-  echo "BISECT19M_DONE tree-exonerated armA=$VAL"
+  echo "BISECT19M tree-exonerated armA=$VAL"
+  # armC: fused momentum warm start at the default bench sizes
+  # (physics-neutral: identical stopping target, pinned in
+  # tests/test_ema.py) — the adoptable-default A/B against armA
+  gate
+  FLOW_MOM_WARMSTART=1 BENCH_REFINES=5 timeout 3600 python bench.py \
+    > $R/armC_ws.json 2> $R/armC_ws.err
+  tail -1 $R/armC_ws.json
+  echo BISECT19M_DONE
   exit 0
 fi
 
