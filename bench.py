@@ -137,13 +137,12 @@ def _measure_steps(prob, stepper, n_steps):
     P = prob.Q.zeros()
     dt0 = jnp.asarray(1.0e-4, dtype=U.dtype)
 
-    # granular (host-orchestrated) mode: at >=7.6M DoF one fused step
-    # exceeds the tunnel worker's ~10 s execution watchdog — run one
-    # bounded execution per Newton iteration / pressure / correction
-    # instead (BENCH_GRANULAR=1 or automatically above 4M DoF)
-    # with the lane-packed fused path (fem/packed.py) even 7.6M DoF fits
-    # and a single step stays under the watchdog; granular remains the
-    # fallback (BENCH_GRANULAR=1)
+    # granular (host-orchestrated) mode, opt-in via BENCH_GRANULAR=1:
+    # one bounded execution per momentum segment / pressure / correction
+    # for configurations whose fused step program OOMs HBM or exceeds
+    # the tunnel execution cap. With the lane-packed fused path
+    # (fem/packed.py) even 7.6M DoF fits fused (~41 s/step survived the
+    # watchdog, chain-18), so fused is the default at every size.
     granular = os.environ.get("BENCH_GRANULAR", "0")
     if granular == "1":
         km = int(os.environ.get("BENCH_KRY_MAXITER", "10"))
