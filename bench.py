@@ -501,6 +501,15 @@ def _bench_cavity3d(n_steps):
     # campaign script remembering it
     if n >= 48 and not os.environ.get("FLOW_CELL_CHUNK"):
         os.environ["FLOW_CELL_CHUNK"] = "131072"
+    # N>=64 still OOMs at compile WITH the chunked EMA build (chain-19b:
+    # 24.0G vs 15.75G HBM): the persistent [nc, nl*nl] scalar element
+    # tensor at P2-tet N=64 (nc=1.57M, nl=10 -> multi-GB with tile
+    # padding) plus MG level operators don't fit. Fall back to
+    # matvec-by-quadrature (EMA off, and linfast off since it exists to
+    # amortize the EMA build) — only chunk-bounded temps persist.
+    if n >= 64:
+        os.environ.setdefault("FLOW_LAGGED_EMA", "0")
+        os.environ.setdefault("FLOW_GRAN_LINFAST", "0")
     prob = Cavity3DProblem(n=n, mu=0.01)
     n_dofs = 3 * prob.V.n_dofs + prob.Q.n_dofs
     stepper = FastStepper(
