@@ -130,6 +130,10 @@ class FastStepper:
         # (fem/winmom.py; FLOW_WINKERNEL=1 enables — measured on TPU before
         # any default flip, see BENCH_NOTES)
         self.winkernel = _os0.environ.get("FLOW_WINKERNEL", "") == "1"
+        if self.winkernel:
+            from ..utils.winguard import winkernel_size_ok
+
+            self.winkernel = winkernel_size_ok(V.n_dofs, "momentum winkernel")
         self._winmom = None
         self.V, self.Q = V, Q
         self.ctx = _get_ctx(V, Q)

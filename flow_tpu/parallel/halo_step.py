@@ -355,6 +355,13 @@ class HaloProjection:
         # gather-free window kernels for the per-device momentum matvec
         # (parallel/halo_win.py; FLOW_WINKERNEL=1, same knob as FastStepper)
         self.winkernel = _os.environ.get("FLOW_WINKERNEL", "") == "1"
+        if self.winkernel:
+            from ..utils.winguard import winkernel_size_ok
+
+            # per-device operator rows = the extended (owned + halo) dof set
+            self.winkernel = winkernel_size_ok(
+                int(self.Vh.n_ext), "halo momentum winkernel"
+            )
         self._win_tabs = None
         if self.winkernel:
             from .halo_win import build_halo_window_tables

@@ -124,7 +124,13 @@ class P1Hierarchy:
 
                 def base_apply(x, _e16=L.ell16, _dt=dtype):
                     return _e16.apply(x.astype(jnp.bfloat16)).astype(_dt)
-            if self._winkernel and L.n >= self._winkernel_min:
+            from ..utils.winguard import winkernel_size_ok
+
+            if (
+                self._winkernel
+                and L.n >= self._winkernel_min
+                and winkernel_size_ok(L.n, "MG level winkernel")
+            ):
                 import jax as _jax
 
                 from ..fem.winkernel import WindowStiffnessOperator
