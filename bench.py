@@ -144,17 +144,21 @@ def _measure_steps(prob, stepper, n_steps):
     # (fem/packed.py) even 7.6M DoF fits fused (~41 s/step survived the
     # watchdog, chain-18), so fused is the default at every size.
     granular = os.environ.get("BENCH_GRANULAR", "0")
+    reps = _timed_reps()
     if granular == "1":
         km = int(os.environ.get("BENCH_KRY_MAXITER", "10"))
         U, P, dtw, _ = stepper.run_granular(
             U, P, 1.0e-4, n_steps=n_steps, kry_maxiter=km
         )
-        t0 = time.perf_counter()
-        U, P, dtf, tel = stepper.run_granular(
-            U, P, dtw, n_steps=n_steps, kry_maxiter=km
-        )
-        elapsed = time.perf_counter() - t0
-        return n_steps / elapsed, float(dtf), tel, (U, P)
+        sps_list = []
+        dtf, tel = dtw, None
+        for _rep in range(reps):
+            t0 = time.perf_counter()
+            U, P, dtf, tel = stepper.run_granular(
+                U, P, dtf, n_steps=n_steps, kry_maxiter=km
+            )
+            sps_list.append(n_steps / (time.perf_counter() - t0))
+        return max(sps_list), float(dtf), tel, (U, P), sps_list
     # chunk the scan so one device execution stays under ~8 s: the axon
     # worker watchdog kills long single executions (a 20-step scan at
     # refine-5 is a single ~300 s execution -> 'TPU device error'; every
@@ -186,13 +190,26 @@ def _measure_steps(prob, stepper, n_steps):
         tel = jax.tree.map(lambda *xs: jnp.concatenate(xs), *tels)
         return U, P, dt, tel
 
-    # warmup pass compiles the chunk program AND ramps dt toward CFL;
-    # the timed pass reuses the compiled program (same static chunk)
+    # warmup pass compiles the chunk program AND ramps dt toward CFL; the
+    # timed passes reuse the compiled program (same static chunk).
+    # BEST-OF-N (default 3, BENCH_TIMED_REPS): degraded-device windows
+    # produce 3.6x wall-clock swings at identical iteration counts with an
+    # identical dispatch canary (BENCH_NOTES chain-18 postmortem; VERDICT
+    # r03 weak #2) — a single timed shot measures the device lottery as
+    # much as the tree. All N are recorded in the entry so the spread
+    # itself is evidence of device health.
     U, P, dtw, _ = run_n(U, P, dt0, n_steps)
-    t0 = time.perf_counter()
-    U, P, dtf, tel = run_n(U, P, dtw, n_steps)
-    elapsed = time.perf_counter() - t0
-    return n_steps / elapsed, float(dtf), tel, (U, P)
+    sps_list = []
+    dtf, tel = dtw, None
+    for _rep in range(reps):
+        t0 = time.perf_counter()
+        U, P, dtf, tel = run_n(U, P, dtf, n_steps)
+        sps_list.append(n_steps / (time.perf_counter() - t0))
+    return max(sps_list), float(dtf), tel, (U, P), sps_list
+
+
+def _timed_reps():
+    return max(1, int(os.environ.get("BENCH_TIMED_REPS", "3")))
 
 
 def _bench_reps(n_dofs, cap=50):
@@ -293,8 +310,14 @@ def _run_single(lcar, n_refine, n_steps, with_axes):
     _setup_jax()
     prob, stepper = _build(lcar, n_refine)
     n_dofs = 2 * prob.V.n_dofs + prob.Q.n_dofs
-    sps, dtf, tel, state = _measure_steps(prob, stepper, n_steps)
-    entry = {"n_dofs": n_dofs, "steps_per_sec": round(sps, 3)}
+    sps, dtf, tel, state, sps_list = _measure_steps(prob, stepper, n_steps)
+    entry = {
+        "n_dofs": n_dofs,
+        "steps_per_sec": round(sps, 3),
+        # all timed reps (best is the headline): the spread attributes
+        # degraded-device windows (see _measure_steps)
+        "steps_per_sec_reps": [round(s, 3) for s in sps_list],
+    }
     try:
         entry["dispatch_ms"] = round(_measure_dispatch(), 2)
     except Exception as e:  # noqa: BLE001
@@ -537,29 +560,32 @@ def _bench_cavity3d(n_steps):
     # granular (host-orchestrated) mode for sizes whose fused step OOMs
     # HBM on the (nc, nl, m) jvp quadrature temps (N>=48 measured, chain 4)
     # or exceeds the tunnel watchdog — same switch as the karman path
+    sps_list = []
     if os.environ.get("BENCH_GRANULAR", "0") == "1":
         km = int(os.environ.get("BENCH_KRY_MAXITER", "10"))
-        U, P, dtw, _ = stepper.run_granular(
+        U, P, dtf, _ = stepper.run_granular(
             U, P, 1.0e-3, n_steps=n_steps, kry_maxiter=km
         )
-        t0 = _time.perf_counter()
-        U, P, dtf, tel = stepper.run_granular(
-            U, P, dtw, n_steps=n_steps, kry_maxiter=km
-        )
-        elapsed = _time.perf_counter() - t0
+        for _rep in range(_timed_reps()):
+            t0 = _time.perf_counter()
+            U, P, dtf, tel = stepper.run_granular(
+                U, P, dtf, n_steps=n_steps, kry_maxiter=km
+            )
+            sps_list.append(n_steps / (_time.perf_counter() - t0))
     else:
-        U, P, dtw, _ = stepper.run(U, P, dt0, n_steps=n_steps)
+        U, P, dtf, _ = stepper.run(U, P, dt0, n_steps=n_steps)
         # axon quirk: block_until_ready on a queued execution chain can
         # return EARLY — only an actual value readback synchronizes (the
         # karman path's run_n already does this; chain-18's c3d32_all
         # "48.6 steps/s" was this bug: elapsed=0.206 s measured dispatch,
         # not execution)
-        float(dtw)
-        t0 = _time.perf_counter()
-        U, P, dtf, tel = stepper.run(U, P, dtw, n_steps=n_steps)
         float(dtf)
-        elapsed = _time.perf_counter() - t0
-    sps = n_steps / elapsed
+        for _rep in range(_timed_reps()):
+            t0 = _time.perf_counter()
+            U, P, dtf, tel = stepper.run(U, P, dtf, n_steps=n_steps)
+            float(dtf)
+            sps_list.append(n_steps / (_time.perf_counter() - t0))
+    sps = max(sps_list)
     print(
         json.dumps(
             {
@@ -567,11 +593,12 @@ def _bench_cavity3d(n_steps):
                 "value": round(sps, 3),
                 "unit": "steps/s",
                 "vs_baseline": round(sps / 50.0, 3),
+                "steps_per_sec_reps": [round(s, 3) for s in sps_list],
             }
         )
     )
     print(
-        f"n_dofs={n_dofs} elapsed={elapsed:.3f}s "
+        f"n_dofs={n_dofs} best_of={len(sps_list)} "
         f"pressure_iters={np.asarray(tel['pressure_iters']).tolist()}",
         file=sys.stderr,
     )
