@@ -74,6 +74,7 @@ class FastStepper:
         packed="auto",
         convection="newton",
         momentum_solver="bicgstab",
+        patches=None,
     ):
         # setup work (context diagonals, BC masks, ELL assembly) runs on the
         # host CPU backend — see utils/hostsetup.py
@@ -87,7 +88,7 @@ class FastStepper:
                 pressure_precond, correction_rtol, cfl_target, dt_max,
                 forces_probe, divergence_probe, assembled_jacobian,
                 hoist_constants, momentum_precond, packed, convection,
-                momentum_solver,
+                momentum_solver, patches,
             )
 
     def _build_setup(
@@ -97,7 +98,7 @@ class FastStepper:
         pressure_precond, correction_rtol, cfl_target, dt_max,
         forces_probe, divergence_probe, assembled_jacobian,
         hoist_constants=True, momentum_precond=None, packed="auto",
-        convection="newton", momentum_solver="bicgstab",
+        convection="newton", momentum_solver="bicgstab", patches=None,
     ):
         import os as _os0
 
@@ -135,8 +136,28 @@ class FastStepper:
 
             self.winkernel = winkernel_size_ok(V.n_dofs, "momentum winkernel")
         self._winmom = None
-        self.V, self.Q = V, Q
-        self.ctx = _get_ctx(V, Q)
+        # patch-contiguous layout mode (fem/patch.py — the gather-free
+        # operator backend over coarse+refine^k hierarchies): state lives as
+        # patch-flat replicated vectors, gathers/dof-sums become window
+        # slices/overlap-adds, and Krylov runs with the replica-weighted
+        # inner product (iterate-for-iterate the un-replicated algorithm).
+        self.V_real, self.Q_real = V, Q
+        self.patch = patches is not None
+        if self.patch:
+            from .patchctx import PatchNSContext
+
+            assert not self.winkernel, "patch mode supersedes winkernel"
+            assert momentum_precond is None, (
+                "patch mode: vertex momentum preconditioner not wired"
+            )
+            self.ctx = PatchNSContext(patches, V, Q)
+            V, Q = self.ctx.V, self.ctx.Q
+            self.V, self.Q = V, Q
+            packed = False
+        else:
+            self.V, self.Q = V, Q
+            self.ctx = _get_ctx(V, Q)
+        self._pdot = self.ctx.dot if self.patch else None
         if self.winkernel:
             import jax as _jax
 
@@ -187,13 +208,21 @@ class FastStepper:
             assert time_step_method == "crank-nicolson"
             self.theta = (0.5, 0.5)
 
-        self.mask_u, self.val_u = combine_bcs(V, u_bcs)
+        self.mask_u, self.val_u = combine_bcs(self.V_real, u_bcs)
         self.has_p_bcs = bool(p_bcs)
         if self.has_p_bcs:
-            self.mask_p, self.val_p = combine_bcs(Q, p_bcs)
+            self.mask_p, self.val_p = combine_bcs(self.Q_real, p_bcs)
         else:
-            self.mask_p = jnp.zeros(Q.n_dofs, dtype=V.mesh.dtype)
+            self.mask_p = jnp.zeros(self.Q_real.n_dofs, dtype=V.mesh.dtype)
             self.val_p = self.mask_p
+        if self.patch:
+            # patch layout + padding slots pinned as Dirichlet-0 rows
+            self.mask_u, self.val_u = self.ctx.mask_to_patch(
+                self.V, self.mask_u, self.val_u
+            )
+            self.mask_p, self.val_p = self.ctx.mask_to_patch(
+                self.Q, self.mask_p, self.val_p
+            )
 
         self.newton_tol = newton_tol
         self.newton_rtol = newton_rtol
@@ -211,11 +240,19 @@ class FastStepper:
         self.divergence_probe = divergence_probe
 
         # assembled ELL pressure-Poisson operator (constant matrix): one
-        # row-gather per CG matvec instead of the full quadrature pipeline
-        from ..fem.ell import ell_stiffness
+        # row-gather per CG matvec instead of the full quadrature pipeline.
+        # Patch mode: the factored quadrature-free stiffness apply IS the
+        # fast path (window slices, no gathers) — no ELL.
+        if self.patch:
+            self._K_Q = None
+            self._KQ_apply = lambda p: assembly.stiffness_apply(
+                self.Q, self.ctx.geom, p
+            )
+        else:
+            from ..fem.ell import ell_stiffness
 
-        self._K_Q = ell_stiffness(Q, self.ctx.geom)
-        self._KQ_apply = self._K_Q.apply
+            self._K_Q = ell_stiffness(Q, self.ctx.geom)
+            self._KQ_apply = self._K_Q.apply
         if self.winkernel:
             import jax as _jax2
 
@@ -239,6 +276,8 @@ class FastStepper:
         # test_fast); "auto" resolves to OFF. Full analysis: BENCH_NOTES.md.
         if assembled_jacobian == "auto":
             assembled_jacobian = False
+        if self.patch:
+            assert not assembled_jacobian, "patch mode: no ELL Jacobian"
         self._mom_graph = None
         if assembled_jacobian:
             from ..fem.ell import (
@@ -294,7 +333,10 @@ class FastStepper:
         lag_ell_env = _os0.environ.get("FLOW_LAGGED_ELL", "auto")
         self._lagmom_graph = None
         # "auto" resolves OFF (measured negative on-chip, above)
-        if self.lagged and not self.winkernel and lag_ell_env == "1":
+        if (
+            self.lagged and not self.winkernel and not self.patch
+            and lag_ell_env == "1"
+        ):
             from ..fem.ell import (
                 ELLGraph,
                 FacetMassELL,
@@ -468,6 +510,13 @@ class FastStepper:
         if self.bdf2:
             self.step_bdf2 = jax.jit(self._step_impl_bdf2)
 
+    def _ssq(self, r):
+        """Squared residual norm: replica-weighted in patch mode (equal to
+        the un-replicated norm), plain sum otherwise."""
+        if self._pdot is not None:
+            return self._pdot(r, r)
+        return jnp.sum(r * r)
+
     def _lagged_mom_solve(self, Jv, r0, M, warm, free):
         """One affine (lagged) momentum solve, optionally warm-started with
         a seed increment (FLOW_MOM_WARMSTART: the dt-scaled previous
@@ -481,7 +530,7 @@ class FastStepper:
         d0 = free * warm
         rw = r0 + Jv(d0)
         tgt = jnp.maximum(
-            self.newton_rtol * jnp.sqrt(jnp.sum(r0 * r0)),
+            self.newton_rtol * jnp.sqrt(self._ssq(r0)),
             0.05 * self.newton_tol,
         )
         dx, sinfo = self._mom_krylov(Jv, -rw, M, 0.0, atol=tgt)
@@ -510,9 +559,11 @@ class FastStepper:
             return krylov.gmres(
                 A, b, M=M, rtol=rtol, atol=atol, maxiter=maxiter,
                 restart=min(self.gmres_restart, maxiter),
-                basis_dtype=bd,
+                basis_dtype=bd, dot=self._pdot,
             )
-        return krylov.bicgstab(A, b, M=M, rtol=rtol, atol=atol, maxiter=maxiter)
+        return krylov.bicgstab(
+            A, b, M=M, rtol=rtol, atol=atol, maxiter=maxiter, dot=self._pdot
+        )
 
     def _run_hoisted(
         self, U, P, dt0, n_steps, Fq=None, Um1=None, dtp0=None,
@@ -891,7 +942,7 @@ class FastStepper:
             dx, sinfo = self._mom_krylov(Jv, -r, M_mom, eta)
             x = x + dx
             rn = res_bc(x)
-            rnorm_new = jnp.sqrt(jnp.sum(rn * rn))
+            rnorm_new = jnp.sqrt(self._ssq(rn))
             if self.ew_forcing:
                 gamma = 0.9
                 eta_new = gamma * (rnorm_new / rnorm) ** 2
@@ -901,7 +952,7 @@ class FastStepper:
             return (x, rnorm_new, k + 1, lin + sinfo.iters, eta)
 
         r0 = res_bc(x0)
-        rnorm0 = jnp.sqrt(jnp.sum(r0 * r0))
+        rnorm0 = jnp.sqrt(self._ssq(r0))
         newton_target = jnp.maximum(self.newton_tol, self.newton_rtol * rnorm0)
 
         def newton_cond(state):
@@ -1004,6 +1055,16 @@ class FastStepper:
 
     # -- one projection step (all substeps fused into one XLA program) ------
     def _step_impl(self, U, P, dt, Fq=None, x0=None, warm=None):
+        if self.patch and U.shape[0] == self.V_real.n_dofs:
+            # global-layout API convenience: convert at the seam (setup-cost
+            # gathers; the scan path stays patch-resident)
+            Vp, Qp = self.V, self.Q
+            conv = lambda a, sp: None if a is None else sp.to_patch(a)
+            U1, P1, stats = self._step_impl_dense(
+                Vp.to_patch(U), Qp.to_patch(P), dt, Fq,
+                conv(x0, Vp), conv(warm, Vp),
+            )
+            return Vp.from_patch(U1), Qp.from_patch(P1), stats
         if self.packed and Fq is None:
             if U.ndim == 2:  # public [n, 2] API — convert at the seam
                 x0f = None if x0 is None else self.pctx.pack(x0)
@@ -1261,7 +1322,7 @@ class FastStepper:
             )
             x = x + dxp[inv]
             rn = res_bc(x)
-            rnorm_new = jnp.sqrt(jnp.sum(rn * rn))
+            rnorm_new = jnp.sqrt(self._ssq(rn))
             if self.ew_forcing:
                 gamma = 0.9
                 eta_new = gamma * (rnorm_new / rnorm) ** 2
@@ -1310,7 +1371,7 @@ class FastStepper:
             dx, sinfo = self._mom_krylov(Jv, -r, M_mom, eta)
             x = x + dx
             rn = res_bc(x)
-            rnorm_new = jnp.sqrt(jnp.sum(rn * rn))
+            rnorm_new = jnp.sqrt(self._ssq(rn))
             if self.ew_forcing:
                 # Eisenstat-Walker choice 2: eta ~ gamma (|r_k|/|r_{k-1}|)^2,
                 # with the standard over-solving safeguard; replaces the
@@ -1326,7 +1387,7 @@ class FastStepper:
             newton_body = newton_body_win
 
         r0 = res_bc(x0)
-        rnorm0 = jnp.sqrt(jnp.sum(r0 * r0))
+        rnorm0 = jnp.sqrt(self._ssq(r0))
         # absolute (reference semantics, :228-254) OR relative (the f32
         # benchmark path, where dt/rho scales the residual below f32 noise)
         newton_target = jnp.maximum(self.newton_tol, self.newton_rtol * rnorm0)
@@ -1443,6 +1504,7 @@ class FastStepper:
                     rtol=self.pressure_rtol,
                     maxiter=self.pressure_maxiter,
                     nullspace=[ctx.ones_Q],
+                    dot=self._pdot,
                 )
                 p1 = P + phi
             else:
@@ -1454,6 +1516,7 @@ class FastStepper:
                     rtol=self.pressure_rtol,
                     maxiter=self.pressure_maxiter,
                     nullspace=[ctx.ones_Q],
+                    dot=self._pdot,
                 )
         else:
             free = 1.0 - mask
@@ -1473,6 +1536,7 @@ class FastStepper:
                     M=self.pressure_precond,
                     rtol=self.pressure_rtol,
                     maxiter=self.pressure_maxiter,
+                    dot=self._pdot,
                 )
                 p1 = P + phi
             else:
@@ -1484,6 +1548,7 @@ class FastStepper:
                     M=self.pressure_precond,
                     rtol=self.pressure_rtol,
                     maxiter=self.pressure_maxiter,
+                    dot=self._pdot,
                 )
         return p1, sinfo.iters
 
@@ -1589,7 +1654,7 @@ class FastStepper:
             )
             x1 = x + dxp[inv]
             r1 = res_bc(x1)
-            return x1, jnp.sqrt(jnp.sum(r1 * r1)), sinfo.iters
+            return x1, jnp.sqrt(self._ssq(r1)), sinfo.iters
         if self._lagged_ema and T is not None:
             # element-matrix tangent (see _ema_Jv): rebuilt per granular
             # sweep (transport is fixed for the whole step, so the extra
@@ -1614,7 +1679,7 @@ class FastStepper:
         )
         x1 = x + dx
         r1 = res_bc(x1)
-        return x1, jnp.sqrt(jnp.sum(r1 * r1)), sinfo.iters
+        return x1, jnp.sqrt(self._ssq(r1)), sinfo.iters
 
     def _gran_newton_iter_pk(self, x, Uf, Pf, dt, kry_maxiter):
         pc = self.pctx
@@ -1661,7 +1726,7 @@ class FastStepper:
         )
         x1 = x + dx
         r1 = res_bc(x1)
-        return x1, jnp.sqrt(jnp.sum(r1 * r1)), sinfo.iters
+        return x1, jnp.sqrt(self._ssq(r1)), sinfo.iters
 
     # -- granular lagged-linear fast path ------------------------------------
     # With frozen (lagged) transport the momentum residual is AFFINE in the
@@ -1702,7 +1767,7 @@ class FastStepper:
         )
         r0 = free_u * r0 + self.mask_u * (U - self.val_u)
         S = self._ema_S(T, dt)
-        return r0, jnp.sqrt(jnp.sum(r0 * r0)), S
+        return r0, jnp.sqrt(self._ssq(r0)), S
 
     def _gran_lagged_segment(self, x, r, S, U, dt, kry_maxiter):
         rho = self.rho
@@ -1719,7 +1784,7 @@ class FastStepper:
         )
         x1 = x + dx
         r1 = r + Jv(dx)
-        return x1, r1, jnp.sqrt(jnp.sum(r1 * r1)), sinfo.iters
+        return x1, r1, jnp.sqrt(self._ssq(r1)), sinfo.iters
 
     def _gran_lagged_setup_pk(self, Uf, Pf, dt):
         pc, ctx = self.pctx, self.ctx
@@ -1735,7 +1800,7 @@ class FastStepper:
         r0 = r0 - (dt / rho) * w_im * b
         r0 = free * r0 + self.mask_uf * (Uf - self.val_uf)
         S = self._ema_S_pk(Tf, dt)
-        return r0, jnp.sqrt(jnp.sum(r0 * r0)), S
+        return r0, jnp.sqrt(self._ssq(r0)), S
 
     def _gran_lagged_segment_pk(self, x, r, S, Uf, dt, kry_maxiter):
         rho = self.rho
@@ -1752,7 +1817,7 @@ class FastStepper:
         )
         x1 = x + dx
         r1 = r + Jv(dx)
-        return x1, r1, jnp.sqrt(jnp.sum(r1 * r1)), sinfo.iters
+        return x1, r1, jnp.sqrt(self._ssq(r1)), sinfo.iters
 
     def _gran_lagged_warm(self, r, S, Uf, xp, Up, alpha, dt, packed):
         """Warm-start execution: seed the affine solve with the previous
@@ -1769,7 +1834,7 @@ class FastStepper:
         d = alpha * (xp - Up)
         x = Uf + d
         r_ws = r + Jv(d)
-        return x, r_ws, jnp.sqrt(jnp.sum(r_ws * r_ws))
+        return x, r_ws, jnp.sqrt(self._ssq(r_ws))
 
     def _gran_lagged_solve(self, Uf, Pf, dt, kry_maxiter, packed):
         """Segmented lagged momentum solve; returns (x, n_segments,
@@ -1998,6 +2063,17 @@ class FastStepper:
 
         dt_max/cfl_target override the constructor values as TRACED scalars
         — changing them between runs does not recompile the scan program."""
+        glob = self.patch and U.shape[0] == self.V_real.n_dofs
+        if glob:
+            U = self.V.to_patch(U)
+            P = self.Q.to_patch(P)
+            if Um1 is not None:
+                Um1 = self.V.to_patch(Um1)
+            out = self._run_impl(
+                U, P, dt0, n_steps, Fq, Um1, dtp0, dt_max, cfl_target
+            )
+            U1, P1 = self.V.from_patch(out[0]), self.Q.from_patch(out[1])
+            return (U1, P1) + tuple(out[2:])
         if self.bdf2:
             return self._run_impl_bdf2(
                 U, P, dt0, n_steps, Fq, Um1, dtp0, dt_max, cfl_target
@@ -2050,13 +2126,19 @@ class FastStepper:
             }
             if self.forces_probe is not None:
                 U1p = self.pctx.unpack(U1) if pk else U1
+                P1p = P1
+                if self.patch:
+                    U1p = self.V.from_patch(U1)
+                    P1p = self.Q.from_patch(P1)
                 if getattr(self.forces_probe, "needs_history", False):
                     # consistent force functional: gets the scheme's own
                     # time-derivative stencil (here BE/CN endpoint form)
                     Up = self.pctx.unpack(U) if pk else U
-                    out["forces"] = self.forces_probe(U1p, P1, Up, dt)
+                    if self.patch:
+                        Up = self.V.from_patch(U)
+                    out["forces"] = self.forces_probe(U1p, P1p, Up, dt)
                 else:
-                    out["forces"] = self.forces_probe(U1p, P1)
+                    out["forces"] = self.forces_probe(U1p, P1p)
             if self.divergence_probe:
                 # ||div u||_L2 — the projection splitting-error monitor
                 ctx = self.ctx
@@ -2123,14 +2205,20 @@ class FastStepper:
             }
             if self.forces_probe is not None:
                 U1p = self.pctx.unpack(U1) if pk else U1
+                P1p = P1
+                if self.patch:
+                    U1p = self.V.from_patch(U1)
+                    P1p = self.Q.from_patch(P1)
                 if getattr(self.forces_probe, "needs_history", False):
                     # (u_hat, dt_eff) make (U1 - u_hat)/dt_eff exactly the
                     # variable-step BDF2 derivative
                     uhat, dt_eff, _ = self._bdf2_hat(U, Um1, dt, dtp)
                     uhatp = self.pctx.unpack(uhat) if pk else uhat
-                    out["forces"] = self.forces_probe(U1p, P1, uhatp, dt_eff)
+                    if self.patch:
+                        uhatp = self.V.from_patch(uhat)
+                    out["forces"] = self.forces_probe(U1p, P1p, uhatp, dt_eff)
                 else:
-                    out["forces"] = self.forces_probe(U1p, P1)
+                    out["forces"] = self.forces_probe(U1p, P1p)
             if self.divergence_probe:
                 ctx = self.ctx
                 tab = assembly.tabulation(self.V, 2 * self.V.degree)

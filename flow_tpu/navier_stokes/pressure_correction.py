@@ -82,6 +82,12 @@ def _get_ctx(V: FunctionSpace, Q: FunctionSpace):
 class _Context:
     """Per-(V, Q) jitted substep solvers (compile once, reuse every step)."""
 
+    # inner-product override for the Krylov solves (None = plain sum-dot);
+    # the patch-layout context (navier_stokes/patchctx.py) sets its
+    # replica-weighted dot here so the inherited substep solvers run the
+    # exact un-replicated iteration
+    _cg_dot = None
+
     def __init__(self, V: FunctionSpace, Q: FunctionSpace):
         from ..utils.hostsetup import setup_on_cpu
 
@@ -396,6 +402,7 @@ class _Context:
                 rtol=tol,
                 maxiter=1000,
                 nullspace=[self.ones_Q],
+                dot=self._cg_dot,
             )
         else:
             free = 1.0 - mask
@@ -406,7 +413,8 @@ class _Context:
             pin = mask * (gvals - P0) if incr else mask * gvals
             rhs = free * (L2 - K(pin)) + pin
             p1, sinfo = krylov.cg(
-                K_bc, rhs, M=lambda r: r / (free * diag + mask), rtol=tol, maxiter=1000
+                K_bc, rhs, M=lambda r: r / (free * diag + mask), rtol=tol,
+                maxiter=1000, dot=self._cg_dot,
             )
         if incr:
             p1 = P0 + p1
@@ -440,7 +448,8 @@ class _Context:
             dmask = mask * (gvals - Ui)
             rhs = free * (L3 - assembly.mass_apply(V, geom, dmask)) + dmask
             d, sinfo = krylov.cg(
-                M_bc, rhs, M=lambda r: r / diag, rtol=tol, maxiter=500
+                M_bc, rhs, M=lambda r: r / diag, rtol=tol, maxiter=500,
+                dot=self._cg_dot,
             )
             return Ui + d, sinfo.iters, sinfo.converged
         L3 = assembly.mass_apply(V, geom, Ui) - (dt / rho) * forms.grad_phi_rhs(
@@ -448,7 +457,8 @@ class _Context:
         )
         rhs = free * (L3 - assembly.mass_apply(V, geom, mask * gvals)) + mask * gvals
         u1, sinfo = krylov.cg(
-            M_bc, rhs, M=lambda r: r / diag, rtol=tol, maxiter=500
+            M_bc, rhs, M=lambda r: r / diag, rtol=tol, maxiter=500,
+            dot=self._cg_dot,
         )
         return u1, sinfo.iters, sinfo.converged
 

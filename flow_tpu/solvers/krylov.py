@@ -41,14 +41,15 @@ def _identity(x):
     return x
 
 
-def _make_project(nullspace):
+def _make_project(nullspace, dot=None):
     if nullspace is None:
         return _identity
-    ns = [v / jnp.sqrt(_dot(v, v)) for v in nullspace]
+    _dot_ = dot or _dot
+    ns = [v / jnp.sqrt(_dot_(v, v)) for v in nullspace]
 
     def proj(x):
         for v in ns:
-            x = x - _dot(v, x) * v
+            x = x - _dot_(v, x) * v
         return x
 
     return proj
@@ -63,11 +64,18 @@ def cg(
     atol=0.0,
     maxiter=1000,
     nullspace=None,
+    dot: Optional[Callable] = None,
 ):
     """Preconditioned conjugate gradients for SPD (or consistent singular
-    semidefinite) systems."""
+    semidefinite) systems.
+
+    `dot` overrides the inner product (norms, orthogonality, and the
+    nullspace projection): required for SPMD-partitioned vectors (psum
+    dot) and for replica-weighted layouts (fem/patch.py), where the
+    weighted CG reproduces the un-replicated iteration exactly."""
     M = M or _identity
-    proj = _make_project(nullspace)
+    _dot = dot or globals()["_dot"]
+    proj = _make_project(nullspace, dot=dot)
     b = proj(b)
     x = jnp.zeros_like(b) if x0 is None else proj(x0)
 
