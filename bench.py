@@ -57,6 +57,15 @@ def _build(lcar, n_refine):
     from flow_tpu.solvers.multigrid import P1Hierarchy
 
     prob = KarmanProblem(lcar=lcar, n_refine=n_refine)
+    # BENCH_PATCH=1: the patch-contiguous gather-free operator backend
+    # (fem/patch.py — round-4 structural answer to the row-gather wall).
+    # Iterate-exact vs the einsum path (tests/test_patch.py); requires the
+    # coarse+refine^k hierarchy, so refine-0 falls back to the einsum path.
+    patches = None
+    if os.environ.get("BENCH_PATCH", "0") == "1" and n_refine > 0:
+        from flow_tpu.fem.patch import build_patch_info
+
+        patches = build_patch_info(prob.mesh_hierarchy)
     stepper = FastStepper(
         prob.V,
         prob.Q,
@@ -64,6 +73,7 @@ def _build(lcar, n_refine):
         prob.p_bcs,
         prob.rho,
         prob.mu,
+        patches=patches,
         # BENCH_MOMENTUM_PRECOND=vertex enables the SUPG-diagonal vertex
         # correction (A/B measured on the real chip; see BENCH_NOTES r03)
         momentum_precond=os.environ.get("BENCH_MOMENTUM_PRECOND") or None,
@@ -122,10 +132,18 @@ def _build(lcar, n_refine):
         # BENCH_MG_DEGREE: Chebyshev smoother degree per pre/post smooth —
         # the V-cycle cost knob (fine-level ELL applies per cycle scale
         # with it; pressure CG iteration count may grow as it shrinks)
-        hier = P1Hierarchy(
-            prob.mesh_hierarchy, bc_mask=stepper.mask_p,
-            smoother_degree=int(os.environ.get("BENCH_MG_DEGREE", "3")),
-        )
+        deg = int(os.environ.get("BENCH_MG_DEGREE", "3"))
+        if patches is not None:
+            from flow_tpu.solvers.patch_mg import PatchP1Hierarchy
+
+            hier = PatchP1Hierarchy(
+                patches, bc_mask=stepper.mask_p, smoother_degree=deg
+            )
+        else:
+            hier = P1Hierarchy(
+                prob.mesh_hierarchy, bc_mask=stepper.mask_p,
+                smoother_degree=deg,
+            )
         stepper.pressure_precond = hier.v_cycle
     return prob, stepper
 
@@ -133,8 +151,10 @@ def _build(lcar, n_refine):
 def _measure_steps(prob, stepper, n_steps):
     import jax.numpy as jnp
 
-    U = prob.V.zeros()
-    P = prob.Q.zeros()
+    # patch mode: create the state in patch layout so the whole scan stays
+    # patch-resident (no per-chunk conversion gathers)
+    U = stepper.V.zeros()
+    P = stepper.Q.zeros()
     dt0 = jnp.asarray(1.0e-4, dtype=U.dtype)
 
     # granular (host-orchestrated) mode, opt-in via BENCH_GRANULAR=1:

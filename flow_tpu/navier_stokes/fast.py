@@ -158,6 +158,16 @@ class FastStepper:
             self.V, self.Q = V, Q
             self.ctx = _get_ctx(V, Q)
         self._pdot = self.ctx.dot if self.patch else None
+        self._sqrtw_V = None
+        if self.patch:
+            # sqrt of the replica weight (1 on padding): conjugating the
+            # momentum operator by it turns PLAIN GMRES into the exact
+            # weighted-metric GMRES (batched MGS stays one clean matmul;
+            # mixing a weighted dot into only part of the Arnoldi breaks
+            # the Hessenberg relation — measured 5 -> 96 iterations)
+            w = self.V._weight
+            w = jnp.where(w > 0, w, 1.0)
+            self._sqrtw_V = jnp.sqrt(w)[:, None]
         if self.winkernel:
             import jax as _jax
 
@@ -556,6 +566,26 @@ class FastStepper:
             # clamp the restart to the iteration budget: the inner Arnoldi
             # cycle runs up to `restart` matvecs regardless of maxiter, and
             # granular mode's maxiter IS the watchdog budget per execution
+            if self._sqrtw_V is not None:
+                # weighted-metric GMRES by sqrt(W) conjugation (see
+                # _build_setup): standard-dot internals then reproduce the
+                # un-replicated iteration exactly
+                sw = self._sqrtw_V
+                A_, M_, b_ = A, M, b
+
+                def A2(v):
+                    return sw * A_(v / sw)
+
+                def M2(v):
+                    return sw * M_(v / sw)
+
+                x2, sinfo = krylov.gmres(
+                    A2, sw * b_, M=M2, rtol=rtol, atol=atol,
+                    maxiter=maxiter,
+                    restart=min(self.gmres_restart, maxiter),
+                    basis_dtype=bd,
+                )
+                return x2 / sw, sinfo
             return krylov.gmres(
                 A, b, M=M, rtol=rtol, atol=atol, maxiter=maxiter,
                 restart=min(self.gmres_restart, maxiter),
