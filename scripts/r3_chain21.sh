@@ -20,6 +20,10 @@
 set -x
 cd "$(dirname "$0")/.."
 
+# pid file for the retry tail (scripts/r3_chain21_retry.sh waits on it)
+echo $$ > /tmp/chain21.pid
+trap 'rm -f /tmp/chain21.pid' EXIT
+
 gate() {
   for i in $(seq 1 45); do
     timeout 90 python -c "import jax, jax.numpy as jnp; jnp.zeros(8).block_until_ready()" >/dev/null 2>&1 && return 0
@@ -32,35 +36,35 @@ R=/tmp/r3chain21
 mkdir -p $R
 
 # 0) N=32 fused re-pin
-gate
+gate || { echo GATE_FAILED; echo CHAIN21_DONE; exit 1; }
 BENCH_MODE=cavity3d BENCH_N=32 BENCH_STEPS=10 timeout 2400 python bench.py \
   > $R/c3d32_repin.json 2> $R/c3d32_repin.err
 tail -1 $R/c3d32_repin.json
 
 # 1) N=48 fused attempt (chunk defaults on at N>=48)
-gate
+gate || { echo GATE_FAILED; echo CHAIN21_DONE; exit 1; }
 BENCH_MODE=cavity3d BENCH_N=48 BENCH_STEPS=6 timeout 3600 python bench.py \
   > $R/c3d48_fused.json 2> $R/c3d48_fused.err
 tail -1 $R/c3d48_fused.json
 
 # 2) N=48 granular re-pin (post-EMA-adoption datum)
-gate
+gate || { echo GATE_FAILED; echo CHAIN21_DONE; exit 1; }
 BENCH_MODE=cavity3d BENCH_N=48 BENCH_GRANULAR=1 BENCH_STEPS=4 \
   timeout 3600 python bench.py \
   > $R/c3d48_gran.json 2> $R/c3d48_gran.err
 tail -1 $R/c3d48_gran.json
 
 # 3) N=64 granular, EMA/linfast off (bench default at N>=64)
-gate
+gate || { echo GATE_FAILED; echo CHAIN21_DONE; exit 1; }
 BENCH_MODE=cavity3d BENCH_N=64 BENCH_GRANULAR=1 BENCH_STEPS=4 \
-  BENCH_SIZE_TIMEOUT=4200 timeout 5400 python bench.py \
+  timeout 5400 python bench.py \
   > $R/c3d64_gran.json 2> $R/c3d64_gran.err
 tail -1 $R/c3d64_gran.json
 
 # 4) N=64 fused attempt (stretch)
-gate
+gate || { echo GATE_FAILED; echo CHAIN21_DONE; exit 1; }
 BENCH_MODE=cavity3d BENCH_N=64 BENCH_STEPS=4 \
-  BENCH_SIZE_TIMEOUT=4200 timeout 5400 python bench.py \
+  timeout 5400 python bench.py \
   > $R/c3d64_fused.json 2> $R/c3d64_fused.err
 tail -1 $R/c3d64_fused.json
 

@@ -9,8 +9,17 @@
 set -x
 cd "$(dirname "$0")/.."
 
-while kill -0 "$(cat /tmp/chain21.pid 2>/dev/null)" 2>/dev/null; do
-  sleep 60
+# wait for the main campaign: pid file while it runs (r3_chain21.sh now
+# writes it), with a marker-file fallback so a missing pid cannot race
+while true; do
+  pid="$(cat /tmp/chain21.pid 2>/dev/null)"
+  if [ -n "$pid" ] && kill -0 "$pid" 2>/dev/null; then sleep 60; continue; fi
+  if [ -z "$pid" ] && ! grep -q CHAIN21_DONE /tmp/chain21_main.log 2>/dev/null; then
+    # no pid and no completion marker: main not started yet (or log
+    # elsewhere) — poll rather than racing it on the same device/files
+    sleep 60; continue
+  fi
+  break
 done
 
 gate() {

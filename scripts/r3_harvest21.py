@@ -5,7 +5,8 @@ BENCH_LARGE.json as labeled 3-D cached-series entries.
 Each bench stdout file's last line is the one-line JSON record
 ({"metric": "cavity3d_steps_per_sec@<n>dof", ...}); stages that OOM'd
 or timed out leave an empty .json and are reported, not merged.
-Idempotent: an entry with the same (metric, measured) tag is replaced.
+Idempotent: an entry with the same (metric, mode_3d) pair is replaced
+(metric alone collides between fused and granular at the same N).
 """
 import json
 import os
@@ -37,7 +38,13 @@ def main():
                 if l.strip().startswith("{")
             ]
             if lines:
-                line = json.loads(lines[-1])
+                try:
+                    line = json.loads(lines[-1])
+                    line["metric"], line["value"]
+                except (ValueError, KeyError):
+                    # stage killed by `timeout` mid-print: report as
+                    # missing instead of aborting the whole merge
+                    line = None
         if line is None:
             missing.append(fname)
             continue
