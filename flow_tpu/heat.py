@@ -47,13 +47,25 @@ class Heat:
         source,
         supg_stabilization=False,
         rule_degree=None,
+        mesh_hierarchy=None,
     ):
+        """mesh_hierarchy (optional): the refine_uniform chain ending at
+        V.mesh. Enables the ON-DEVICE multigrid-GMRES solve path for large
+        systems (solver='mg' / the >DENSE_THRESHOLD auto default) — the
+        scipy-splu host solve is then only a fallback for meshes without
+        refinement structure."""
         self.V = V
         self.bcs = bcs
         mesh = V.mesh
         geom = geometry(mesh)
         self.geom = geom
         rho_cp = rho * cp
+        self.mesh_hierarchy = mesh_hierarchy
+        if mesh_hierarchy is not None:
+            assert mesh_hierarchy[-1] is mesh, (
+                "mesh_hierarchy must end at V.mesh"
+            )
+        self._kappa_prime = float(kappa) / float(rho_cp)
 
         deg = V.degree
         rd = rule_degree or (2 * deg + 1)
@@ -121,6 +133,14 @@ class Heat:
         self.b_vec = V.dof_sum(b_loc)
         self.mask, self.bc_vals = combine_bcs(V, bcs)
         self._lu_cache = {}  # (alpha, beta) -> factorized sparse operator
+        # cell-mean |convection| on the discretization mesh: drives the
+        # streamline-upwind artificial diffusion kappa + |b| h / 2 of the
+        # MG preconditioner levels (solvers/shifted_mg.py docstring)
+        self._bmag_cell = None
+        if bq is not None:
+            self._bmag_cell = np.asarray(
+                jnp.mean(jnp.sqrt(jnp.sum(bq * bq, axis=-1)), axis=1)
+            )
 
     # -- operator actions -----------------------------------------------------
     def _apply_loc(self, loc, u):
@@ -139,24 +159,65 @@ class Heat:
         beta = float(beta)
         return alpha * self.M_apply(uvec) + beta * (self.A_apply(uvec) + self.b_vec)
 
-    def solve_alpha_M_beta_F(self, alpha, beta, b, t, solver="direct"):
+    def solve_alpha_M_beta_F(self, alpha, beta, b, t, solver=None):
         """Solve (alpha M + beta A) u = b - beta*b_vec with Dirichlet rows
         replaced (row-replacement semantics of dolfin bc.apply,
         reference heat.py:113-121).
 
-        solver='direct' (default): dense LU below DENSE_THRESHOLD, cached
-        sparse LU above — the reference's own choice ("Krylov doesn't
-        converge" for convection-dominated systems, heat.py:116-121); the
-        factorization is host-side setup work reused across time steps with
-        the same (alpha, beta). solver='gmres': the matrix-free
-        Jacobi-GMRES path (jit-compatible; fragile when convection
-        dominates at large scale)."""
+        solver=None (auto): dense LU below DENSE_THRESHOLD; above it the
+        ON-DEVICE 'mg' path when a mesh_hierarchy was provided, else the
+        host sparse-LU fallback.
+        solver='mg': GMRES preconditioned by a shift-parameterized P1
+        geometric multigrid V-cycle on the symmetric reaction-diffusion
+        part alpha*M_lumped + (-beta)*kappa' K (solvers/shifted_mg.py; for
+        P2 spaces through the exact P2(mesh) == P1(refine(mesh)) dof
+        identification). Replaces the reference's LU choice
+        (/root/reference/flow/heat.py:116-121) with a device-resident
+        solve that scales — the convection/SUPG parts are handled by
+        GMRES, the elliptic+mass part by the V-cycle.
+        solver='direct': dense below threshold, cached scipy splu above
+        (host-side; the reference's own choice).
+        solver='gmres': Jacobi-GMRES (fragile when convection dominates)."""
         alpha = float(alpha)
         beta = float(beta)
+        if solver is None:
+            if self.V.n_dofs <= DENSE_THRESHOLD:
+                solver = "direct"
+            elif self.mesh_hierarchy is not None:
+                solver = "mg"
+            else:
+                solver = "direct"  # host splu fallback
         S_loc = alpha * self.M_loc + beta * self.A_loc
         rhs = b - beta * self.b_vec
         mask, vals = self.mask, self.bc_vals
         rhs = (1.0 - mask) * rhs + mask * vals
+
+        if solver == "mg":
+            free = 1.0 - mask
+
+            def op(x):
+                return free * self._apply_loc(S_loc, x) + mask * x
+
+            hier = self._mg_hierarchy()
+            c = max(-beta, 0.0)
+
+            def M(r):
+                return hier.v_cycle(r, shift=alpha, c=c)
+
+            # 1e-11: the solution error is rtol x cond(S) (measured ~6e3
+            # for the convection-dominated 74k case) — this keeps it well
+            # inside the goldens' 1e-6 discipline while staying above the
+            # measured f64 matvec noise floor (1e-12 was unreachable)
+            rtol = 1e-11 if rhs.dtype == jnp.float64 else 1e-6
+            # long restart: for convection-dominated operators the
+            # MG-preconditioned spectrum is complex-plane-spread and
+            # GMRES(40) restarts can stall (measured); 120 converges
+            x, sinfo = krylov.gmres(
+                op, rhs, M=M, rtol=rtol, maxiter=600, restart=120
+            )
+            if not bool(sinfo.converged):
+                raise RuntimeError("Heat MG-GMRES solve did not converge")
+            return Function(self.V, x)
 
         if solver == "direct" and self.V.n_dofs <= DENSE_THRESHOLD:
             from .fem import dense
@@ -190,6 +251,92 @@ class Heat:
             if not bool(sinfo.converged):
                 raise RuntimeError("Heat solve did not converge")
         return Function(self.V, x)
+
+    def _mg_hierarchy(self):
+        """Shift-parameterized MG preconditioner over the symmetric part,
+        cached ON THE FINE MESH (the Boussinesq driver rebuilds its Heat
+        every Banach sweep with identical structure; only BC values and
+        alpha change, and the hierarchy depends on neither)."""
+        assert self.mesh_hierarchy is not None, (
+            "solver='mg' needs mesh_hierarchy=[coarse...fine]"
+        )
+        from .solvers.shifted_mg import ShiftedP1Hierarchy
+
+        mesh = self.V.mesh
+
+        # streamline-upwind artificial diffusion on the discretization
+        # mesh: kappa_eff = kappa' + |b| h / 2 (see ShiftedP1Hierarchy —
+        # without it the pure-diffusion V-cycle is an indefinite
+        # preconditioner for convection-dominated operators)
+        extra_mesh = None
+        if self._bmag_cell is not None:
+            detJ = np.asarray(self.geom.detJ)
+            if getattr(mesh, "dim", 2) == 3:
+                h = np.cbrt(6.0 * np.abs(detJ))
+            else:
+                h = np.sqrt(2.0 * np.abs(detJ))
+            extra_mesh = 0.5 * self._bmag_cell * h
+        # bucket the cache by the convection strength's power of two: the
+        # Boussinesq Banach loop rebuilds Heat with a slowly-evolving
+        # transport field every sweep — a slightly stale streamline
+        # coefficient is a fine preconditioner, a per-sweep hierarchy
+        # rebuild is not
+        if extra_mesh is None:
+            bucket = None
+        else:
+            ratio = float(extra_mesh.max()) / max(self._kappa_prime, 1e-300)
+            bucket = int(np.ceil(np.log2(max(ratio, 1.0))))
+        mask_np = np.asarray(self.mask)
+        key = (
+            self.V.degree,
+            round(self._kappa_prime, 14),
+            hash(mask_np.tobytes()),
+            bucket,
+        )
+        cache = getattr(mesh, "_heat_mg_cache", None)
+        if cache is None:
+            cache = mesh._heat_mg_cache = {}
+        hier = cache.get(key)
+        if hier is None:
+            meshes = list(self.mesh_hierarchy)
+            nlev = len(meshes)
+            extras = None
+            if extra_mesh is not None:
+                extras = [None] * nlev
+                extras[-1] = extra_mesh
+                for l in range(nlev - 2, -1, -1):
+                    ncp = meshes[l].n_cells
+                    ch = extras[l + 1].reshape(-1, ncp)
+                    extras[l] = ch.mean(axis=0)
+            if self.V.degree == 2:
+                # P2 dofs on mesh == P1 dofs on refine(mesh), in order
+                # (fem/transfer.py): one extra preconditioner-side level
+                fkey = "_heat_mg_refined"
+                fine = getattr(mesh, fkey, None)
+                if fine is None:
+                    if getattr(mesh, "dim", 2) == 3:
+                        from .mesh3d import refine_uniform_tet
+
+                        fine = refine_uniform_tet(mesh)
+                    else:
+                        from .mesh import refine_uniform
+
+                        fine = refine_uniform(mesh)
+                    setattr(mesh, fkey, fine)
+                meshes = meshes + [fine]
+                if extras is not None:
+                    # same continuous coefficient on the children
+                    nchild = fine.n_cells // mesh.n_cells
+                    extras = extras + [np.tile(extra_mesh, nchild)]
+            hier = ShiftedP1Hierarchy(
+                meshes,
+                bc_mask=self.mask,
+                kappa=self._kappa_prime,
+                smoother_degree=2,
+                extra_diff=extras,
+            )
+            cache[key] = hier
+        return hier
 
     def _sparse_lu(self, alpha, beta, S_loc):
         """Cached scipy splu of the BC-constrained operator (host-side

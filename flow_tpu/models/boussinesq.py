@@ -11,7 +11,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from ..mesh import rectangle_with_hole_mesh
+from ..mesh import rectangle_with_hole_mesh, refine_uniform
 from ..fem.spaces import VectorFunctionSpace, FunctionSpace, Function
 from ..fem.bc import DirichletBC
 from ..fem.interpolate import project
@@ -54,9 +54,20 @@ def compute_boussinesq(
     dt_max=1.0,
     verbose=False,
     writer=None,
+    n_refine=0,
 ):
-    """Run the coupled simulation to `target_time`; returns (u1, p1, theta1)."""
+    """Run the coupled simulation to `target_time`; returns (u1, p1, theta1).
+
+    n_refine > 0 builds the mesh as coarse(lcar) + refine_uniform^n — the
+    scaled configuration: the refinement chain then feeds the ON-DEVICE
+    multigrid heat solve (flow_tpu.heat solver='mg') instead of the host
+    sparse-LU fallback."""
     mesh = rectangle_with_hole_mesh(X0, X1, Y0, Y1, cx=CX, cy=CY, r=R, lcar=lcar)
+    mesh_hierarchy = [mesh]
+    for _ in range(n_refine):
+        mesh = refine_uniform(mesh)
+        mesh_hierarchy.append(mesh)
+    heat_hierarchy = mesh_hierarchy if n_refine > 0 else None
 
     room_temp = 293.0
     max_heater_temp = 320.0
@@ -128,6 +139,7 @@ def compute_boussinesq(
                     heat_bcs,
                     0.0,
                     supg_stabilization=supg,
+                    mesh_hierarchy=heat_hierarchy,
                 )
                 theta1 = parabolic.ImplicitEuler(op).step(theta0, t, dt)
 

@@ -42,9 +42,21 @@ def compute_boussinesq_3d(
     dt0=1.0e-2,
     dt_max=1.0,
     heat_degree=2,
+    n_refine=0,
 ):
-    """Run the coupled 3-D simulation; returns (u1, p1, theta1)."""
+    """Run the coupled 3-D simulation; returns (u1, p1, theta1).
+
+    n_refine > 0 builds the box as coarse(n) + refine_uniform_tet^r — the
+    scaled configuration (BASELINE configs[4]); the chain feeds the
+    on-device multigrid heat solve (flow_tpu.heat solver='mg')."""
     mesh = box_mesh((0.0, 0.0, 0.0), (X1, Y1, Z1), *n)
+    mesh_hierarchy = [mesh]
+    for _ in range(n_refine):
+        from ..mesh3d import refine_uniform_tet
+
+        mesh = refine_uniform_tet(mesh)
+        mesh_hierarchy.append(mesh)
+    heat_hierarchy = mesh_hierarchy if n_refine > 0 else None
 
     room_temp = 293.0
     max_heater_temp = 320.0
@@ -101,6 +113,7 @@ def compute_boussinesq_3d(
                     heat_bcs,
                     0.0,
                     supg_stabilization=supg,
+                    mesh_hierarchy=heat_hierarchy,
                 )
                 theta1 = parabolic.ImplicitEuler(op).step(theta0, t, dt)
 
