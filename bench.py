@@ -59,13 +59,37 @@ def _build(lcar, n_refine):
     prob = KarmanProblem(lcar=lcar, n_refine=n_refine)
     # BENCH_PATCH=1: the patch-contiguous gather-free operator backend
     # (fem/patch.py — round-4 structural answer to the row-gather wall).
-    # Iterate-exact vs the einsum path (tests/test_patch.py); requires the
-    # coarse+refine^k hierarchy, so refine-0 falls back to the einsum path.
+    # BENCH_PATCH=packed: the lane-packed patch stepper (fem/patchpack.py +
+    # navier_stokes/patchfast.py) — gather-free AND tile-padding-free.
+    # Both iterate-exact vs the einsum path (tests/test_patch*.py); they
+    # need the coarse+refine^k hierarchy, so refine-0 falls back.
+    patch_env = os.environ.get("BENCH_PATCH", "0")
     patches = None
-    if os.environ.get("BENCH_PATCH", "0") == "1" and n_refine > 0:
+    if patch_env in ("1", "packed") and n_refine > 0:
         from flow_tpu.fem.patch import build_patch_info
 
         patches = build_patch_info(prob.mesh_hierarchy)
+    if patch_env == "packed" and patches is not None:
+        from flow_tpu.navier_stokes.patchfast import PackedPatchStepper
+
+        stepper = PackedPatchStepper(
+            prob.V, prob.Q, prob.u_bcs, prob.p_bcs, prob.rho, prob.mu,
+            patches,
+            newton_tol=0.0,
+            newton_rtol=_calibrated_tols()[0],
+            linear_rtol=_calibrated_tols()[1],
+            pressure_rtol=float(
+                os.environ.get("BENCH_PRESSURE_RTOL", "3.0e-4")
+            ),
+            correction_rtol=float(
+                os.environ.get("BENCH_CORRECTION_RTOL", "1.0e-4")
+            ),
+            momentum_solver=os.environ.get("BENCH_MOM_SOLVER", "gmres"),
+            mg_smoother_degree=int(os.environ.get("BENCH_MG_DEGREE", "3")),
+            cfl_target=1.0,
+            dt_max=1.0,
+        )
+        return prob, stepper
     stepper = FastStepper(
         prob.V,
         prob.Q,
@@ -151,10 +175,13 @@ def _build(lcar, n_refine):
 def _measure_steps(prob, stepper, n_steps):
     import jax.numpy as jnp
 
-    # patch mode: create the state in patch layout so the whole scan stays
-    # patch-resident (no per-chunk conversion gathers)
-    U = stepper.V.zeros()
-    P = stepper.Q.zeros()
+    # patch modes: create the state in patch layout so the whole scan
+    # stays patch-resident (no per-chunk conversion gathers)
+    if hasattr(stepper, "zeros"):  # PackedPatchStepper
+        U, P = stepper.zeros()
+    else:
+        U = stepper.V.zeros()
+        P = stepper.Q.zeros()
     dt0 = jnp.asarray(1.0e-4, dtype=U.dtype)
 
     # granular (host-orchestrated) mode, opt-in via BENCH_GRANULAR=1:
@@ -247,21 +274,34 @@ def _measure_assembly(prob, stepper, state, reps=None):
     import jax
     import jax.numpy as jnp
 
-    ctx = stepper.ctx
     U, P = state
     if reps is None:
         reps = _bench_reps(prob.V.n_dofs * prob.V.n_components)
     dt = jnp.asarray(1.0e-3, dtype=U.dtype)
 
-    @jax.jit
-    def loop(x0):
-        def body(_, x):
-            r = ctx._residual(
-                x, U, None, None, P, stepper.rho, stepper.mu, dt, stepper.theta
-            )
-            return x + 1e-30 * r
+    if hasattr(stepper, "bench_residual"):  # PackedPatchStepper
 
-        return jax.lax.fori_loop(0, reps, body, x0)
+        @jax.jit
+        def loop(x0):
+            def body(_, x):
+                r = stepper.bench_residual(x, U, P, dt)
+                return x + 1e-30 * r
+
+            return jax.lax.fori_loop(0, reps, body, x0)
+
+    else:
+        ctx = stepper.ctx
+
+        @jax.jit
+        def loop(x0):
+            def body(_, x):
+                r = ctx._residual(
+                    x, U, None, None, P, stepper.rho, stepper.mu, dt,
+                    stepper.theta,
+                )
+                return x + 1e-30 * r
+
+            return jax.lax.fori_loop(0, reps, body, x0)
 
     out = loop(U)
     float(out.ravel()[0])  # value readback: block_until_ready can return early

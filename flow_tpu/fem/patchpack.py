@@ -349,6 +349,9 @@ class PackedPatch:
         with setup_on_cpu():
             self._build_geometry(dtype)
             self._build_tabs(dtype)
+            self.kscal()  # build the lazy constant cache EAGERLY: a first
+            # call inside a jit trace would cache tracers (the repo's known
+            # lru-cache leak class — see verify skill notes)
 
     def _blocks_from_cellorder(self, arr):
         """PatchGeom flat cell order [ncp(,...)] -> (up, dn) packed blocks
@@ -503,3 +506,538 @@ class PackedPatch:
                     acc = self.lay2.acc_window(acc, t, i, dJ * y)
             out.append(self.lay2.seam_sum_planes(acc))
         return self.join(out[0], out[1])
+
+    # -- mixed/coupling kernels (unrolled factored reference tensors) ---------
+    def div_rhs(self, Xf):
+        """b[m] = int div(u) q_m -> P1 packed flat (exact).
+        out_m = detJ * sum_{k,j} Bref[k,m,j] g_kj,  g_kj = sum_b G[b][k] x_j^b."""
+        x0, x1 = self.comps(Xf)
+        B = self.Bref21
+        acc = self.zero_planes1(x0)
+        for t in range(2):
+            xw = [self.windows2(x0, t), self.windows2(x1, t)]
+            G = self.G[t]
+            dJ = self.detJ[t]
+            g = [
+                [G[0][k] * xw[0][j] + G[1][k] * xw[1][j] for j in range(6)]
+                for k in range(2)
+            ]
+            for m in range(3):
+                y = None
+                for k in range(2):
+                    for j in range(6):
+                        c = B[k, m, j]
+                        if c == 0.0:
+                            continue
+                        term = c * g[k][j]
+                        y = term if y is None else y + term
+                acc = self.lay1.acc_window(acc, t, m, dJ * y)
+        return self.lay1.seam_sum_planes(acc)
+
+    def pressure_grad_rhs(self, Pf):
+        """b[(i,a)] = int p d_a v_i -> P2 packed vector flat (exact).
+        out_i^a = detJ * sum_k G[a][k] h_ki,  h_ki = sum_m Bref[k,m,i] p_m."""
+        B = self.Bref21
+        out = []
+        for a in range(2):
+            acc = self.zero_planes2(Pf)
+            for t in range(2):
+                pw = self.windows1(Pf, t)
+                G = self.G[t]
+                dJ = self.detJ[t]
+                for i in range(6):
+                    y = None
+                    for k in range(2):
+                        h = None
+                        for m in range(3):
+                            c = B[k, m, i]
+                            if c == 0.0:
+                                continue
+                            term = c * pw[m]
+                            h = term if h is None else h + term
+                        if h is None:
+                            continue
+                        term = G[a][k] * h
+                        y = term if y is None else y + term
+                    acc = self.lay2.acc_window(acc, t, i, dJ * y)
+            out.append(self.lay2.seam_sum_planes(acc))
+        return self.join(out[0], out[1])
+
+    def grad_div_cell(self, Xf):
+        """Per-cell constant grad(div u) for P2 u: [2][type] -> [n,n,C].
+        v_d = sum_k G[d][k] * sum_{l,j} Href[j,k,l] w_lj,
+        w_lj = sum_b G[b][l] x_j^b   (also the transpose-term intermediate)."""
+        x0, x1 = self.comps(Xf)
+        H = self.Href2
+        out = [[None, None], [None, None]]  # [d][t]
+        for t in range(2):
+            xw = [self.windows2(x0, t), self.windows2(x1, t)]
+            G = self.G[t]
+            w = [
+                [G[0][l] * xw[0][j] + G[1][l] * xw[1][j] for j in range(6)]
+                for l in range(2)
+            ]
+            for d in range(2):
+                v = None
+                for k in range(2):
+                    u = None
+                    for l in range(2):
+                        for j in range(6):
+                            c = H[j, k, l]
+                            if c == 0.0:
+                                continue
+                            term = c * w[l][j]
+                            u = term if u is None else u + term
+                    if u is None:
+                        continue
+                    term = G[d][k] * u
+                    v = term if v is None else v + term
+                out[d][t] = v
+        return out
+
+    def grad_div_rhs(self, Xf):
+        """b[m] = int grad(div u).grad(q_m) -> P1 packed flat (exact;
+        rotational pressure term). loc_m = 0.5 detJ sum_{d,k} v_d G[d][k]
+        dref1[m,k]."""
+        v = self.grad_div_cell(Xf)
+        dref = self.dref1
+        acc = self.zero_planes1(Xf)
+        for t in range(2):
+            G = self.G[t]
+            dJ = self.detJ[t]
+            gv = [
+                v[0][t] * G[0][k] + v[1][t] * G[1][k] for k in range(2)
+            ]
+            for m in range(3):
+                y = dref[m, 0] * gv[0] + dref[m, 1] * gv[1]
+                acc = self.lay1.acc_window(acc, t, m, (0.5 * dJ) * y)
+        return self.lay1.seam_sum_planes(acc)
+
+    def grad_phi_rhs(self, Pf, div_part=None, mu=0.0):
+        """b[(i,a)] = int (grad(phi)_a [+ mu grad(div u*)_a]) v_i -> packed
+        vector flat (exact: grad(phi) is per-cell constant for P1 phi, and
+        int_cell v_i = detJ * refint_i)."""
+        dref = self.dref1
+        out = []
+        for a in range(2):
+            acc = self.zero_planes2(Pf)
+            for t in range(2):
+                pw = self.windows1(Pf, t)
+                G = self.G[t]
+                dJ = self.detJ[t]
+                pk = [
+                    dref[0, k] * pw[0] + dref[1, k] * pw[1] + dref[2, k] * pw[2]
+                    for k in range(2)
+                ]
+                ga = G[a][0] * pk[0] + G[a][1] * pk[1]
+                if div_part is not None:
+                    ga = ga + mu * div_part[a][t]
+                for i in range(6):
+                    c = self.refint2[i]
+                    if c == 0.0:
+                        continue
+                    acc = self.lay2.acc_window(acc, t, i, (c * dJ) * ga)
+            out.append(self.lay2.seam_sum_planes(acc))
+        return self.join(out[0], out[1])
+
+    # -- lagged momentum operator (EMA twin) ----------------------------------
+    def ema_S(self, Tf, s_mu, s_rho):
+        """Scalar element tensor of the lagged momentum operator:
+        S[t][i][j] = detJ*Mref_ij + s_mu*Kscal_ij + s_rho*conv_ij(T),
+        conv_ij = 0.5 detJ sum_q qw_q (phi_qi A_qj - phi_qj A_qi),
+        A_qm = sum_k TG_qk dphi[q,m,k], TG_qk = sum_d T_d(q) G[d][k]."""
+        T0, T1 = self.comps(Tf)
+        ks = self.kscal()
+        S = []
+        for t in range(2):
+            Tw = [self.windows2(T0, t), self.windows2(T1, t)]
+            G = self.G[t]
+            dJ = self.detJ[t]
+            A = []  # A[q][m]
+            for q in range(self.nq):
+                Td = [None, None]
+                for d in range(2):
+                    y = None
+                    for l in range(6):
+                        c = self.phi[q, l]
+                        term = c * Tw[d][l]
+                        y = term if y is None else y + term
+                    Td[d] = y
+                TG = [
+                    Td[0] * G[0][k] + Td[1] * G[1][k] for k in range(2)
+                ]
+                A.append([
+                    self.dphi[q, m, 0] * TG[0] + self.dphi[q, m, 1] * TG[1]
+                    for m in range(6)
+                ])
+            St = [[None] * 6 for _ in range(6)]
+            for i in range(6):
+                for jj in range(6):
+                    conv = None
+                    for q in range(self.nq):
+                        c1 = self.qw[q] * self.phi[q, i]
+                        c2 = self.qw[q] * self.phi[q, jj]
+                        term = c1 * A[q][jj] - c2 * A[q][i]
+                        conv = term if conv is None else conv + term
+                    kij = ks[t][(i, jj)] if jj >= i else ks[t][(jj, i)]
+                    St[i][jj] = (
+                        dJ * (self.Mref2[i, jj] + (0.5 * s_rho) * conv)
+                        + s_mu * kij
+                    )
+            S.append(St)
+        return S
+
+    def ema_volume_apply(self, S, Xf, s_mu):
+        """Volume part of the lagged tangent: component-diagonal scalar
+        contraction with S plus the factored grad-transpose stress coupling
+        (s_mu * detJ G[a][k] G[b][l] Kref[k,l,j,i] x_j^b)."""
+        x = list(self.comps(Xf))
+        K = self.Kref2
+        out = []
+        accs = [self.zero_planes2(x[0]) for _ in range(2)]
+        for t in range(2):
+            xw = [self.windows2(x[0], t), self.windows2(x[1], t)]
+            G = self.G[t]
+            dJ = self.detJ[t]
+            # scalar part per component
+            for a in range(2):
+                for i in range(6):
+                    y = None
+                    for jj in range(6):
+                        term = S[t][i][jj] * xw[a][jj]
+                        y = term if y is None else y + term
+                    accs[a] = self.lay2.acc_window(accs[a], t, i, y)
+            # transpose coupling: w_lj = sum_b G[b][l] x_j^b;
+            # u_ki = sum_{l,j} Kref[k,l,j,i] w_lj;
+            # out_i^a += s_mu detJ sum_k G[a][k] u_ki
+            w = [
+                [G[0][l] * xw[0][j] + G[1][l] * xw[1][j] for j in range(6)]
+                for l in range(2)
+            ]
+            for i in range(6):
+                u = [None, None]
+                for k in range(2):
+                    y = None
+                    for l in range(2):
+                        for j in range(6):
+                            c = K[k, l, j, i]
+                            if c == 0.0:
+                                continue
+                            term = c * w[l][j]
+                            y = term if y is None else y + term
+                    u[k] = y
+                for a in range(2):
+                    val = G[a][0] * u[0] + G[a][1] * u[1]
+                    accs[a] = self.lay2.acc_window(
+                        accs[a], t, i, (s_mu * dJ) * val
+                    )
+        out = [self.lay2.seam_sum_planes(accs[a]) for a in range(2)]
+        return self.join(out[0], out[1])
+
+
+class PackedBoundary:
+    """Boundary-facet tabulation re-addressed for the packed layout:
+    O(surface) representative-slot gathers + seam-broadcast scatters.
+    Carries the ds-terms of the momentum residual (reference
+    /root/reference/flow/navier_stokes/pressure_correction.py:134-144)."""
+
+    def __init__(self, btab, lay: PackedLayout, fine_geom):
+        from ..utils.hostsetup import setup_on_cpu
+
+        self.phi = btab.phi      # [nb, q, nl]
+        self.dphi = btab.dphi    # [nb, q, nl, 2]
+        self.wl = btab.wl        # [nb, q]
+        self.normals = btab.normals
+        self.nq1 = btab.nq1
+        self.lay = lay
+        with setup_on_cpu():
+            self.cell_dofs = lay.slot_of_dof_j[btab.cell_dofs]  # [nb, nl]
+            self.Gb = fine_geom.G[btab.cells]  # [nb, 2, 2] fine local order
+
+    def values_vec(self, Xf):
+        """Packed vector flat -> boundary values [nb, q, 2]."""
+        n = self.lay.n_flat
+        cols = []
+        for c in range(2):
+            loc = Xf[c * n:(c + 1) * n][self.cell_dofs]  # [nb, nl]
+            cols.append(jnp.einsum("bql,bl->bq", self.phi, loc))
+        return jnp.stack(cols, axis=-1)
+
+    def values_scalar(self, Pf):
+        """For a PackedBoundary built on a SCALAR layout (e.g. the P1
+        pressure): boundary values [nb, q]."""
+        loc = Pf[self.cell_dofs]
+        return jnp.einsum("bql,bl->bq", self.phi, loc)
+
+    def grads_vec(self, Xf):
+        """[nb, q, a, d] = d u_a / d x_d at boundary qps."""
+        n = self.lay.n_flat
+        cols = []
+        for c in range(2):
+            loc = Xf[c * n:(c + 1) * n][self.cell_dofs]
+            cols.append(
+                jnp.einsum("bqlk,bdk,bl->bqd", self.dphi, self.Gb, loc)
+            )
+        return jnp.stack(cols, axis=-2)
+
+    def integrate_rhs_vec(self, val):
+        """val [nb, q, 2] -> packed vector flat (seam-consistent)."""
+        loc = jnp.einsum("bqm,bq,bqi->bim", val, self.wl, self.phi)
+        flat_dofs = self.cell_dofs.reshape(-1)
+        outs = []
+        for c in range(2):
+            o = jnp.zeros((self.lay.n_flat,), dtype=val.dtype)
+            o = o.at[flat_dofs].add(loc[:, :, c].reshape(-1))
+            outs.append(self.lay.seam_sum(o))
+        return jnp.concatenate(outs)
+
+
+class P1LevelKernels:
+    """P1 packed kernels of one hierarchy level (stiffness apply/diag)."""
+
+    def __init__(self, info: PatchInfo, level, dtype):
+        self.lay = make_p1_layout(info, level, dtype)
+        geom = PatchGeom(info, level=level, dtype=np.float64)
+        C, n = info.C, 1 << level
+        half = C * n * n
+        Cg = np.asarray(geom.C)
+
+        def tr(x):
+            return np.moveaxis(x.reshape((C, n, n) + x.shape[1:]), 0, 2)
+
+        j = jnp.asarray
+        self.Cs = [
+            (
+                j(tr(Cg[o: o + half])[..., 0, 0], dtype=dtype),
+                j(tr(Cg[o: o + half])[..., 0, 1], dtype=dtype),
+                j(tr(Cg[o: o + half])[..., 1, 1], dtype=dtype),
+            )
+            for o in (0, half)
+        ]
+
+    def windows(self, Xs, ttype):
+        planes = self.lay.unflatten(Xs)
+        return [self.lay.window(planes, ttype, l) for l in range(3)]
+
+    def stiffness_apply(self, p):
+        lay = self.lay
+        acc = [
+            jnp.zeros((a, b, lay.C), dtype=p.dtype) for a, b in lay.planes
+        ]
+        d = ((-1.0, -1.0), (1.0, 0.0), (0.0, 1.0))
+        for t in range(2):
+            c00, c01, c11 = self.Cs[t]
+            xw = self.windows(p, t)
+            for i in range(3):
+                di = d[i]
+                y = None
+                for jj in range(3):
+                    dj = d[jj]
+                    kc = 0.5 * (
+                        di[0] * dj[0] * c00
+                        + (di[0] * dj[1] + di[1] * dj[0]) * c01
+                        + di[1] * dj[1] * c11
+                    )
+                    term = kc * xw[jj]
+                    y = term if y is None else y + term
+                acc = lay.acc_window(acc, t, i, y)
+        return lay.seam_sum_planes(acc)
+
+
+class PackedPatchP1Hierarchy:
+    """Packed-layout geometric multigrid for the pressure Poisson operator:
+    the lane-packed twin of solvers/patch_mg.PatchP1Hierarchy (same cycle
+    structure, every transfer/smooth a windowed dense op)."""
+
+    def __init__(self, info: PatchInfo, bc_mask=None, smoother_degree=3,
+                 coarse_dense_max=3000, lmin_ratio=0.30, dtype=None):
+        from ..utils.hostsetup import setup_on_cpu
+
+        with setup_on_cpu():
+            self._build(
+                info, bc_mask, smoother_degree, coarse_dense_max, lmin_ratio,
+                dtype,
+            )
+
+    def _build(self, info, bc_mask, smoother_degree, coarse_dense_max,
+               lmin_ratio, dtype):
+        from ..solvers.chebyshev import power_iteration_lmax
+        from ..fem import dense, assembly
+        from ..fem.spaces import FunctionSpace
+
+        if dtype is None:
+            dtype = info.meshes[-1].dtype
+        self.info = info
+        self.nlevels = info.k + 1
+        self.neumann = bc_mask is None
+        self.smoother_degree = smoother_degree
+
+        self.levels = []
+        for l in range(self.nlevels):
+            L = type("L", (), {})()
+            L.kern = P1LevelKernels(info, l, dtype)
+            L.lay = L.kern.lay
+            self.levels.append(L)
+
+        masks = [None] * self.nlevels
+        if bc_mask is not None:
+            masks[-1] = jnp.asarray(bc_mask, dtype=dtype)
+            for l in range(self.nlevels - 2, -1, -1):
+                fl = self.levels[l + 1].lay.unflatten(masks[l + 1])[0]
+                masks[l] = self.levels[l].lay.flatten([fl[::2, ::2]])
+
+        for l, L in enumerate(self.levels):
+            L.mask = masks[l]
+            free = None if L.mask is None else (1.0 - L.mask)
+            L.free = free
+            base = L.kern.stiffness_apply
+            if L.mask is None:
+                K = base
+            else:
+
+                def K(x, base=base, free=free, mask=L.mask):
+                    return free * base(free * x) + mask * x
+
+            L.K = K
+            # diagonal: global stiffness diag -> packed (one-time, exact)
+            sp = FunctionSpace(info.meshes[l], 1)
+            dg = assembly.stiffness_diag(sp, assembly.geometry(info.meshes[l]))
+            diag = L.lay.to_packed(jnp.asarray(dg, dtype=dtype))
+            diag = jnp.where(diag > 0, diag, 1.0)
+            if L.mask is not None:
+                diag = free * diag + L.mask
+            L.diag = diag
+            L.lmax = power_iteration_lmax(K, diag, L.lay.n_flat, dtype=dtype)
+            lmax_s, lmin_s = 1.05 * L.lmax, lmin_ratio * L.lmax
+            L.theta = 0.5 * (lmax_s + lmin_s)
+            L.delta = 0.5 * (lmax_s - lmin_s)
+
+        mesh0 = info.meshes[0]
+        S0 = FunctionSpace(mesh0, 1)
+        geom0 = assembly.geometry(mesh0)
+        n0 = mesh0.n_points
+        assert n0 <= coarse_dense_max, f"coarse level too big: {n0}"
+        K0 = dense.scalar_dense(
+            S0, np.asarray(assembly.stiffness_local(S0, geom0))
+        )
+        L0 = self.levels[0]
+        if self.neumann:
+            v = np.full(n0, 1.0 / np.sqrt(n0))
+            K0 = K0 + np.outer(v, v)
+        else:
+            m0 = np.asarray(L0.lay.from_packed(L0.mask)) == 1.0
+            K0[m0, :] = 0.0
+            K0[:, m0] = 0.0
+            K0[m0, m0] = 1.0
+        self.K0_inv = jnp.asarray(np.linalg.inv(K0), dtype=dtype)
+
+    # -- transfers ------------------------------------------------------------
+    def prolong(self, l, xc):
+        """P1 lattice interpolation, [mc, mc, C] -> [mf, mf, C] (leading
+        lattice axes; consistent -> consistent)."""
+        Xc = self.levels[l].lay.unflatten(xc)[0]
+        mc = Xc.shape[0]
+        mf = 2 * mc - 1
+        C = Xc.shape[2]
+        mid = 0.5 * (Xc[:, :-1] + Xc[:, 1:])
+        Y = jnp.concatenate(
+            [
+                jnp.stack([Xc[:, :-1], mid], axis=2).reshape(
+                    mc, 2 * (mc - 1), C
+                ),
+                Xc[:, -1:],
+            ],
+            axis=1,
+        )  # even rows [mc, mf, C]
+        colmid_e = 0.5 * (Xc[:-1, :] + Xc[1:, :])      # [mc-1, mc, C]
+        colmid_o = 0.5 * (Xc[1:, :-1] + Xc[:-1, 1:])   # diagonal mids
+        R = jnp.concatenate(
+            [
+                jnp.stack([colmid_e[:, :-1], colmid_o], axis=2).reshape(
+                    mc - 1, 2 * (mc - 1), C
+                ),
+                colmid_e[:, -1:],
+            ],
+            axis=1,
+        )  # odd rows [mc-1, mf, C]
+        out = jnp.concatenate(
+            [
+                jnp.stack([Y[:-1], R], axis=1).reshape(2 * (mc - 1), mf, C),
+                Y[-1:],
+            ],
+            axis=0,
+        )
+        return self.levels[l + 1].lay.flatten([out])
+
+    def restrict(self, l, rf):
+        """Exact adjoint of prolong on the replicated layout (weight split,
+        local transpose-interleave, coarse seam exchange)."""
+        layf = self.levels[l + 1].lay
+        Rf = layf.unflatten(layf.weight_j * rf)[0]
+        E = Rf[::2, ::2]
+        H = Rf[1::2, ::2]
+        V = Rf[::2, 1::2]
+        D = Rf[1::2, 1::2]
+        out = E
+        out = out.at[:-1, :].add(0.5 * H)
+        out = out.at[1:, :].add(0.5 * H)
+        out = out.at[:, :-1].add(0.5 * V)
+        out = out.at[:, 1:].add(0.5 * V)
+        out = out.at[1:, :-1].add(0.5 * D)
+        out = out.at[:-1, 1:].add(0.5 * D)
+        layc = self.levels[l].lay
+        return layc.seam_sum_planes([out])
+
+    def _smooth(self, L, b, x):
+        sigma = L.theta / L.delta
+        rho = 1.0 / sigma
+        r = b - L.K(x)
+        d = (r / L.diag) / L.theta
+        x = x + d
+        for _ in range(self.smoother_degree - 1):
+            r = r - L.K(d)
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            d = rho_new * rho * d + (2.0 * rho_new / L.delta) * (r / L.diag)
+            x = x + d
+            rho = rho_new
+        return x
+
+    def _project(self, l, x):
+        lay = self.levels[l].lay
+        w = lay.weight_j
+        return (x - jnp.sum(w * x) / jnp.sum(w)) * lay.valid_j
+
+    def v_cycle(self, b):
+        if self.neumann:
+            b = self._project(self.nlevels - 1, b)
+        bs = [None] * self.nlevels
+        xs = [None] * self.nlevels
+        bs[-1] = b
+        for l in range(self.nlevels - 1, 0, -1):
+            L = self.levels[l]
+            x = self._smooth(L, bs[l], jnp.zeros_like(bs[l]))
+            r = bs[l] - L.K(x)
+            if self.neumann:
+                r = self._project(l, r)
+            xs[l] = x
+            rc = self.restrict(l - 1, r)
+            if self.levels[l - 1].mask is not None:
+                rc = (1.0 - self.levels[l - 1].mask) * rc
+            bs[l] = bs[l]
+            bs[l - 1] = rc
+        L0 = self.levels[0]
+        b0 = L0.lay.from_packed(bs[0])
+        x0 = L0.lay.to_packed(self.K0_inv @ b0)
+        if self.neumann:
+            x0 = self._project(0, x0)
+        xs[0] = x0
+        for l in range(1, self.nlevels):
+            corr = self.prolong(l - 1, xs[l - 1])
+            if self.levels[l].mask is not None:
+                corr = (1.0 - self.levels[l].mask) * corr
+            x = xs[l] + corr
+            xs[l] = self._smooth(self.levels[l], bs[l], x)
+        out = xs[-1]
+        if self.neumann:
+            out = self._project(self.nlevels - 1, out)
+        return out * self.levels[-1].lay.valid_j

@@ -77,12 +77,19 @@ def cg(
     _dot = dot or globals()["_dot"]
     proj = _make_project(nullspace, dot=dot)
     b = proj(b)
-    x = jnp.zeros_like(b) if x0 is None else proj(x0)
 
     bnorm = jnp.sqrt(_dot(b, b))
     target = jnp.maximum(rtol * bnorm, atol)
 
-    r = proj(b - A(x))
+    # x0 None: r = b directly — one matvec saved, and the operator is
+    # never applied to a literal zero (which XLA's CPU constant folder
+    # chokes on for the large packed-patch kernels)
+    if x0 is None:
+        x = jnp.zeros_like(b)
+        r = b
+    else:
+        x = proj(x0)
+        r = proj(b - A(x))
     z = proj(M(r))
     p = z
     rz = _dot(r, z)
@@ -128,11 +135,15 @@ def bicgstab(
     decisions; device-local dots deadlock the collectives)."""
     M = M or _identity
     _dot_ = dot or _dot
-    x = jnp.zeros_like(b) if x0 is None else x0
     bnorm = jnp.sqrt(_dot_(b, b))
     target = jnp.maximum(rtol * bnorm, atol)
 
-    r = b - A(x)
+    if x0 is None:  # skip the initial matvec (see cg)
+        x = jnp.zeros_like(b)
+        r = b
+    else:
+        x = x0
+        r = b - A(x)
     rhat = r
     rnorm = jnp.sqrt(_dot_(r, r))
     rho = jnp.array(1.0, dtype=r.dtype)
@@ -341,7 +352,10 @@ def gmres(
     def dotf(u, v):
         return _dot_(unflat(u), unflat(v))
 
-    r0 = b - A(x)
+    if x0 is None:  # skip the initial matvec (see cg)
+        r0 = b
+    else:
+        r0 = b - A(x)
     rnorm0 = jnp.sqrt(_dot_(r0, r0))
 
     bd = basis_dtype or dtype
