@@ -216,7 +216,12 @@ def _measure_steps(prob, stepper, n_steps):
     # v5e measurement; a config slower than the calibration would produce a
     # chunk exceeding the ~8 s watchdog and kill the whole size (ADVICE r02)
     # — budget 6 s for margin and allow an env override for slow configs.
-    est_sps = float(os.environ.get("BENCH_EST_SPS", 0)) or 7.0e5 / n_dofs
+    # the 7e5 constant is the einsum-path calibration; the packed-patch
+    # stepper measured ~40x faster per step (88 ms at 1.9M, r4 profile) —
+    # chunking for it with the einsum estimate degenerates to chunk=1 and
+    # the per-call dispatch of the ~150-argument hoisted program dominates
+    base = 2.5e7 if hasattr(stepper, "bench_residual") else 7.0e5
+    est_sps = float(os.environ.get("BENCH_EST_SPS", 0)) or base / n_dofs
     budget_s = float(os.environ.get("BENCH_CHUNK_BUDGET_S", "6"))
     chunk = 1
     for c in sorted({d for d in range(1, n_steps + 1) if n_steps % d == 0}):
