@@ -54,10 +54,42 @@ class HoistedFunction:
                 uniq.append(c)
             index.append(seen[k])
         self._const_index = index
-        self._consts = uniq  # device_put lazily on first call
-        self._committed = False
 
-        def run(consts, flat_args):
+        # PACK the unique constants into ONE buffer per dtype: the axon
+        # tunnel pays a per-buffer dispatch cost (~30-40 ms) on every call,
+        # so a 150-argument hoisted program costs ~6 s/call in pure
+        # dispatch (measured round-4, scripts/hoist_overhead_probe.py:
+        # hoisted run 6.45 s vs the same program with embedded constants
+        # 86 ms). Packed, a call passes a handful of buffers; the program
+        # re-slices the constants device-side (one fused relayout pass,
+        # outside any scan).
+        groups = {}  # dtype name -> list of (uniq_idx, offset, size, shape)
+        buffers = {}
+        for i, c in enumerate(uniq):
+            arr = np.asarray(c)
+            dt = arr.dtype.name
+            buf = buffers.setdefault(dt, [])
+            off = sum(b.size for b in buf)
+            groups.setdefault(dt, []).append((i, off, arr.size, arr.shape))
+            buf.append(arr.ravel())
+        self._group_names = sorted(buffers)
+        self._packed_np = [
+            np.concatenate(buffers[g]) if buffers[g] else np.zeros(0)
+            for g in self._group_names
+        ]
+        spec = [None] * len(uniq)
+        for gi, g in enumerate(self._group_names):
+            for (i, off, size, shape) in groups[g]:
+                spec[i] = (gi, off, size, shape)
+        self._spec = spec
+        self._n_const_bytes = sum(b.nbytes for b in self._packed_np)
+        self._packed = None  # device_put on first call
+
+        def run(packed, flat_args):
+            consts = [
+                packed[gi][off: off + size].reshape(shape)
+                for (gi, off, size, shape) in self._spec
+            ]
             full = [consts[i] for i in self._const_index]
             out = jax.core.eval_jaxpr(self._jaxpr, full, *flat_args)
             return tree_util.tree_unflatten(self._out_tree, out)
@@ -66,22 +98,21 @@ class HoistedFunction:
 
     @property
     def n_const_bytes(self):
-        # metadata only — must not device_get the (potentially GB-sized)
-        # committed constant arrays
-        return sum(
-            int(np.prod(c.shape)) * c.dtype.itemsize for c in self._consts
-        )
+        return self._n_const_bytes
 
     def __call__(self, *args):
-        if not self._committed:
-            # one-time bulk transfer to the default device; afterwards the
-            # committed arrays are reused by every call
-            self._consts = jax.device_put(self._consts)
-            self._committed = True
+        if self._packed is None:
+            # one-time bulk transfer of the dtype-packed buffers to the
+            # default device; every call reuses the committed handles
+            self._packed = jax.device_put(self._packed_np)
+            self._packed_np = None  # host copies no longer needed
         flat, tree2 = tree_util.tree_flatten(args)
         assert tree2 == self._in_tree, (tree2, self._in_tree)
-        return self._run(self._consts, flat)
+        return self._run(self._packed, flat)
 
     def lower(self, *args):
+        if self._packed is None:
+            self._packed = jax.device_put(self._packed_np)
+            self._packed_np = None
         flat, _ = tree_util.tree_flatten(args)
-        return self._run.lower(self._consts, flat)
+        return self._run.lower(self._packed, flat)
