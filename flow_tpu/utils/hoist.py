@@ -73,10 +73,22 @@ class HoistedFunction:
             groups.setdefault(dt, []).append((i, off, arr.size, arr.shape))
             buf.append(arr.ravel())
         self._group_names = sorted(buffers)
-        self._packed_np = [
-            np.concatenate(buffers[g]) if buffers[g] else np.zeros(0)
-            for g in self._group_names
-        ]
+
+        def pack(parts):
+            buf = np.concatenate(parts) if parts else np.zeros(0)
+            # pad to a multiple of 8192 (= 8 sublanes x 128 lanes x 8):
+            # the TPU compiler factors a 1-D parameter's length into a 2-D
+            # tiled shape, and a near-prime length factors as [N/p, p] with
+            # tiny p — tile-padded p -> 128 (measured: a 272M-element f32
+            # group materialized as f32[90657734, 3]{T(8,128)} = 46 GB,
+            # OOMing the 10M-DoF compile). A 8192-multiple always admits a
+            # pad-free [N/8192, 8192]-style tiling.
+            pad = (-buf.size) % 8192
+            if pad:
+                buf = np.concatenate([buf, np.zeros(pad, dtype=buf.dtype)])
+            return buf
+
+        self._packed_np = [pack(buffers[g]) for g in self._group_names]
         spec = [None] * len(uniq)
         for gi, g in enumerate(self._group_names):
             for (i, off, size, shape) in groups[g]:
