@@ -316,6 +316,7 @@ def run_karman_fast(
     time_step_method="backward euler",
     force_probe="consistent",
     convection="newton",
+    backend="fast",
 ):
     """High-throughput Karman driver: the whole simulation is ONE compiled
     lax.scan (FastStepper) with on-device CFL dt control, multigrid-
@@ -347,28 +348,58 @@ def run_karman_fast(
             tvec = jnp.einsum("bqij,bj->bqi", sig, n) - pb[:, :, None] * n[:, None, :]
             return jnp.einsum("bqi,bq,b->i", tvec, bt.wl, problem.obstacle_facets)
 
-    stepper = FastStepper(
-        problem.V,
-        problem.Q,
-        problem.u_bcs,
-        problem.p_bcs,
-        problem.rho,
-        problem.mu,
-        time_step_method=time_step_method,
-        rotational_form=True,
-        convection=convection,
-        newton_tol=0.0,
-        newton_rtol=newton_rtol,
-        newton_maxiter=newton_maxiter,
-        linear_rtol=linear_rtol,
-        ew_forcing=ew_forcing,
-        pressure_rtol=pressure_rtol,
-        correction_rtol=correction_rtol,
-        cfl_target=cfl_target,
-        dt_max=dt_max,
-        forces_probe=forces_probe,
-    )
-    if use_multigrid and n_refine > 0:
+    packed = backend == "packed"
+    if packed:
+        # lane-packed patch stepper (navier_stokes/patchfast.py): the
+        # round-4 hot path — lagged-convection BE/BDF2 only, needs the
+        # refinement hierarchy; state lives packed for the whole run
+        assert convection == "lagged", "packed backend is lagged-only"
+        assert len(problem.mesh_hierarchy) > 1, "packed backend needs refine"
+        from ..fem.patch import build_patch_info
+        from ..navier_stokes.patchfast import PackedPatchStepper
+
+        info = build_patch_info(problem.mesh_hierarchy)
+        stepper = PackedPatchStepper(
+            problem.V,
+            problem.Q,
+            problem.u_bcs,
+            problem.p_bcs,
+            problem.rho,
+            problem.mu,
+            info,
+            time_step_method=time_step_method,
+            newton_tol=0.0,
+            newton_rtol=newton_rtol,
+            linear_rtol=linear_rtol,
+            pressure_rtol=pressure_rtol,
+            correction_rtol=correction_rtol,
+            cfl_target=cfl_target,
+            dt_max=dt_max,
+            forces_probe=forces_probe,
+        )
+    else:
+        stepper = FastStepper(
+            problem.V,
+            problem.Q,
+            problem.u_bcs,
+            problem.p_bcs,
+            problem.rho,
+            problem.mu,
+            time_step_method=time_step_method,
+            rotational_form=True,
+            convection=convection,
+            newton_tol=0.0,
+            newton_rtol=newton_rtol,
+            newton_maxiter=newton_maxiter,
+            linear_rtol=linear_rtol,
+            ew_forcing=ew_forcing,
+            pressure_rtol=pressure_rtol,
+            correction_rtol=correction_rtol,
+            cfl_target=cfl_target,
+            dt_max=dt_max,
+            forces_probe=forces_probe,
+        )
+    if not packed and use_multigrid and n_refine > 0:
         from ..solvers.multigrid import P1Hierarchy
 
         hier = P1Hierarchy(
@@ -378,12 +409,19 @@ def run_karman_fast(
 
     if initial_state is not None:
         U, P = initial_state  # e.g. a perturbed state to trigger shedding
+        if packed and U.shape[0] == problem.V.n_dofs:
+            U, P = stepper.to_packed_state(U, P)
     elif from_rest:
-        U = problem.V.zeros()
-        P = problem.Q.zeros()
+        if packed:
+            U, P = stepper.zeros()
+        else:
+            U = problem.V.zeros()
+            P = problem.Q.zeros()
     else:
         u0, p0 = problem.stokes_bootstrap(tol=1.0e-6, max_iter=2000)
         U, P = u0.vector, p0.vector
+        if packed:
+            U, P = stepper.to_packed_state(U, P)
 
     # checkpoint/resume of (U, P, dt) — SURVEY.md §5.4 (capability the
     # reference lacks entirely); written after every chunk. BDF2 segments
@@ -458,6 +496,8 @@ def run_karman_fast(
     # the scan's time carry restarts at 0 in each chunk call; reconstruct
     # the global time axis from the per-step dt series
     telemetry["t"] = np.cumsum(telemetry["dt"])
+    if packed:
+        U, P = stepper.from_packed_state(U, P)
     return {
         "problem": problem,
         "stepper": stepper,

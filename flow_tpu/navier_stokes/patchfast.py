@@ -255,12 +255,28 @@ class PackedPatchStepper:
             A, b, M=M, rtol=rtol, atol=atol, maxiter=300, dot=self.dotv
         )
 
+    # -- BDF2 as backward Euler from a modified state (fast.py lineage) -------
+    @staticmethod
+    def _bdf2_hat(U, Um1, dt, dtp):
+        r = dt / dtp
+        uhat = ((1.0 + r) ** 2 * U - r * r * Um1) / (1.0 + 2.0 * r)
+        dt_eff = dt * (1.0 + r) / (1.0 + 2.0 * r)
+        return uhat, dt_eff, r
+
+    def _step_impl_bdf2(self, Uf, Um1, Pf, dt, dtp):
+        uhat, dt_eff, r = self._bdf2_hat(Uf, Um1, dt, dtp)
+        # second-order extrapolated transport (the lagged linearization's
+        # BDF2-consistent frozen field)
+        x0 = (1.0 + r) * Uf - r * Um1
+        return self._step_impl(uhat, Pf, dt_eff, transport=x0)
+
     # -- one projection step --------------------------------------------------
-    def _step_impl(self, Uf, Pf, dt):
+    def _step_impl(self, Uf, Pf, dt, transport=None):
         pp = self.pp
         rho, mu = self.rho, self.mu
         free = 1.0 - self.mask_u
-        x0 = free * Uf + self.mask_u * self.val_u
+        x0 = free * (Uf if transport is None else transport) \
+            + self.mask_u * self.val_u
 
         A_raw, S = self._mom_operator(x0, dt)
 
@@ -352,27 +368,51 @@ class PackedPatchStepper:
         return Ui + d, sinfo.iters
 
     # -- fused scan loop ------------------------------------------------------
-    def _run_hoisted(self, Uf, Pf, dt0, n_steps):
+    def _run_hoisted(
+        self, Uf, Pf, dt0, n_steps, Um1=None, dtp0=None, dt_max=None,
+        cfl_target=None,
+    ):
         from ..utils.hoist import HoistedFunction
 
-        args = (Uf, Pf, dt0)
+        opt = {
+            "Um1": Um1, "dtp0": dtp0, "dt_max": dt_max,
+            "cfl_target": cfl_target,
+        }
+        names = tuple(k for k, v in opt.items() if v is not None)
+        args = (Uf, Pf, dt0) + tuple(opt[k] for k in names)
         sig = tuple(
             (jnp.shape(a), str(jnp.result_type(a)))
             for a in jax.tree.leaves(args)
         )
-        key = (n_steps, sig)
+        key = (n_steps, names, sig)
         hf = self._hoist_cache.get(key)
         if hf is None:
 
-            def g(Uf, Pf, dt0):
-                return self._run_impl(Uf, Pf, dt0, n_steps)
+            def g(Uf, Pf, dt0, *rest):
+                return self._run_impl(
+                    Uf, Pf, dt0, n_steps, **dict(zip(names, rest))
+                )
 
             hf = HoistedFunction(g, args)
             self._hoist_cache[key] = hf
         return hf(*args)
 
-    def _run_impl(self, Uf, Pf, dt0, n_steps):
+    def _run_impl(
+        self, Uf, Pf, dt0, n_steps, Um1=None, dtp0=None, dt_max=None,
+        cfl_target=None,
+    ):
         pp = self.pp
+        dt_cap = jnp.asarray(
+            self.dt_max if dt_max is None else dt_max, dtype=Uf.dtype
+        )
+        cfl = jnp.asarray(
+            self.cfl_target if cfl_target is None else cfl_target,
+            dtype=Uf.dtype,
+        )
+        if self.bdf2:
+            return self._run_impl_bdf2(
+                Uf, Pf, dt0, n_steps, Um1, dtp0, dt_cap, cfl
+            )
 
         def body(carry, _):
             Uf, Pf, dt, t = carry
@@ -380,9 +420,9 @@ class PackedPatchStepper:
             t = t + dt
             a, b = pp.comps(U1)
             umax = jnp.sqrt(jnp.max(a * a + b * b))
-            target_dt = self.cfl_target * self.hmax / jnp.maximum(umax, 1e-30)
+            target_dt = cfl * self.hmax / jnp.maximum(umax, 1e-30)
             dt_new = jnp.minimum(
-                self.dt_max,
+                dt_cap,
                 dt * jnp.minimum(2.0, 1.0 + 0.5 * (target_dt - dt) / dt),
             )
             out = {
@@ -408,3 +448,47 @@ class PackedPatchStepper:
             body, (Uf, Pf, dt0, t0), None, length=n_steps
         )
         return Uf, Pf, dt, telemetry
+
+    def _run_impl_bdf2(self, Uf, Pf, dt0, n_steps, Um1, dtp0, dt_cap, cfl):
+        pp = self.pp
+        if Um1 is None:
+            Um1 = Uf
+        dt0 = jnp.asarray(dt0, dtype=Uf.dtype)
+        dtp0 = dt0 if dtp0 is None else jnp.asarray(dtp0, dtype=Uf.dtype)
+
+        def body(carry, _):
+            Uf, Um1, Pf, dt, dtp, t = carry
+            U1, P1, stats = self._step_impl_bdf2(Uf, Um1, Pf, dt, dtp)
+            t = t + dt
+            a, b = pp.comps(U1)
+            umax = jnp.sqrt(jnp.max(a * a + b * b))
+            target_dt = cfl * self.hmax / jnp.maximum(umax, 1e-30)
+            dt_new = jnp.minimum(
+                dt_cap,
+                dt * jnp.minimum(2.0, 1.0 + 0.5 * (target_dt - dt) / dt),
+            )
+            out = {
+                "t": t,
+                "dt": dt,
+                "newton_iters": stats.newton_iters,
+                "linear_iters": stats.linear_iters,
+                "pressure_iters": stats.pressure_iters,
+                "correction_iters": stats.correction_iters,
+            }
+            if self.forces_probe is not None:
+                Ug, Pg = self.from_packed_state(U1, P1)
+                if getattr(self.forces_probe, "needs_history", False):
+                    # (u_hat, dt_eff): (U1 - u_hat)/dt_eff is exactly the
+                    # variable-step BDF2 derivative (fast.py lineage)
+                    uhat, dt_eff, _ = self._bdf2_hat(Uf, Um1, dt, dtp)
+                    uhg, _ = self.from_packed_state(uhat, Pf)
+                    out["forces"] = self.forces_probe(Ug, Pg, uhg, dt_eff)
+                else:
+                    out["forces"] = self.forces_probe(Ug, Pg)
+            return (U1, Uf, P1, dt_new, dt, t), out
+
+        t0 = jnp.asarray(0.0, dtype=Uf.dtype)
+        (Uf, Um1, Pf, dt, dtp, t), telemetry = jax.lax.scan(
+            body, (Uf, Um1, Pf, dt0, dtp0, t0), None, length=n_steps
+        )
+        return Uf, Pf, dt, telemetry, (Um1, dtp)
