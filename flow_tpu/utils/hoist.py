@@ -63,44 +63,48 @@ class HoistedFunction:
         # 86 ms). Packed, a call passes a handful of buffers; the program
         # re-slices the constants device-side (one fused relayout pass,
         # outside any scan).
-        groups = {}  # dtype name -> list of (uniq_idx, offset, size, shape)
+        # Group buffers are 2-D [rows, LANE] with every constant starting
+        # on a row boundary. A giant 1-D parameter is a trap: the TPU
+        # compiler's slice-of-reshape canonicalization re-factors it into
+        # an arbitrary 2-D shape before tiling, and a bad factorization
+        # tile-pads the minor dim to 128 (measured twice at 10M DoF:
+        # f32[90657734, 3] = 46 GB, then f32[135987200, 2] = 69 GB, both
+        # OOMing compile). A [rows, 1024] parameter has a fixed sane
+        # tiling, and each constant is a contiguous ROW SLICE of it.
+        LANE = 1024
+        groups = {}  # dtype name -> list of (uniq_idx, row_off, nrows,
+        #              size, shape)
         buffers = {}
         for i, c in enumerate(uniq):
             arr = np.asarray(c)
             dt = arr.dtype.name
             buf = buffers.setdefault(dt, [])
-            off = sum(b.size for b in buf)
-            groups.setdefault(dt, []).append((i, off, arr.size, arr.shape))
-            buf.append(arr.ravel())
+            row_off = sum(b.shape[0] for b in buf)
+            nrows = max(1, -(-arr.size // LANE))
+            padded = np.zeros(nrows * LANE, dtype=arr.dtype)
+            padded[: arr.size] = arr.ravel()
+            buf.append(padded.reshape(nrows, LANE))
+            groups.setdefault(dt, []).append(
+                (i, row_off, nrows, arr.size, arr.shape)
+            )
         self._group_names = sorted(buffers)
-
-        def pack(parts):
-            buf = np.concatenate(parts) if parts else np.zeros(0)
-            # pad to a multiple of 8192 (= 8 sublanes x 128 lanes x 8):
-            # the TPU compiler factors a 1-D parameter's length into a 2-D
-            # tiled shape, and a near-prime length factors as [N/p, p] with
-            # tiny p — tile-padded p -> 128 (measured: a 272M-element f32
-            # group materialized as f32[90657734, 3]{T(8,128)} = 46 GB,
-            # OOMing the 10M-DoF compile). A 8192-multiple always admits a
-            # pad-free [N/8192, 8192]-style tiling.
-            pad = (-buf.size) % 8192
-            if pad:
-                buf = np.concatenate([buf, np.zeros(pad, dtype=buf.dtype)])
-            return buf
-
-        self._packed_np = [pack(buffers[g]) for g in self._group_names]
+        self._packed_np = [
+            np.concatenate(buffers[g], axis=0) for g in self._group_names
+        ]
         spec = [None] * len(uniq)
         for gi, g in enumerate(self._group_names):
-            for (i, off, size, shape) in groups[g]:
-                spec[i] = (gi, off, size, shape)
+            for (i, row_off, nrows, size, shape) in groups[g]:
+                spec[i] = (gi, row_off, nrows, size, shape)
         self._spec = spec
         self._n_const_bytes = sum(b.nbytes for b in self._packed_np)
         self._packed = None  # device_put on first call
 
         def run(packed, flat_args):
             consts = [
-                packed[gi][off: off + size].reshape(shape)
-                for (gi, off, size, shape) in self._spec
+                packed[gi][row_off: row_off + nrows]
+                .reshape(-1)[:size]
+                .reshape(shape)
+                for (gi, row_off, nrows, size, shape) in self._spec
             ]
             full = [consts[i] for i in self._const_index]
             out = jax.core.eval_jaxpr(self._jaxpr, full, *flat_args)
