@@ -181,8 +181,15 @@ class KarmanProblem:
         |Cd|>20 spikes at the reference geometry's u ~ 0.01 velocities."""
         from ..navier_stokes.forces import ConsistentForceProbe
 
+        # FLOW_FORCE_RULE: quadrature-degree knob for the Cd_max audit
+        # (VERDICT r04: the stage-3 +0.22% corridor offset is attributed to
+        # probe/outflow discretization, not resolution)
+        import os as _os
+
+        rule = int(_os.environ.get("FLOW_FORCE_RULE", "5"))
         return ConsistentForceProbe(
-            self.V, self.Q, self.obstacle_predicate, self.rho, self.mu
+            self.V, self.Q, self.obstacle_predicate, self.rho, self.mu,
+            rule_degree=rule,
         )
 
     def drag_lift_coefficients(self, u, p):
@@ -439,6 +446,12 @@ def run_karman_fast(
             if stepper.bdf2 and "Um1" in arrays:
                 Um1 = arrays["Um1"]
                 dtp = jnp.asarray(scalars["dtp"], dtype=U.dtype)
+            if packed and U.shape[0] == problem.V.n_dofs:
+                # resume a global-layout (einsum-era) checkpoint into the
+                # packed run: one-time conversion gathers
+                U, P = stepper.to_packed_state(U, P)
+                if Um1 is not None:
+                    Um1 = stepper.pack_vec(Um1)
 
     # chunked execution: one compiled scan program of `chunk` steps, reused
     # for arbitrarily long runs (scan length is a static shape; keep single
@@ -453,11 +466,22 @@ def run_karman_fast(
         if checkpoint_path:
             from ..io import save_checkpoint
 
-            arrays = {"U": U, "P": P}
-            scalars = {"dt": float(dt)}
-            if stepper.bdf2 and Um1 is not None:
-                arrays["Um1"] = Um1
-                scalars["dtp"] = float(dtp)
+            if packed:
+                # checkpoints stay GLOBAL-layout: backend-portable (seed
+                # prolongation, einsum resumes, analysis scripts)
+                Ug, Pg = stepper.from_packed_state(U, P)
+                arrays = {"U": Ug, "P": Pg}
+                scalars = {"dt": float(dt)}
+                if stepper.bdf2 and Um1 is not None:
+                    Um1g, _ = stepper.from_packed_state(Um1, P)
+                    arrays["Um1"] = Um1g
+                    scalars["dtp"] = float(dtp)
+            else:
+                arrays = {"U": U, "P": P}
+                scalars = {"dt": float(dt)}
+                if stepper.bdf2 and Um1 is not None:
+                    arrays["Um1"] = Um1
+                    scalars["dtp"] = float(dtp)
             save_checkpoint(checkpoint_path, arrays, scalars)
 
     def _run_chunk(n):

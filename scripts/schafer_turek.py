@@ -157,6 +157,14 @@ def main():
         # BENCH_CONVECTION=lagged must reproduce the limit cycle before it
         # can become a bench default
         tol_kw["convection"] = os.environ["ST_CONVECTION"]
+    if os.environ.get("ST_BACKEND"):
+        # ST_BACKEND=packed: the round-4 lane-packed patch stepper — the
+        # physics guard for adopting it as the bench default (same
+        # protocol as the lagged/gmres adoptions: reproduce the stage-2
+        # limit cycle before any default flip)
+        tol_kw["backend"] = os.environ["ST_BACKEND"]
+        if tol_kw["backend"] == "packed":
+            tol_kw["convection"] = "lagged"
 
     t0 = time.time()
     out = karman.run_karman_fast(
