@@ -57,13 +57,18 @@ def _build(lcar, n_refine):
     from flow_tpu.solvers.multigrid import P1Hierarchy
 
     prob = KarmanProblem(lcar=lcar, n_refine=n_refine)
-    # BENCH_PATCH=1: the patch-contiguous gather-free operator backend
-    # (fem/patch.py — round-4 structural answer to the row-gather wall).
-    # BENCH_PATCH=packed: the lane-packed patch stepper (fem/patchpack.py +
-    # navier_stokes/patchfast.py) — gather-free AND tile-padding-free.
-    # Both iterate-exact vs the einsum path (tests/test_patch*.py); they
-    # need the coarse+refine^k hierarchy, so refine-0 falls back.
-    patch_env = os.environ.get("BENCH_PATCH", "0")
+    # BENCH_PATCH=packed (DEFAULT since round 4): the lane-packed patch
+    # stepper (fem/patchpack.py + navier_stokes/patchfast.py) — gather-free
+    # AND tile-padding-free; measured 61.9/12.38/1.545 steps/s at
+    # 120k/1.9M/10M (8.5x/29x/47x the round-3 records) and physics-guarded
+    # by the from-scratch stage-2 DFG 2D-2 limit cycle under the full bench
+    # configuration (St 0.29998, Cd_max 3.2492, Cl 0.988 —
+    # campaigns/r4chain1/st2_packed.log; committed series agree).
+    # BENCH_PATCH=1: the generic patch layout; BENCH_PATCH=0: the round-3
+    # einsum path. All iterate-exact vs each other (tests/test_patch*.py);
+    # patch modes need the coarse+refine^k hierarchy, so refine-0 falls
+    # back to the einsum path.
+    patch_env = os.environ.get("BENCH_PATCH", "packed")
     patches = None
     if patch_env in ("1", "packed") and n_refine > 0:
         from flow_tpu.fem.patch import build_patch_info
