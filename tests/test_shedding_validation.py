@@ -183,3 +183,26 @@ def test_stage2_gmres_momentum_guard():
     assert -1.03 <= cl.min() <= -0.95, cl.min()
     q0 = 3 * len(t) // 4
     assert abs(fy[q0:].max() - fy[k0:].max()) < 0.02 * FORCE_SCALE
+
+
+def test_stage2_packed_backend_guard():
+    # Physics guard for the ROUND-4 packed-patch stepper bench default
+    # (navier_stokes/patchfast.py): the 148k-DoF DFG 2D-2 limit cycle
+    # developed FROM SCRATCH entirely under ST_BACKEND=packed (BDF2 +
+    # lagged + production tolerances, 12000 steps = ~30 s sim, real v5e,
+    # 2026-08-20, campaigns/r4chain1). Settled-half values: St = 0.29998,
+    # Cd_max = 3.2492, Cl +0.9877/-0.9878 — the same limit cycle as the
+    # production-newton (St 0.3001, Cd_max 3.2477) and lagged/gmres
+    # guards, so the layout/backend swap is physics-neutral.
+    t, fx, fy = _load("schafer_turek_stage2_packed.npz")
+    k0 = len(t) // 2
+    cd = fx[k0:] / FORCE_SCALE
+    cl = fy[k0:] / FORCE_SCALE
+    st = karman.strouhal_number(t[k0:], fy[k0:], diameter=DIAMETER, u_ref=U_REF)
+    assert st is not None
+    assert 0.295 <= st <= 0.305, st
+    assert 3.20 <= cd.max() <= 3.27, cd.max()
+    assert 0.95 <= cl.max() <= 1.03, cl.max()
+    assert -1.03 <= cl.min() <= -0.95, cl.min()
+    q0 = 3 * len(t) // 4
+    assert abs(fy[q0:].max() - fy[k0:].max()) < 0.02 * FORCE_SCALE
