@@ -1,0 +1,896 @@
+# Distributed packed-patch projection step — the lane-packed stepper
+# (navier_stokes/patchfast.py) shard_map'ed over the PATCH axis.
+#
+# WHY THIS SHAPE (VERDICT r4 #1): round 4 proved the lane-packed patch
+# layout is 29-47x the gather architecture on the real chip, but the
+# scalable distributed path (parallel/halo_step.py) still executed the
+# superseded einsum/gather operators. Patches are the natural distribution
+# unit: per-device planes stay [a, b, C_local] (windows/overlap-adds are
+# UNCHANGED device-local slices), and the only cross-device coupling is the
+# structured seam exchange, whose payload is O(C_cut) lattice-side ROWS —
+# the same O(C)-row structure that made the single-chip seam cheap becomes
+# the collective payload here (one all_gather of the exported side rows per
+# operator apply, plus one tiny corner all_gather). Krylov/CFL reductions
+# are scalar psums/pmaxes; GMRES's batched-MGS projections psum through
+# krylov.gmres's `reduce` hook.
+#
+# Partition: coarse cells (patches) are strip-ordered by centroid along the
+# domain's long axis and block-assigned to devices; C pads to a multiple of
+# n_devices with DUMMY patches (zero geometry, pad-row seams, zero weight)
+# so every volume kernel is shape-uniform and the dummies are arithmetic
+# no-ops — the same masked-slot trick fem/patch.py uses inside a patch.
+#
+# Every structure is sliced from the SINGLE-DEVICE stepper's setup, so the
+# sharded step is ITERATE-EXACT vs PackedPatchStepper (same Krylov
+# decisions, same stopping): parity is asserted to 1e-8 in
+# tests/test_packed_shard.py and the driver dryrun (__graft_entry__.py).
+#
+# Replaces (distributed analog): the implicit PETSc/MPI distributed SpMV
+# the reference reaches through DOLFIN assembly + KrylovSolver
+# (/root/reference/flow/navier_stokes/pressure_correction.py:258-465;
+# SURVEY.md §2.3 item 1 "mesh/domain partitioning").
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh as JMesh, PartitionSpec as P
+
+from ..fem.patch import PatchInfo
+from ..fem.patchpack import (
+    PackedLayout,
+    PackedPatch,
+    PackedBoundary,
+    PackedPatchP1Hierarchy,
+    P1LevelKernels,
+)
+from ..navier_stokes.patchfast import PackedPatchStepper, StepStats
+from ..solvers import krylov
+
+__all__ = ["ShardedPackedStepper"]
+
+AXIS = "p"
+
+
+# ---------------------------------------------------------------------------
+# host-side partition plan (numpy, once)
+# ---------------------------------------------------------------------------
+def _strip_order(info: PatchInfo):
+    """Patch order minimizing cross-device seam cut for block partitions:
+    lexicographic centroid sort along the domain's long axis (strips)."""
+    coarse = info.meshes[0]
+    cent = coarse.points_np[coarse.cells_np].mean(axis=1)
+    ext = cent.max(axis=0) - cent.min(axis=0)
+    ax = int(np.argmax(ext))
+    return np.lexsort((cent[:, 1 - ax], cent[:, ax]))
+
+
+def _slice_gidx(arr, gidx, fill=0.0):
+    """arr[gidx] with -1 slots -> fill."""
+    a = np.asarray(arr)
+    out = a[np.maximum(gidx, 0)]
+    return np.where(gidx >= 0, out, np.asarray(fill, dtype=out.dtype))
+
+
+class PackedShardPlan:
+    """Partition of the patch axis over ndev devices + all per-device
+    tables, sliced from a built single-device stepper."""
+
+    def __init__(self, info: PatchInfo, ndev: int):
+        self.info = info
+        self.ndev = ndev
+        C = info.C
+        perm = _strip_order(info)  # new -> old
+        Cl = -(-C // ndev)
+        Cpad = Cl * ndev
+        old_of_new = np.full(Cpad, -1, dtype=np.int64)
+        old_of_new[:C] = perm
+        new_of_old = np.empty(C, dtype=np.int64)
+        new_of_old[perm] = np.arange(C)
+        self.C, self.Cl, self.Cpad = C, Cl, Cpad
+        self.old_of_new = old_of_new
+        self.new_of_old = new_of_old
+        self.dev_of_old = new_of_old // Cl
+
+    # -- seam row tables (shared by every layout/level) -----------------------
+    def build_rows(self, nbr, flip):
+        """Per-device seam tables from the global [3C]-row tables.
+        nbr_ext indexes concat([R_local (3Cl) | all_gathered exports
+        (ndev*Emax) | zero pad]); exp_rows lists local rows some other
+        device imports."""
+        C, Cl, ndev = self.C, self.Cl, self.ndev
+        exports = [[] for _ in range(ndev)]
+        # pass 1: collect exports (rows whose seam twin lives remotely)
+        remote = []  # (d, r_loc, d2, r2_loc)
+        nbr_loc = np.full((ndev, 3 * Cl), -1, dtype=np.int64)
+        flip_loc = np.zeros((ndev, 3 * Cl), dtype=bool)
+        for d in range(ndev):
+            for q in range(Cl):
+                c = self.old_of_new[d * Cl + q]
+                for s in range(3):
+                    r_loc = s * Cl + q
+                    if c < 0:
+                        continue  # dummy: stays PAD
+                    g = int(nbr[s * C + c])
+                    flip_loc[d, r_loc] = bool(flip[s * C + c])
+                    if g == 3 * C:
+                        continue  # boundary side: PAD
+                    s2, c2 = divmod(g, C)
+                    p2 = int(self.new_of_old[c2])
+                    d2, q2 = divmod(p2, Cl)
+                    r2 = s2 * Cl + q2
+                    if d2 == d:
+                        nbr_loc[d, r_loc] = r2
+                    else:
+                        remote.append((d, r_loc, d2, r2))
+                        exports[d2].append(r2)
+        # exports are per-pair symmetric; dedupe preserving order
+        exp_rows, exp_pos = [], []
+        for d2 in range(ndev):
+            seen = {}
+            rows = []
+            for r in exports[d2]:
+                if r not in seen:
+                    seen[r] = len(rows)
+                    rows.append(r)
+            exp_rows.append(rows)
+            exp_pos.append(seen)
+        Emax = max((len(r) for r in exp_rows), default=0)
+        Emax = max(Emax, 1)  # keep the gather well-formed on 1 device
+        exp_arr = np.zeros((ndev, Emax), dtype=np.int32)
+        for d2, rows in enumerate(exp_rows):
+            exp_arr[d2, : len(rows)] = rows
+        PAD = 3 * Cl + ndev * Emax
+        nbr_ext = np.full((ndev, 3 * Cl), PAD, dtype=np.int32)
+        for d in range(ndev):
+            loc = nbr_loc[d]
+            nbr_ext[d, loc >= 0] = loc[loc >= 0].astype(np.int32)
+        for d, r_loc, d2, r2 in remote:
+            nbr_ext[d, r_loc] = 3 * Cl + d2 * Emax + exp_pos[d2][r2]
+        self.Emax = Emax
+        self.n_remote_rows = len(remote)
+        return {
+            "nbr_ext": nbr_ext,
+            "flip": flip_loc,
+            "exp_rows": exp_arr,
+        }
+
+    # -- per-layout tables -----------------------------------------------------
+    def local_flat_index(self, lay: PackedLayout):
+        """[ndev, n_flat_local] global flat slot of each local slot (-1 at
+        dummy-patch slots). Local flat order: plane-major, (i*b+j)*Cl+q."""
+        Cl, ndev = self.Cl, self.ndev
+        parts = []
+        for p, (a, b) in enumerate(lay.planes):
+            off = int(lay.offsets[p])
+            base = off + np.arange(a * b, dtype=np.int64)[:, None] * lay.C
+            g = np.where(
+                self.old_of_new[None, :] >= 0,
+                base + np.maximum(self.old_of_new[None, :], 0),
+                -1,
+            )  # [a*b, Cpad]; Cpad order IS the new patch index d*Cl+q
+            parts.append(g.reshape(a * b, ndev, Cl).transpose(1, 0, 2))
+        # concat plane-major per device; ravel order (i*b+j)*Cl+q matches
+        # the local [a, b, Cl] plane ravel
+        return np.concatenate(
+            [blk.reshape(ndev, -1) for blk in parts], axis=1
+        )
+
+    def corner_tables(self, lay: PackedLayout):
+        """Per-device EE-corner slot ids (LOCAL flat) + seam-corner group
+        ids in the gathered (device-major) global order."""
+        Cl, ndev = self.Cl, self.ndev
+        C = self.C
+        n = lay.nct
+        b0 = lay.planes[0][1]
+        q = np.arange(Cl)
+        slots = np.concatenate(
+            [
+                (0 * b0 + 0) * Cl + q,
+                (n * b0 + 0) * Cl + q,
+                (0 * b0 + n) * Cl + q,
+            ]
+        ).astype(np.int32)  # same for every device (local addressing)
+        cs_local = np.broadcast_to(slots, (ndev, 3 * Cl)).copy()
+        # global group per gathered position (d-major, kind-major, q)
+        grp = np.empty((ndev, 3 * Cl), dtype=np.int64)
+        next_dummy = int(lay._n_corner_groups)
+        for d in range(ndev):
+            for kind in range(3):
+                for qq in range(Cl):
+                    c = self.old_of_new[d * Cl + qq]
+                    k_loc = kind * Cl + qq
+                    if c < 0:
+                        grp[d, k_loc] = next_dummy
+                        next_dummy += 1
+                    else:
+                        grp[d, k_loc] = lay._corner_group[kind * C + c]
+        return cs_local, grp, next_dummy
+
+    def slice_patch_axis(self, A):
+        """[..., C] -> [ndev, ..., Cl] (dummy patches -> 0)."""
+        A = np.asarray(A)
+        out = np.where(
+            self.old_of_new >= 0,
+            A[..., np.maximum(self.old_of_new, 0)],
+            np.zeros((), dtype=A.dtype),
+        )
+        # [..., Cpad] -> [ndev, ..., Cl]
+        out = out.reshape(A.shape[:-1] + (self.ndev, self.Cl))
+        return np.moveaxis(out, -2, 0)
+
+
+# ---------------------------------------------------------------------------
+# device-local layout with collective seams (built at TRACE time)
+# ---------------------------------------------------------------------------
+class _LocalLayout(PackedLayout):
+    """PackedLayout work-alike over one device's patch block. Windows and
+    overlap-adds are inherited untouched; the seam exchange all_gathers the
+    exported side rows and the corner fix all_gathers the 3*Cl corner
+    scalars (both O(seam), not O(volume))."""
+
+    def __init__(self, ref: PackedLayout, Cl, tabs, weight, valid,
+                 cs_slots, cg_grp, groups_flat, n_groups):
+        # no super().__init__: all index structures are provided
+        self.C = Cl
+        self.nct = ref.nct
+        self.planes = ref.planes
+        self.win = ref.win
+        sizes = [a * b * Cl for a, b in ref.planes]
+        self.offsets = np.concatenate([[0], np.cumsum(sizes)]).astype(
+            np.int64
+        )
+        self.n_flat = int(self.offsets[-1])
+        self.weight_j = weight
+        self.valid_j = valid
+        self._nbr_ext = tabs["nbr_ext"]
+        self._flip_j = tabs["flip"]
+        self._exp_rows = tabs["exp_rows"]
+        self._cs_slots = cs_slots
+        self._cg_grp = cg_grp
+        self._groups_flat = groups_flat
+        self._n_groups = n_groups
+
+    def _exchange(self, S, interior_only):
+        three, m, Cl = S.shape
+        R = jnp.moveaxis(S, -1, 1).reshape(3 * Cl, m)
+        buf = R[self._exp_rows]  # [Emax, m]
+        allb = lax.all_gather(buf, AXIS)  # [ndev, Emax, m]
+        R_ext = jnp.concatenate(
+            [R, allb.reshape(-1, m), jnp.zeros((1, m), dtype=R.dtype)],
+            axis=0,
+        )
+        G = R_ext[self._nbr_ext]
+        G = jnp.where(self._flip_j[:, None], jnp.flip(G, axis=1), G)
+        if interior_only:
+            col = (
+                jnp.ones((m,), dtype=R.dtype).at[0].set(0.0).at[m - 1].set(0.0)
+            )
+            G = G * col[None, :]
+        R = R + G
+        return jnp.moveaxis(R.reshape(3, Cl, m), 1, -1)
+
+    def _corner_fix(self, X):
+        vals = X[self._cs_slots]  # [3*Cl]
+        allv = lax.all_gather(vals, AXIS).reshape(-1)  # [ndev*3*Cl]
+        sums = jax.ops.segment_sum(
+            allv, self._groups_flat, num_segments=self._n_groups
+        )
+        return X.at[self._cs_slots].set(sums[self._cg_grp])
+
+    def dot(self, x, y):
+        w = self.weight_j
+        w = w.reshape(w.shape + (1,) * (x.ndim - 1))
+        return lax.psum(jnp.sum(w * x * y), AXIS)
+
+    def to_packed(self, x):  # pragma: no cover - setup-only on the host
+        raise NotImplementedError("use ShardedPackedStepper.to_sharded")
+
+    def from_packed(self, X):  # pragma: no cover
+        raise NotImplementedError("use ShardedPackedStepper.from_sharded")
+
+
+def _local_packed_patch(ref_pp: PackedPatch, lay2, lay1, geo):
+    """PackedPatch work-alike: the volume kernels run UNCHANGED on the
+    device-local [n, n, Cl] blocks (they are pure window/FMA code); only
+    the layout objects (seams) are the sharded ones."""
+    pp = object.__new__(PackedPatch)
+    pp.lay2, pp.lay1 = lay2, lay1
+    pp.n2, pp.n1 = lay2.n_flat, lay1.n_flat
+    pp.dtype = ref_pp.dtype
+    pp.detJ = geo["detJ"]
+    pp.G = geo["G"]
+    pp.Cs = geo["Cs"]
+    for name in (
+        "qw", "phi", "dphi", "nq", "Mref2", "Kref2", "Bref21", "Href2",
+        "dref1", "refint2",
+    ):
+        setattr(pp, name, getattr(ref_pp, name))
+    pp._kscal = None
+    return pp
+
+
+def _local_boundary(tabs, lay):
+    bt = object.__new__(PackedBoundary)
+    bt.phi = tabs["phi"]
+    bt.dphi = tabs["dphi"]
+    bt.wl = tabs["wl"]
+    bt.normals = tabs["normals"]
+    bt.lay = lay
+    bt.cell_dofs = tabs["cell_dofs"]
+    bt.Gb = tabs["Gb"]
+    return bt
+
+
+# ---------------------------------------------------------------------------
+# sharded multigrid hierarchy (pressure preconditioner)
+# ---------------------------------------------------------------------------
+class _LocalHierarchy(PackedPatchP1Hierarchy):
+    """Per-device twin of the packed P1 GMG: smoothers/transfers inherit
+    (they are window ops on the local lattice planes + the sharded coarse
+    seam); the dense coarse solve psum-reduces into the replicated n0
+    system; Neumann projections psum the weighted mean. Chebyshev bounds
+    (theta/delta) come from the single-device hierarchy — the sharded
+    operator IS the same operator."""
+
+    def __init__(self, levels, neumann, smoother_degree, K0_inv,
+                 l0_dofs, w0, n0):
+        self.levels = levels
+        self.nlevels = len(levels)
+        self.neumann = neumann
+        self.smoother_degree = smoother_degree
+        self.K0_inv = K0_inv
+        self._l0_dofs = l0_dofs  # local slot -> global coarse dof (n0 = pad)
+        self._w0 = w0
+        self._n0 = n0
+
+    def _project(self, l, x):
+        lay = self.levels[l].lay
+        w = lay.weight_j
+        num = lax.psum(jnp.sum(w * x), AXIS)
+        den = lax.psum(jnp.sum(w), AXIS)
+        return (x - num / den) * lay.valid_j
+
+    def v_cycle(self, b):
+        # structure: PackedPatchP1Hierarchy.v_cycle with the L0 block
+        # replaced by the psum-reduced replicated dense solve
+        if self.neumann:
+            b = self._project(self.nlevels - 1, b)
+        bs = [None] * self.nlevels
+        xs = [None] * self.nlevels
+        bs[-1] = b
+        for l in range(self.nlevels - 1, 0, -1):
+            L = self.levels[l]
+            x = self._smooth(L, bs[l], jnp.zeros_like(bs[l]))
+            r = bs[l] - L.K(x)
+            if self.neumann:
+                r = self._project(l, r)
+            xs[l] = x
+            rc = self.restrict(l - 1, r)
+            if self.levels[l - 1].mask is not None:
+                rc = (1.0 - self.levels[l - 1].mask) * rc
+            bs[l - 1] = rc
+        L0 = self.levels[0]
+        n0 = self._n0
+        contrib = jnp.zeros((n0 + 1,), dtype=b.dtype).at[self._l0_dofs].add(
+            self._w0 * bs[0]
+        )
+        b0 = lax.psum(contrib[:n0], AXIS)
+        x0g = self.K0_inv @ b0
+        x0 = x0g[jnp.minimum(self._l0_dofs, n0 - 1)] * L0.lay.valid_j
+        if self.neumann:
+            x0 = self._project(0, x0)
+        xs[0] = x0
+        for l in range(1, self.nlevels):
+            corr = self.prolong(l - 1, xs[l - 1])
+            if self.levels[l].mask is not None:
+                corr = (1.0 - self.levels[l].mask) * corr
+            x = xs[l] + corr
+            xs[l] = self._smooth(self.levels[l], bs[l], x)
+        out = xs[-1]
+        if self.neumann:
+            out = self._project(self.nlevels - 1, out)
+        return out * self.levels[-1].lay.valid_j
+
+
+class _LocalStepper(PackedPatchStepper):
+    """Per-device stepper body. All discrete equations INHERIT from
+    PackedPatchStepper (same substep code, same Krylov calls); this class
+    only swaps the inner products for psum-reducing ones and threads the
+    SPMD reduce into GMRES, so the sharded step is ITERATE-EXACT vs the
+    single-device stepper."""
+
+    def __init__(self):  # attributes are assigned by the builder
+        pass
+
+    def dotv(self, x, y):
+        return lax.psum(jnp.sum(self.wvec * x * y), AXIS)
+
+    def dotp(self, x, y):
+        return lax.psum(jnp.sum(self.w1 * x * y), AXIS)
+
+    def _mom_krylov(self, A, b, M, rtol, atol):
+        def sdot(x, y):
+            return lax.psum(jnp.sum(x * y), AXIS)
+
+        if self.mom_solver == "gmres":
+            sw = self._sqrtw
+
+            def A2(v):
+                return sw * A(v / sw)
+
+            def M2(v):
+                return sw * M(v / sw)
+
+            x2, sinfo = krylov.gmres(
+                A2, sw * b, M=M2, rtol=rtol, atol=atol, maxiter=300,
+                restart=self.gmres_restart, dot=sdot,
+                reduce=lambda h: lax.psum(h, AXIS),
+            )
+            return x2 / sw, sinfo
+        return krylov.bicgstab(
+            A, b, M=M, rtol=rtol, atol=atol, maxiter=300, dot=self.dotv
+        )
+
+
+# ---------------------------------------------------------------------------
+# the public sharded stepper
+# ---------------------------------------------------------------------------
+class ShardedPackedStepper:
+    """PackedPatchStepper distributed over a 1-D device mesh by patch
+    blocks. State lives as [ndev, n_flat_local] stacks (P2 vector:
+    [ndev, 2*n2_local]); conversions to/from global dof vectors are
+    host-side setup/probe utilities."""
+
+    def __init__(self, V, Q, u_bcs, p_bcs, rho, mu, info: PatchInfo,
+                 devices=None, time_step_method="backward euler", **kw):
+        from ..utils.hostsetup import setup_on_cpu
+
+        if devices is None:
+            devices = jax.devices()
+        self.devices = list(devices)
+        with setup_on_cpu():
+            self._build(
+                V, Q, u_bcs, p_bcs, rho, mu, info, time_step_method, kw
+            )
+
+    # -- setup -----------------------------------------------------------------
+    def _build(self, V, Q, u_bcs, p_bcs, rho, mu, info, time_step_method, kw):
+        ndev = len(self.devices)
+        base = PackedPatchStepper(
+            V, Q, u_bcs, p_bcs, rho, mu, info,
+            time_step_method=time_step_method, hoist_constants=False, **kw
+        )
+        self.base = base
+        pp = base.pp
+        dtype = pp.dtype
+        plan = PackedShardPlan(info, ndev)
+        self.plan = plan
+        Cl = plan.Cl
+
+        rows = plan.build_rows(pp.lay2._nbr, pp.lay2._flip)
+        self._seam_stats = {
+            "n_patches": plan.C,
+            "patches_per_device": Cl,
+            "exported_rows_max": int(plan.Emax),
+            "remote_row_pairs": int(plan.n_remote_rows),
+            "local_rows_per_device": 3 * Cl,
+        }
+
+        def j(x):
+            return jnp.asarray(x)
+
+        SH = {"rows": {k: j(v) for k, v in rows.items()}}
+
+        # per-layout tables (P2 finest + P1 per hierarchy level)
+        def lay_tables(lay):
+            gidx = plan.local_flat_index(lay)
+            cs, grp, n_groups = plan.corner_tables(lay)
+            return gidx, {
+                "weight": j(_slice_gidx(lay.weight, gidx).astype(
+                    np.dtype(dtype))),
+                "valid": j(_slice_gidx(
+                    lay.valid.astype(np.float64), gidx).astype(
+                        np.dtype(dtype))),
+                "cs_slots": j(cs),
+                "cg_grp": j(grp.astype(np.int32)),
+            }, grp, n_groups
+
+        gidx2, tab2, grp2, ng2 = lay_tables(pp.lay2)
+        gidx1, tab1, grp1, ng1 = lay_tables(pp.lay1)
+        self._gidx2, self._gidx1 = gidx2, gidx1
+        SH["lay2"] = tab2
+        SH["lay1"] = tab1
+        # gathered-order group maps are identical on every device ->
+        # replicated closure constants
+        self._groups2 = jnp.asarray(grp2.reshape(-1).astype(np.int32))
+        self._groups1 = jnp.asarray(grp1.reshape(-1).astype(np.int32))
+        self._ng2, self._ng1 = ng2, ng1
+
+        # geometry blocks
+        SH["geo"] = {
+            "detJ": [j(plan.slice_patch_axis(a)) for a in pp.detJ],
+            "G": [
+                [[j(plan.slice_patch_axis(pp.G[t][d][k_])) for k_ in range(2)]
+                 for d in range(2)]
+                for t in range(2)
+            ],
+            "Cs": [
+                tuple(j(plan.slice_patch_axis(c)) for c in pp.Cs[t])
+                for t in range(2)
+            ],
+        }
+
+        # BC masks/values + diagonals (vector = component blocks)
+        def slice_vec(xg):
+            xg = np.asarray(xg)
+            n2 = pp.n2
+            a = _slice_gidx(xg[:n2], gidx2)
+            b = _slice_gidx(xg[n2:], gidx2)
+            return j(np.concatenate([a, b], axis=1))
+
+        def slice_p(xg):
+            return j(_slice_gidx(np.asarray(xg), gidx1))
+
+        SH["bc"] = {
+            # dummy slots pinned exactly like the single-device padding:
+            # Dirichlet-0 rows (mask 1 where invalid)
+            "mask_u": slice_vec(np.asarray(base.mask_u)),
+            "val_u": slice_vec(np.asarray(base.val_u)),
+            "mask_p": slice_p(np.asarray(base.mask_p)),
+            "val_p": slice_p(np.asarray(base.val_p)),
+            "mass_diag": slice_vec(np.asarray(base.mass_diag)),
+            "stiff_diag": slice_vec(np.asarray(base.stiff_diag)),
+            "stiff_diag_Q": slice_p(np.asarray(base.stiff_diag_Q)),
+        }
+        # dummy-slot masks must read 1 (pinned), not the fill 0
+        for name in ("mask_u",):
+            m = np.asarray(SH["bc"][name])
+            inv = np.concatenate(
+                [(gidx2 < 0), (gidx2 < 0)], axis=1
+            )
+            SH["bc"][name] = j(np.where(inv, 1.0, m).astype(np.dtype(dtype)))
+        mP = np.asarray(SH["bc"]["mask_p"])
+        SH["bc"]["mask_p"] = j(
+            np.where(gidx1 < 0, 1.0, mP).astype(np.dtype(dtype))
+        )
+        dQ = np.asarray(SH["bc"]["stiff_diag_Q"])
+        SH["bc"]["stiff_diag_Q"] = j(np.where(dQ > 0, dQ, 1.0))
+        mD = np.asarray(SH["bc"]["mass_diag"])
+        SH["bc"]["mass_diag"] = j(np.where(mD > 0, mD, 1.0))
+
+        # boundary facets partitioned by owning patch
+        SH["bt"] = self._shard_boundary(base.bt, pp, pp.lay2, gidx2, plan, 6)
+        SH["btQ"] = self._shard_boundary(base.btQ, pp, pp.lay1, gidx1, plan, 3)
+
+        # multigrid hierarchy (rebuild the global one to reach its levels;
+        # the stepper only keeps the bound v_cycle)
+        ghier = PackedPatchP1Hierarchy(
+            info,
+            bc_mask=base.mask_p if base.has_p_bcs else None,
+            smoother_degree=kw.get("mg_smoother_degree", 3),
+            dtype=dtype,
+        )
+        self._ghier = ghier
+        mg_levels = []
+        self._mg_meta = []
+        for l, L in enumerate(ghier.levels):
+            gidx_l = plan.local_flat_index(L.lay)
+            cs_l, grp_l, ng_l = plan.corner_tables(L.lay)
+            entry = {
+                "weight": j(_slice_gidx(L.lay.weight, gidx_l).astype(
+                    np.dtype(dtype))),
+                "valid": j(_slice_gidx(
+                    L.lay.valid.astype(np.float64), gidx_l).astype(
+                        np.dtype(dtype))),
+                "cs_slots": j(cs_l),
+                "cg_grp": j(grp_l.astype(np.int32)),
+                "Cs": [
+                    tuple(j(plan.slice_patch_axis(c)) for c in L.kern.Cs[t])
+                    for t in range(2)
+                ],
+                "diag": j(_slice_gidx(np.asarray(L.diag), gidx_l, fill=1.0)),
+            }
+            if L.mask is not None:
+                m = _slice_gidx(np.asarray(L.mask), gidx_l)
+                entry["mask"] = j(np.where(gidx_l < 0, 1.0, m).astype(
+                    np.dtype(dtype)))
+            mg_levels.append(entry)
+            self._mg_meta.append({
+                "theta": float(L.theta),
+                "delta": float(L.delta),
+                "has_mask": L.mask is not None,
+                "lay": L.lay,
+                "groups_flat": jnp.asarray(
+                    grp_l.reshape(-1).astype(np.int32)),
+                "n_groups": ng_l,
+                "gidx": gidx_l,
+            })
+        SH["mg"] = mg_levels
+        # L0 coarse solve tables
+        lay0 = ghier.levels[0].lay
+        gidx0 = self._mg_meta[0]["gidx"]
+        n0 = info.meshes[0].n_points
+        self._n0 = n0
+        l0 = _slice_gidx(lay0.L, gidx0, fill=n0)
+        l0 = np.where(l0 < 0, n0, l0)
+        SH["mg0"] = {
+            "l0_dofs": j(l0.astype(np.int32)),
+            "w0": j(_slice_gidx(lay0.weight, gidx0).astype(np.dtype(dtype))),
+        }
+        self._K0_inv = ghier.K0_inv
+
+        self.SH = SH
+        self.jmesh = JMesh(np.array(self.devices), (AXIS,))
+        spec_sh = P(AXIS)
+        self._step = jax.jit(
+            jax.shard_map(
+                self._step_local,
+                mesh=self.jmesh,
+                in_specs=(spec_sh, spec_sh, spec_sh, P()),
+                out_specs=(spec_sh, spec_sh, P()),
+                check_vma=False,
+            )
+        )
+        self._run_cache = {}
+
+    def _shard_boundary(self, bt_global, pp, lay, gidx, plan, nl):
+        """Partition the boundary tabulation by owning patch; pad each
+        device's facet block to the max count with zero-weight facets."""
+        info = plan.info
+        ndev, Cl = plan.ndev, plan.Cl
+        n, C = info.n, info.C
+        half = C * n * n
+        # recover fine-cell -> patch via the patch-cell slot map
+        slot = info.fine_cell_slot()
+
+        # the global PackedBoundary stores slots; recover raw per-facet data
+        phi = np.asarray(bt_global.phi)
+        dphi = np.asarray(bt_global.dphi)
+        wl = np.asarray(bt_global.wl)
+        normals = np.asarray(bt_global.normals)
+        Gb = np.asarray(bt_global.Gb)
+        # global representative slots -> global dof ids
+        gslots = np.asarray(bt_global.cell_dofs)
+        dofs = lay.L[gslots]
+        assert (dofs >= 0).all()
+
+        # PackedBoundary doesn't retain the owning cells; the fine mesh's
+        # boundary_cells has the same construction order as BoundaryTab
+        mesh = info.meshes[-1]
+        bcells = np.asarray(mesh.boundary_cells)
+        assert len(bcells) == phi.shape[0]
+        s = slot[bcells]
+        patch_old = np.where(s < half, s // (n * n), (s - half) // (n * n))
+        dev = plan.dev_of_old[patch_old]
+
+        # per-device dof -> local slot map
+        L_loc = _slice_gidx(lay.L, gidx, fill=-1)
+        L_loc = np.where(gidx < 0, -1, L_loc)
+        n_dofs = int(lay.L.max()) + 1
+        maps = np.full((ndev, n_dofs), -1, dtype=np.int64)
+        for d in range(ndev):
+            v = L_loc[d] >= 0
+            maps[d, L_loc[d][v]] = np.where(v)[0]
+
+        counts = np.bincount(dev, minlength=ndev)
+        nbmax = max(int(counts.max()), 1)
+        q = phi.shape[1]
+
+        def zeros(shape, ref):
+            return np.zeros(shape, dtype=ref.dtype)
+
+        out = {
+            "phi": zeros((ndev, nbmax, q, nl), phi),
+            "dphi": zeros((ndev, nbmax, q, nl, 2), dphi),
+            "wl": zeros((ndev, nbmax, q), wl),
+            "normals": zeros((ndev, nbmax, 2), normals),
+            "Gb": zeros((ndev, nbmax, 2, 2), Gb),
+            "cell_dofs": np.zeros((ndev, nbmax, nl), dtype=np.int32),
+        }
+        for d in range(ndev):
+            idx = np.where(dev == d)[0]
+            k = len(idx)
+            out["phi"][d, :k] = phi[idx]
+            out["dphi"][d, :k] = dphi[idx]
+            out["wl"][d, :k] = wl[idx]
+            out["normals"][d, :k] = normals[idx]
+            out["Gb"][d, :k] = Gb[idx]
+            ls = maps[d][dofs[idx]]
+            assert (ls >= 0).all(), "facet dof missing from owning device"
+            out["cell_dofs"][d, :k] = ls
+        return {k_: jnp.asarray(v) for k_, v in out.items()}
+
+    # -- trace-time local context ------------------------------------------------
+    def _make_local(self, SH):
+        base = self.base
+        plan = self.plan
+        rows = SH["rows"]
+        lay2 = _LocalLayout(
+            base.pp.lay2, plan.Cl, rows, SH["lay2"]["weight"],
+            SH["lay2"]["valid"], SH["lay2"]["cs_slots"],
+            SH["lay2"]["cg_grp"], self._groups2, self._ng2,
+        )
+        lay1 = _LocalLayout(
+            base.pp.lay1, plan.Cl, rows, SH["lay1"]["weight"],
+            SH["lay1"]["valid"], SH["lay1"]["cs_slots"],
+            SH["lay1"]["cg_grp"], self._groups1, self._ng1,
+        )
+        pp = _local_packed_patch(base.pp, lay2, lay1, SH["geo"])
+
+        st = _LocalStepper()
+        st.pp = pp
+        st.bt = _local_boundary(SH["bt"], lay2)
+        st.btQ = _local_boundary(SH["btQ"], lay1)
+        st.rho, st.mu = base.rho, base.mu
+        st.hmax = base.hmax
+        st.bdf2 = base.bdf2
+        for name in (
+            "newton_tol", "newton_rtol", "linear_rtol", "pressure_rtol",
+            "pressure_maxiter", "correction_rtol", "cfl_target", "dt_max",
+            "mom_solver", "gmres_restart", "has_p_bcs",
+        ):
+            setattr(st, name, getattr(base, name))
+        st.forces_probe = None
+        bc = SH["bc"]
+        st.mask_u, st.val_u = bc["mask_u"], bc["val_u"]
+        st.mask_p, st.val_p = bc["mask_p"], bc["val_p"]
+        st.mass_diag = bc["mass_diag"]
+        st.stiff_diag = bc["stiff_diag"]
+        st.stiff_diag_Q = bc["stiff_diag_Q"]
+        st.wvec = jnp.concatenate([lay2.weight_j, lay2.weight_j])
+        st._sqrtw = jnp.sqrt(jnp.where(st.wvec > 0, st.wvec, 1.0))
+        st.w1 = lay1.weight_j
+
+        # hierarchy levels
+        levels = []
+        for l, (meta, entry) in enumerate(zip(self._mg_meta, SH["mg"])):
+            L = type("L", (), {})()
+            lay_l = _LocalLayout(
+                meta["lay"], plan.Cl, rows, entry["weight"], entry["valid"],
+                entry["cs_slots"], entry["cg_grp"], meta["groups_flat"],
+                meta["n_groups"],
+            )
+            L.lay = lay_l
+            kern = object.__new__(P1LevelKernels)
+            kern.lay = lay_l
+            kern.Cs = entry["Cs"]
+            L.kern = kern
+            L.mask = entry.get("mask")
+            free = None if L.mask is None else (1.0 - L.mask)
+            L.free = free
+            basek = kern.stiffness_apply
+            if L.mask is None:
+                L.K = basek
+            else:
+                def K(x, basek=basek, free=free, mask=L.mask):
+                    return free * basek(free * x) + mask * x
+                L.K = K
+            L.diag = entry["diag"]
+            L.theta = meta["theta"]
+            L.delta = meta["delta"]
+            levels.append(L)
+        hier = _LocalHierarchy(
+            levels, self._ghier.neumann, self._ghier.smoother_degree,
+            self._K0_inv, SH["mg0"]["l0_dofs"], SH["mg0"]["w0"], self._n0,
+        )
+        st.pressure_precond = hier.v_cycle
+        return st
+
+    # -- sharded entry points -----------------------------------------------------
+    def _step_local(self, SH, Uf, Pf, dt):
+        SH = jax.tree.map(lambda a: a[0], SH)
+        st = self._make_local(SH)
+        U1, P1, stats = st._step_impl(Uf[0], Pf[0], dt)
+        return U1[None], P1[None], stats
+
+    def step(self, Us, Ps, dt):
+        return self._step(self.SH, Us, Ps, jnp.asarray(dt))
+
+    def run(self, Us, Ps, dt0, n_steps, dt_max=None, cfl_target=None):
+        key = (int(n_steps), dt_max is None, cfl_target is None)
+        fn = self._run_cache.get(key)
+        if fn is None:
+            spec_sh = P(AXIS)
+
+            def _run_local(SH, Uf, Pf, dt0, dt_cap, cfl):
+                SH = jax.tree.map(lambda a: a[0], SH)
+                st = self._make_local(SH)
+                Uf, Pf = Uf[0], Pf[0]
+
+                def body(carry, _):
+                    Uf, Pf, dt, t = carry
+                    U1, P1, stats = st._step_impl(Uf, Pf, dt)
+                    t = t + dt
+                    a, b = st.pp.comps(U1)
+                    umax = lax.pmax(
+                        jnp.sqrt(jnp.max(a * a + b * b)), AXIS
+                    )
+                    target_dt = cfl * st.hmax / jnp.maximum(umax, 1e-30)
+                    dt_new = jnp.minimum(
+                        dt_cap,
+                        dt * jnp.minimum(
+                            2.0, 1.0 + 0.5 * (target_dt - dt) / dt
+                        ),
+                    )
+                    out = {
+                        "t": t,
+                        "dt": dt,
+                        "linear_iters": stats.linear_iters,
+                        "pressure_iters": stats.pressure_iters,
+                        "correction_iters": stats.correction_iters,
+                    }
+                    return (U1, P1, dt_new, t), out
+
+                t0 = jnp.asarray(0.0, dtype=Uf.dtype)
+                (Uf, Pf, dt, _), tel = lax.scan(
+                    body, (Uf, Pf, jnp.asarray(dt0, dtype=Uf.dtype), t0),
+                    None, length=n_steps,
+                )
+                return Uf[None], Pf[None], dt, tel
+
+            fn = jax.jit(
+                jax.shard_map(
+                    _run_local,
+                    mesh=self.jmesh,
+                    in_specs=(spec_sh, spec_sh, spec_sh, P(), P(), P()),
+                    out_specs=(spec_sh, spec_sh, P(), P()),
+                    check_vma=False,
+                )
+            )
+            self._run_cache[key] = fn
+        dtype = self.base.pp.dtype
+        dt_cap = jnp.asarray(
+            self.base.dt_max if dt_max is None else dt_max, dtype=dtype
+        )
+        cfl = jnp.asarray(
+            self.base.cfl_target if cfl_target is None else cfl_target,
+            dtype=dtype,
+        )
+        return fn(self.SH, Us, Ps, jnp.asarray(dt0, dtype=dtype), dt_cap, cfl)
+
+    # -- host-side state conversion -------------------------------------------------
+    def to_sharded(self, U, P):
+        """Global dof arrays (U [n,2], P [n1]) -> sharded stacks."""
+        pp = self.base.pp
+        U = np.asarray(U)
+        P = np.asarray(P)
+        a = np.asarray(pp.lay2.to_packed(U[:, 0]))
+        b = np.asarray(pp.lay2.to_packed(U[:, 1]))
+        Ua = _slice_gidx(a, self._gidx2)
+        Ub = _slice_gidx(b, self._gidx2)
+        Us = np.concatenate([Ua, Ub], axis=1)
+        Ppk = np.asarray(pp.lay1.to_packed(P))
+        Ps = _slice_gidx(Ppk, self._gidx1)
+        return jnp.asarray(Us), jnp.asarray(Ps)
+
+    def from_sharded(self, Us, Ps):
+        """Sharded stacks -> global dof arrays (host-side, probe/IO)."""
+        pp = self.base.pp
+        Us = np.asarray(Us)
+        Ps = np.asarray(Ps)
+        n2l = self._gidx2.shape[1]
+        ga = np.zeros(pp.lay2.n_flat)
+        gb = np.zeros(pp.lay2.n_flat)
+        gp = np.zeros(pp.lay1.n_flat)
+        for d in range(self.plan.ndev):
+            v2 = self._gidx2[d] >= 0
+            ga[self._gidx2[d][v2]] = Us[d, :n2l][v2]
+            gb[self._gidx2[d][v2]] = Us[d, n2l:][v2]
+            v1 = self._gidx1[d] >= 0
+            gp[self._gidx1[d][v1]] = Ps[d][v1]
+        dtype = pp.dtype
+        U = np.stack(
+            [
+                np.asarray(pp.lay2.from_packed(jnp.asarray(ga, dtype=dtype))),
+                np.asarray(pp.lay2.from_packed(jnp.asarray(gb, dtype=dtype))),
+            ],
+            axis=-1,
+        )
+        P = np.asarray(pp.lay1.from_packed(jnp.asarray(gp, dtype=dtype)))
+        return jnp.asarray(U, dtype=dtype), jnp.asarray(P, dtype=dtype)
+
+    @property
+    def seam_stats(self):
+        return dict(self._seam_stats)

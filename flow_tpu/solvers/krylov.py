@@ -311,6 +311,7 @@ def gmres(
     restart=40,
     dot: Optional[Callable] = None,
     basis_dtype=None,
+    reduce: Optional[Callable] = None,
 ):
     """Restarted GMRES(m), first-class implementation (replaces the earlier
     jax.scipy delegate, which reported iters=-1).
@@ -331,9 +332,16 @@ def gmres(
     bf16 basis halves that traffic; orthogonality and the solution
     update then hold to ~1e-3 relative, appropriate for loose forcing
     tolerances (the momentum solve), not for tight solves. Givens/H/g
-    bookkeeping and all residual norms stay in the working dtype."""
+    bookkeeping and all residual norms stay in the working dtype.
+
+    `reduce` (SPMD): the batched-MGS projections are raw einsums over the
+    vector axis; under shard_map each device sees only its shard, so the
+    [m+1]-vector of basis dot products must be summed across devices. Pass
+    `reduce=lambda h: lax.psum(h, axis)` together with a psum-reducing
+    `dot` (parallel/packed_shard.py); identity otherwise."""
     M = M or _identity
     _dot_ = dot or _dot
+    _red_ = reduce or (lambda h: h)
     x = jnp.zeros_like(b) if x0 is None else x0
     dtype = b.dtype
     shape = b.shape
@@ -379,8 +387,8 @@ def gmres(
             w = flat(A(M(unflat(V[j].astype(dtype)))))
             # batched MGS: project against the whole stored basis; rows
             # > j are zero so the mask is implicit in V itself
-            h = jnp.einsum("ij,j->i", V, w.astype(bd),
-                           preferred_element_type=dtype)  # [m+1]
+            h = _red_(jnp.einsum("ij,j->i", V, w.astype(bd),
+                                 preferred_element_type=dtype))  # [m+1]
             rowmask = jnp.arange(m + 1) <= j
             h = jnp.where(rowmask, h, 0.0)
             w = w - jnp.einsum("i,ij->j", h.astype(bd), V,
@@ -390,8 +398,8 @@ def gmres(
             # the standard practical choice)
             h2 = jnp.where(
                 rowmask,
-                jnp.einsum("ij,j->i", V, w.astype(bd),
-                           preferred_element_type=dtype),
+                _red_(jnp.einsum("ij,j->i", V, w.astype(bd),
+                                 preferred_element_type=dtype)),
                 0.0,
             )
             w = w - jnp.einsum("i,ij->j", h2.astype(bd), V,
