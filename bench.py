@@ -577,8 +577,14 @@ def _cached_large_entries():
 
 
 def _bench_cavity3d(n_steps):
-    """Secondary workload: 3-D lid-driven cavity on the structured fast path
-    (conv-stencil operators + structured multigrid; BENCH_N grid cells/dim)."""
+    """Secondary workload: 3-D lid-driven cavity.
+
+    BENCH_3D_BACKEND=box (DEFAULT since round 5): the box-packed
+    structured-lattice stepper (fem/boxpack.py + navier_stokes/boxfast.py)
+    — parity-pinned vs the einsum FastStepper in tests/test_boxpack.py;
+    zero per-cell geometry/index arrays, so the N>=48 OOM class vanishes.
+    BENCH_3D_BACKEND=einsum: the round-3/4 gather path (FastStepper +
+    conv-stencil pressure MG) with its chunk/EMA-off fallbacks."""
     import time as _time
 
     import jax.numpy as jnp
@@ -588,6 +594,9 @@ def _bench_cavity3d(n_steps):
     from flow_tpu.solvers.structured_mg import StructuredHierarchy
 
     n = int(os.environ.get("BENCH_N", "32"))
+    if os.environ.get("BENCH_3D_BACKEND", "box") == "box":
+        _bench_cavity3d_box(n, n_steps)
+        return
     # large 3-D sizes OOM on unchunked (nc, nq, nl)-class quadrature temps
     # (measured: N=48 17.6G, N=64 41.6G vs 15.75G HBM — chains 4/17);
     # default the cell chunk on so the ladder doesn't depend on the
@@ -664,6 +673,58 @@ def _bench_cavity3d(n_steps):
                 "unit": "steps/s",
                 "vs_baseline": round(sps / 50.0, 3),
                 "steps_per_sec_reps": [round(s, 3) for s in sps_list],
+            }
+        )
+    )
+    print(
+        f"n_dofs={n_dofs} best_of={len(sps_list)} "
+        f"pressure_iters={np.asarray(tel['pressure_iters']).tolist()}",
+        file=sys.stderr,
+    )
+
+
+def _bench_cavity3d_box(n, n_steps):
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from flow_tpu.models.cavity3d import Cavity3DProblem
+    from flow_tpu.navier_stokes.boxfast import BoxPackedStepper
+
+    prob = Cavity3DProblem(n=n, mu=0.01)
+    n_dofs = 3 * prob.V.n_dofs + prob.Q.n_dofs
+    stepper = BoxPackedStepper(
+        prob.V, prob.Q, prob.u_bcs, prob.p_bcs, prob.rho, prob.mu,
+        newton_tol=0.0,
+        newton_rtol=_calibrated_tols()[0],
+        linear_rtol=_calibrated_tols()[1],
+        pressure_rtol=float(os.environ.get("BENCH_PRESSURE_RTOL", "1.0e-4")),
+        correction_rtol=float(
+            os.environ.get("BENCH_CORRECTION_RTOL", "1.0e-5")
+        ),
+        momentum_solver=os.environ.get("BENCH_MOM_SOLVER_3D", "bicgstab"),
+        cfl_target=1.0, dt_max=0.1,
+    )
+    Uf, Pf = stepper.zeros()
+    dt0 = jnp.asarray(1.0e-3, dtype=Uf.dtype)
+    Uf, Pf, dtf, _ = stepper.run(Uf, Pf, dt0, n_steps=n_steps)
+    float(dtf)  # value-readback sync (axon early-return quirk)
+    sps_list = []
+    for _rep in range(_timed_reps()):
+        t0 = _time.perf_counter()
+        Uf, Pf, dtf, tel = stepper.run(Uf, Pf, dtf, n_steps=n_steps)
+        float(dtf)
+        sps_list.append(n_steps / (_time.perf_counter() - t0))
+    sps = max(sps_list)
+    print(
+        json.dumps(
+            {
+                "metric": f"cavity3d_steps_per_sec@{n_dofs}dof",
+                "value": round(sps, 3),
+                "unit": "steps/s",
+                "vs_baseline": round(sps / 50.0, 3),
+                "steps_per_sec_reps": [round(s, 3) for s in sps_list],
+                "backend": "box",
             }
         )
     )

@@ -21,8 +21,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..fem import assembly
-from ..fem.window import build_window_layout, overlap_add_fn
-from ..fem.winmom import (
+from .window import build_window_layout, overlap_add_fn
+from .winmom import (
     _LO,
     blocked_state_q,
     blocked_transport_q,

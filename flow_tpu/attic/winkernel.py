@@ -44,7 +44,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import assembly
+from ..fem import assembly
 from .window import build_window_layout
 
 __all__ = ["WindowMassOperator", "WindowStiffnessOperator"]
@@ -230,7 +230,7 @@ class WindowStiffnessOperator:
     operator: K x with K = int grad(u).grad(v))."""
 
     def __init__(self, space, S=None, interpret=False):
-        from .forms import ref_stiffness
+        from ..fem.forms import ref_stiffness
 
         self.space = space
         wl = build_window_layout(space, S=S)

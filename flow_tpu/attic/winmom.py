@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import assembly
+from ..fem import assembly
 from . import winkernel
 from .window import build_window_layout
 from .winkernel import _LO, _onehots, _gather_dof, _scatter_dof
@@ -306,7 +306,7 @@ def momentum_tables_apply(lidx, valid, detj, g4, cg4, Tq, sm_tabs,
 
 def smem_tables(tab, degree, dim):
     """SMEM scalar tables (phi, dphi, w, mref, kref) for a tabulation."""
-    from .forms import ref_stiffness
+    from ..fem.forms import ref_stiffness
 
     f32 = np.float32
     nq, nl = np.asarray(tab.phi).shape

@@ -261,7 +261,12 @@ def refine_uniform(mesh: Mesh, snap_boundary=None):
         ],
         axis=0,
     )
-    return Mesh(new_pts, new_cells, dtype=mesh.dtype)
+    out = Mesh(new_pts, new_cells, dtype=mesh.dtype)
+    # record the refinement parentage: lets consumers (multigrid, the
+    # packed-patch backend of the public schemes) rediscover the hierarchy
+    # from the fine mesh alone (navier_stokes/packedapi.py)
+    out._coarse = mesh
+    return out
 
 
 def reorder_rcm(points, cells, only_if_better=True, return_perm=False):

@@ -171,7 +171,7 @@ class FastStepper:
         if self.winkernel:
             import jax as _jax
 
-            from ..fem.winmom import WindowLaggedMomentum
+            from ..attic.winmom import WindowLaggedMomentum
 
             self._winmom = WindowLaggedMomentum(
                 # S=None auto-sizes windows from the RCM bandwidth
@@ -266,7 +266,7 @@ class FastStepper:
         if self.winkernel:
             import jax as _jax2
 
-            from ..fem.winkernel import WindowStiffnessOperator
+            from ..attic.winkernel import WindowStiffnessOperator
 
             self._K_Q_win = WindowStiffnessOperator(
                 Q, interpret=_jax2.default_backend() == "cpu"

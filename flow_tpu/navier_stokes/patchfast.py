@@ -46,6 +46,10 @@ class StepStats(NamedTuple):
     linear_iters: jnp.ndarray
     pressure_iters: jnp.ndarray
     correction_iters: jnp.ndarray
+    # convergence flags (public-API RuntimeError semantics, reference
+    # error_on_nonconvergence — pressure_correction.py:568-603)
+    pressure_converged: jnp.ndarray = jnp.array(True)
+    correction_converged: jnp.ndarray = jnp.array(True)
 
 
 class PackedPatchStepper:
@@ -72,6 +76,9 @@ class PackedPatchStepper:
         mg_smoother_degree=3,
         forces_probe=None,
         hoist_constants=True,
+        rotational_form=True,
+        picard_maxiter=1,
+        picard_tol=0.0,
     ):
         from ..utils.hostsetup import setup_on_cpu
 
@@ -81,7 +88,8 @@ class PackedPatchStepper:
                 newton_tol, newton_rtol, linear_rtol, pressure_rtol,
                 pressure_maxiter, correction_rtol, cfl_target, dt_max,
                 momentum_solver, gmres_restart, mg_smoother_degree,
-                forces_probe, hoist_constants,
+                forces_probe, hoist_constants, rotational_form,
+                picard_maxiter, picard_tol,
             )
 
     def _build(
@@ -89,12 +97,24 @@ class PackedPatchStepper:
         newton_tol, newton_rtol, linear_rtol, pressure_rtol,
         pressure_maxiter, correction_rtol, cfl_target, dt_max,
         momentum_solver, gmres_restart, mg_smoother_degree, forces_probe,
-        hoist_constants,
+        hoist_constants, rotational_form=True, picard_maxiter=1,
+        picard_tol=0.0,
     ):
         import os as _os
 
         assert time_step_method in ("backward euler", "bdf2")
         self.bdf2 = time_step_method == "bdf2"
+        # rotational_form=False: plain incremental (IPCS) update — no
+        # grad(div u*) terms in the pressure rhs / correction
+        self.rotational = bool(rotational_form)
+        # picard_maxiter>1: refreeze the lagged transport at each iterate
+        # until the ABS momentum residual <= picard_tol — the fixed point of
+        # the lagged (Picard) linearization solves the same nonlinear
+        # momentum equation as the public Newton path to the same contract
+        # (the lagged residual at T=x IS the nonlinear residual: the skew
+        # convection is bilinear in (T, x))
+        self.picard_maxiter = int(picard_maxiter)
+        self.picard_tol = float(picard_tol)
         self.V_real, self.Q_real = V, Q
         mesh = V.mesh
         self.pp = pp = PackedPatch(info)
@@ -170,6 +190,10 @@ class PackedPatchStepper:
         self.w1 = w1
 
         self.step = jax.jit(self._step_impl)
+        # body-force variant (public-API route, navier_stokes/packedapi.py)
+        self._step_f = jax.jit(
+            lambda Uf, Pf, dt, Ff: self._step_impl(Uf, Pf, dt, Ff=Ff)
+        )
         self._hoist_cache = {}
         self.hoist_constants = (
             hoist_constants and _os.environ.get("FLOW_NO_HOIST", "") != "1"
@@ -202,6 +226,13 @@ class PackedPatchStepper:
             jnp.zeros(pp.n1, dtype=pp.dtype),
         )
 
+    def step_api(self, Uf, Pf, dt, Ff=None):
+        """One jitted step, optionally with a packed nodal body force."""
+        dt = jnp.asarray(dt, dtype=Uf.dtype)
+        if Ff is None:
+            return self.step(Uf, Pf, dt)
+        return self._step_f(Uf, Pf, dt, Ff)
+
     # -- momentum operator (lagged, affine) -----------------------------------
     def _mom_operator(self, Tf, dt):
         """(A, rhs_P_part): the full lagged tangent x -> A x (volume EMA +
@@ -227,11 +258,18 @@ class PackedPatchStepper:
 
         return A, S
 
-    def _mom_rhs(self, Uf, Pf, dt):
-        """rhs of the affine momentum system: M u0 + s [pg(P) + bnd_P(P)]."""
+    def _mom_rhs(self, Uf, Pf, dt, Ff=None):
+        """rhs of the affine momentum system: M u0 + s [pg(P) + bnd_P(P)
+        + F], F the body-force functional. Ff is the NODAL P2 vector field
+        f (e.g. Boussinesq buoyancy rho(theta) g) in packed layout; the
+        force functional of its interpolant is exactly M Ff — identical to
+        the einsum path's quadrature integral of the same interpolant
+        (reference body force, pressure_correction.py:172 / flow/
+        navier_stokes/pressure_correction.py:134-144)."""
         pp, bt, btQ = self.pp, self.bt, self.btQ
         s = dt / self.rho
-        r = pp.mass_apply_vec(Uf) + s * pp.pressure_grad_rhs(Pf)
+        r = pp.mass_apply_vec(Uf if Ff is None else Uf + s * Ff)
+        r = r + s * pp.pressure_grad_rhs(Pf)
         p0b = btQ.values_scalar(Pf)  # [nb, q]
         val = -p0b[:, :, None] * bt.normals[:, None, :]
         return r + s * bt.integrate_rhs_vec(val)
@@ -263,49 +301,86 @@ class PackedPatchStepper:
         dt_eff = dt * (1.0 + r) / (1.0 + 2.0 * r)
         return uhat, dt_eff, r
 
-    def _step_impl_bdf2(self, Uf, Um1, Pf, dt, dtp):
+    def _step_impl_bdf2(self, Uf, Um1, Pf, dt, dtp, Ff=None):
         uhat, dt_eff, r = self._bdf2_hat(Uf, Um1, dt, dtp)
         # second-order extrapolated transport (the lagged linearization's
         # BDF2-consistent frozen field)
         x0 = (1.0 + r) * Uf - r * Um1
-        return self._step_impl(uhat, Pf, dt_eff, transport=x0)
+        return self._step_impl(uhat, Pf, dt_eff, transport=x0, Ff=Ff)
 
     # -- one projection step --------------------------------------------------
-    def _step_impl(self, Uf, Pf, dt, transport=None):
+    def _step_impl(self, Uf, Pf, dt, transport=None, Ff=None):
         pp = self.pp
         rho, mu = self.rho, self.mu
         free = 1.0 - self.mask_u
         x0 = free * (Uf if transport is None else transport) \
             + self.mask_u * self.val_u
-
-        A_raw, S = self._mom_operator(x0, dt)
-
-        def A_bc(v):
-            return free * A_raw(v) + self.mask_u * v
-
-        rhs = self._mom_rhs(Uf, Pf, dt)
-        r0 = free * (A_raw(x0) - rhs) + self.mask_u * (x0 - self.val_u)
-        rnorm0 = jnp.sqrt(self.dotv(r0, r0))
-
+        rhs = self._mom_rhs(Uf, Pf, dt, Ff=Ff)
         diag = self.mass_diag + (dt / rho) * (2.0 * mu) * self.stiff_diag
         diag = free * diag + self.mask_u
-        dx, sinfo = self._mom_krylov(
-            A_bc, -r0, lambda t: t / diag,
-            self.newton_rtol, 0.05 * self.newton_tol if self.newton_tol else 0.0,
-        )
-        Ui = x0 + dx
-        nres = sinfo.resnorm
 
-        P1, piters = self._pressure_solve(Ui, Pf, dt)
-        U1, citers = self._correction(Ui, P1, Pf, dt)
+        def residual_and_solve(x, rtol, atol):
+            A_raw, _ = self._mom_operator(x, dt)
+
+            def A_bc(v):
+                return free * A_raw(v) + self.mask_u * v
+
+            r = free * (A_raw(x) - rhs) + self.mask_u * (x - self.val_u)
+            dx, sinfo = self._mom_krylov(
+                A_bc, -r, lambda t: t / diag, rtol, atol
+            )
+            return x + dx, sinfo
+
+        if self.picard_maxiter <= 1:
+            # bench path: ONE affine (lagged) solve, unchanged
+            Ui, sinfo = residual_and_solve(
+                x0, self.newton_rtol,
+                0.05 * self.newton_tol if self.newton_tol else 0.0,
+            )
+            nres = sinfo.resnorm
+            n_nonlin = jnp.array(1)
+            lin_iters = sinfo.iters
+        else:
+            # Picard to the Newton contract: iterate the lagged solve with
+            # the transport refrozen at the current iterate until the ABS
+            # nonlinear residual <= picard_tol (reference Newton
+            # error_on_nonconvergence semantics, tol checked by the caller)
+            tol = self.picard_tol
+
+            def res_norm(x):
+                A_raw, _ = self._mom_operator(x, dt)
+                r = free * (A_raw(x) - rhs) + self.mask_u * (x - self.val_u)
+                return jnp.sqrt(self.dotv(r, r))
+
+            def cond(c):
+                _, rn, k, _ = c
+                return (rn > tol) & (k < self.picard_maxiter)
+
+            def body(c):
+                x, rn, k, li = c
+                x1, sinfo = residual_and_solve(
+                    x, self.linear_rtol, 0.05 * tol
+                )
+                return (x1, res_norm(x1), k + 1, li + sinfo.iters)
+
+            rn0 = res_norm(x0)
+            Ui, nres, n_nonlin, lin_iters = jax.lax.while_loop(
+                cond, body, (x0, rn0, jnp.array(0), jnp.array(0))
+            )
+
+        P1, pinfo = self._pressure_solve(Ui, Pf, dt)
+        U1, cinfo = self._correction(Ui, P1, Pf, dt)
         return U1, P1, StepStats(
-            jnp.array(1), nres, sinfo.iters, piters, citers
+            n_nonlin, nres, lin_iters, pinfo.iters, cinfo.iters,
+            pinfo.converged, cinfo.converged,
         )
 
-    # -- substep 2: pressure Poisson (increment form, rotational) -------------
+    # -- substep 2: pressure Poisson (increment form; rotational opt.) --------
     def _pressure_solve(self, Ui, Pf, dt):
         pp = self.pp
-        L2 = -(self.rho / dt) * pp.div_rhs(Ui) - self.mu * pp.grad_div_rhs(Ui)
+        L2 = -(self.rho / dt) * pp.div_rhs(Ui)
+        if self.rotational:
+            L2 = L2 - self.mu * pp.grad_div_rhs(Ui)
         mask, gvals = self.mask_p, self.val_p
         free = 1.0 - mask
 
@@ -331,11 +406,12 @@ class PackedPatchStepper:
                 rtol=self.pressure_rtol, maxiter=self.pressure_maxiter,
                 nullspace=[ones], dot=self.dotp,
             )
-        return Pf + phi, sinfo.iters
+        return Pf + phi, sinfo
 
     # bench axis aliases (bench.py poisson/assembly axes)
     def _pressure_solve_mg(self, Ui, Pf, dt):
-        return self._pressure_solve(Ui, Pf, dt)
+        P1, sinfo = self._pressure_solve(Ui, Pf, dt)
+        return P1, sinfo.iters
 
     def bench_residual(self, x, Uf, Pf, dt):
         """One full momentum residual evaluation (operator apply + rhs) —
@@ -345,11 +421,11 @@ class PackedPatchStepper:
         rhs = self._mom_rhs(Uf, Pf, dt)
         return free * (A_raw(x) - rhs) + self.mask_u * (x - self.val_u)
 
-    # -- substep 3: velocity correction (increment form, rotational) ----------
+    # -- substep 3: velocity correction (increment form; rotational opt.) -----
     def _correction(self, Ui, P1, Pf, dt):
         pp = self.pp
         phi = P1 - Pf
-        div_part = pp.grad_div_cell(Ui)
+        div_part = pp.grad_div_cell(Ui) if self.rotational else None
         free = 1.0 - self.mask_u
 
         def M_bc(u):
@@ -365,7 +441,7 @@ class PackedPatchStepper:
             M_bc, rhs, M=lambda r: r / diag, rtol=self.correction_rtol,
             maxiter=500, dot=self.dotv,
         )
-        return Ui + d, sinfo.iters
+        return Ui + d, sinfo
 
     # -- fused scan loop ------------------------------------------------------
     def _run_hoisted(

@@ -622,15 +622,33 @@ class Chorin:
 
 
 class IPCS:
-    """Incremental pressure-correction scheme (reference :555-584)."""
+    """Incremental pressure-correction scheme (reference :555-584).
+
+    backend: None (einsum context) | "packed" (route through the
+    lane-packed patch stepper — needs a refine_uniform-built mesh; raises
+    when not representable) | "auto" (packed when possible, else einsum).
+    See navier_stokes/packedapi.py."""
 
     order = {"velocity": 2.0, "pressure": 1.0}
 
-    def __init__(self, time_step_method="backward euler", scheme_config=None):
+    def __init__(self, time_step_method="backward euler", scheme_config=None,
+                 backend=None):
         self.time_step_method = time_step_method
         self.scheme_config = scheme_config
+        self.backend = backend
 
     def step(self, dt, u, p0, u_bcs, p_bcs, rho, mu, f, verbose=True, tol=1.0e-10):
+        if self.backend in ("packed", "auto"):
+            from .packedapi import try_packed_step
+            from ..utils.config import SchemeConfig
+
+            out = try_packed_step(
+                dt, u, p0, u_bcs, p_bcs, rho, mu, self.time_step_method, f,
+                False, tol, self.scheme_config or SchemeConfig(),
+                verbose=verbose, strict=self.backend == "packed",
+            )
+            if out is not None:
+                return out
         return _step(
             dt, u, p0, u_bcs, p_bcs, rho, mu, self.time_step_method, f,
             verbose=verbose, tol=tol, scheme_config=self.scheme_config,
@@ -638,15 +656,30 @@ class IPCS:
 
 
 class Rotational:
-    """Incremental scheme in rotational form (reference :587-617)."""
+    """Incremental scheme in rotational form (reference :587-617).
+
+    backend: None | "packed" | "auto" — see IPCS."""
 
     order = {"velocity": 2.0, "pressure": 1.5}
 
-    def __init__(self, time_step_method="backward euler", scheme_config=None):
+    def __init__(self, time_step_method="backward euler", scheme_config=None,
+                 backend=None):
         self.time_step_method = time_step_method
         self.scheme_config = scheme_config
+        self.backend = backend
 
     def step(self, dt, u, p0, u_bcs, p_bcs, rho, mu, f, verbose=True, tol=1.0e-10):
+        if self.backend in ("packed", "auto"):
+            from .packedapi import try_packed_step
+            from ..utils.config import SchemeConfig
+
+            out = try_packed_step(
+                dt, u, p0, u_bcs, p_bcs, rho, mu, self.time_step_method, f,
+                True, tol, self.scheme_config or SchemeConfig(),
+                verbose=verbose, strict=self.backend == "packed",
+            )
+            if out is not None:
+                return out
         return _step(
             dt, u, p0, u_bcs, p_bcs, rho, mu, self.time_step_method, f,
             rotational_form=True, verbose=verbose, tol=tol,

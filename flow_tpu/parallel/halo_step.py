@@ -364,7 +364,7 @@ class HaloProjection:
             )
         self._win_tabs = None
         if self.winkernel:
-            from .halo_win import build_halo_window_tables
+            from ..attic.halo_win import build_halo_window_tables
 
             self._win_meta, self._win_tabs, self._win_sm, self._win_tab = (
                 build_halo_window_tables(
@@ -1048,7 +1048,7 @@ class HaloProjection:
             r0 = residual_lag(x0)
             if win is not None:
                 # gather-free per-device momentum matvec (halo_win.py)
-                from .halo_win import halo_transport_q, halo_window_momentum
+                from ..attic.halo_win import halo_transport_q, halo_window_momentum
 
                 meta, sm, wtab = self._win_meta, self._win_sm, self._win_tab
                 s = (dt / rho) * w_im
@@ -1079,7 +1079,7 @@ class HaloProjection:
                 x, rnorm, k = state
                 if win is not None:
                     # window-kernel Newton tangent (reaction term in-kernel)
-                    from .halo_win import halo_state_q, halo_window_momentum
+                    from ..attic.halo_win import halo_state_q, halo_window_momentum
 
                     meta, sm = self._win_meta, self._win_sm
                     wtab = self._win_tab

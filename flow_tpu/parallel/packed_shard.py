@@ -729,7 +729,8 @@ class ShardedPackedStepper:
         for name in (
             "newton_tol", "newton_rtol", "linear_rtol", "pressure_rtol",
             "pressure_maxiter", "correction_rtol", "cfl_target", "dt_max",
-            "mom_solver", "gmres_restart", "has_p_bcs",
+            "mom_solver", "gmres_restart", "has_p_bcs", "rotational",
+            "picard_maxiter", "picard_tol",
         ):
             setattr(st, name, getattr(base, name))
         st.forces_probe = None

@@ -133,7 +133,7 @@ class P1Hierarchy:
             ):
                 import jax as _jax
 
-                from ..fem.winkernel import WindowStiffnessOperator
+                from ..attic.winkernel import WindowStiffnessOperator
 
                 wop = WindowStiffnessOperator(
                     L.space, interpret=_jax.default_backend() == "cpu"

@@ -21,7 +21,7 @@ def main():
     import numpy as np
     from flow_tpu.models.karman import KarmanProblem
     from flow_tpu.fem import assembly
-    from flow_tpu.fem.winkernel import WindowMassOperator
+    from flow_tpu.attic.winkernel import WindowMassOperator
     from flow_tpu.utils.hostsetup import setup_on_cpu
 
     refine = int(os.environ.get("WK_REFINE", "3"))

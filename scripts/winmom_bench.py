@@ -23,7 +23,7 @@ def main():
     import numpy as np
     from flow_tpu.models.karman import KarmanProblem
     from flow_tpu.fem import assembly, forms
-    from flow_tpu.fem.winmom import WindowLaggedMomentum
+    from flow_tpu.attic.winmom import WindowLaggedMomentum
     from flow_tpu.utils.hostsetup import setup_on_cpu
 
     refine = int(os.environ.get("WM_REFINE", "3"))

@@ -5,7 +5,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from flow_tpu.models.karman import KarmanProblem
-from flow_tpu.fem.window import build_window_layout
+from flow_tpu.attic.window import build_window_layout
 
 
 def test_window_layout_roundtrip_gather_scatter():

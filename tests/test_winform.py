@@ -9,7 +9,7 @@ from flow_tpu.fem import assembly
 from flow_tpu.fem.formlang import (
     Coefficient, TestFunction, TrialFunction, compile_form, dot, grad,
 )
-from flow_tpu.fem.winform import window_operator
+from flow_tpu.attic.winform import window_operator
 
 
 def _setup(deg=2):

@@ -5,7 +5,7 @@ import jax.numpy as jnp
 
 from flow_tpu.models.karman import KarmanProblem
 from flow_tpu.fem import assembly
-from flow_tpu.fem.winkernel import WindowMassOperator
+from flow_tpu.attic.winkernel import WindowMassOperator
 
 
 def test_window_mass_matches_assembly():
@@ -22,7 +22,7 @@ def test_window_mass_matches_assembly():
 
 
 def test_window_stiffness_matches_assembly():
-    from flow_tpu.fem.winkernel import WindowStiffnessOperator
+    from flow_tpu.attic.winkernel import WindowStiffnessOperator
     from flow_tpu import FunctionSpace
 
     prob = KarmanProblem(lcar=0.1, n_refine=1)
@@ -40,7 +40,7 @@ def test_window_stiffness_matches_assembly():
 def test_window_ops_3d_tets():
     # mass and stiffness window kernels on a P1/P2 tet space (the 3-D
     # pressure-Poisson / correction operators)
-    from flow_tpu.fem.winkernel import WindowMassOperator, WindowStiffnessOperator
+    from flow_tpu.attic.winkernel import WindowMassOperator, WindowStiffnessOperator
     from flow_tpu.mesh3d import box_mesh
     from flow_tpu import FunctionSpace
 
@@ -71,8 +71,8 @@ def test_window_kernels_lower_for_tpu():
     import sys
 
     from jax import export
-    from flow_tpu.fem.winkernel import WindowMassOperator
-    from flow_tpu.fem.winmom import WindowLaggedMomentum
+    from flow_tpu.attic.winkernel import WindowMassOperator
+    from flow_tpu.attic.winmom import WindowLaggedMomentum
     from flow_tpu import FunctionSpace
 
     # export of the heavily-unrolled kernels recurses deeper than the

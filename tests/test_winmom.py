@@ -6,7 +6,7 @@ import pytest
 
 from flow_tpu.models.karman import KarmanProblem
 from flow_tpu.fem import assembly, forms
-from flow_tpu.fem.winmom import WindowLaggedMomentum
+from flow_tpu.attic.winmom import WindowLaggedMomentum
 
 
 def _reference_apply(V, geom, x, T, mass_w, s_rho, s_mu):
