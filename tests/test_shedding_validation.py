@@ -234,6 +234,18 @@ def test_stage3_dt_ladder_corridor():
     q0 = 3 * len(t) // 4
     assert abs(fy[q0:].max() - fy[k0:].max()) < 0.02 * FORCE_SCALE
 
+    # Richardson point (dt_max 5e-4, 12000 steps): Cd_max 3.2341,
+    # St 0.29996 — the ladder 3.2476 / 3.2380 / 3.2341 is monotone into
+    # the corridor; ~first-order decrement (discrete peak sampling +
+    # BDF2 damping), extrapolating to ~3.230 mid-corridor.
+    t, fx, fy = _load("schafer_turek_stage3_dt5e4.npz")
+    k0 = len(t) // 2
+    cd = fx[k0:] / FORCE_SCALE
+    st = karman.strouhal_number(t[k0:], fy[k0:], diameter=DIAMETER, u_ref=U_REF)
+    assert 0.297 <= st <= 0.303, st
+    assert 3.22 <= cd.max() <= 3.24, cd.max()
+    assert cd.max() < 3.2380 + 1e-9  # monotone ladder
+
 
 def test_stage2_packed_backend_guard():
     # Physics guard for the ROUND-4 packed-patch stepper bench default
