@@ -254,6 +254,36 @@ class BoxPack:
     def windows1(self, grid, t):
         return [self.window1(grid, t, m) for m in range(4)]
 
+    # stacked variants: [nl, N, N, N] tensors so the local-dof couplings
+    # are single einsum contractions instead of O(nl^2) unrolled FMAs —
+    # the 3-D graphs are otherwise 10-30x larger than the 2-D patchpack
+    # ones and XLA compile time explodes (measured: >25 min on CPU for the
+    # fully unrolled step). The leading local axis is free on TPU (tiling
+    # pads only the two minor dims).
+    def stack2(self, Xs, t):
+        blocks = self.unflatten(Xs)
+        return jnp.stack(
+            [self.window2(blocks, t, l) for l in range(10)]
+        )
+
+    def stack2_blocks(self, blocks, t):
+        return jnp.stack(
+            [self.window2(blocks, t, l) for l in range(10)]
+        )
+
+    def acc_stack2(self, acc, t, V):
+        for i in range(10):
+            acc = self.acc_window2(acc, t, i, V[i])
+        return acc
+
+    def stack1(self, grid, t):
+        return jnp.stack([self.window1(grid, t, m) for m in range(4)])
+
+    def acc_stack1(self, grid, t, V):
+        for m in range(4):
+            grid = self.acc_window1(grid, t, m, V[m])
+        return grid
+
     # ------------------------------------------------------------------------
     # hot kernels (all volume terms; the cavity workloads have no ds terms)
     # ------------------------------------------------------------------------
@@ -261,153 +291,74 @@ class BoxPack:
         out = []
         for xc in self.comps(Xf):
             acc = self.zero_blocks(xc.dtype)
+            blocks = self.unflatten(xc)
             for t in range(6):
                 dJ = self.types[t]["detJ"]
-                xw = self.windows2(xc, t)
-                for i in range(10):
-                    y = None
-                    for j in range(10):
-                        c = dJ * self.Mref[i, j]
-                        term = c * xw[j]
-                        y = term if y is None else y + term
-                    acc = self.acc_window2(acc, t, i, y)
+                xw = self.stack2_blocks(blocks, t)
+                y = jnp.einsum("ij,j...->i...", dJ * self.Mref, xw)
+                acc = self.acc_stack2(acc, t, y)
             out.append(self.flatten(acc))
         return jnp.concatenate(out)
 
     def div_rhs(self, Xf):
         """b[m] = int div(u) q_m -> P1 grid (standard dof order)."""
-        xs = self.comps(Xf)
-        B = self.Bref
         N = self.N
+        xw_all = [self.unflatten(xc) for xc in self.comps(Xf)]
         acc = jnp.zeros((N + 1,) * 3, dtype=Xf.dtype)
         for t in range(6):
             ty = self.types[t]
-            dJ, G = ty["detJ"], ty["G"]
-            xw = [self.windows2(xc, t) for xc in xs]
-            # g_kj = sum_b G[b,k] x_j^b
-            for m in range(4):
-                y = None
-                for k in range(3):
-                    for j in range(10):
-                        c = B[k, m, j]
-                        if c == 0.0:
-                            continue
-                        g = None
-                        for b in range(3):
-                            if G[b, k] == 0.0:
-                                continue
-                            term = G[b, k] * xw[b][j]
-                            g = term if g is None else g + term
-                        if g is None:
-                            continue
-                        term = c * g
-                        y = term if y is None else y + term
-                acc = self.acc_window1(acc, t, m, dJ * y)
+            xw = jnp.stack(
+                [self.stack2_blocks(b, t) for b in xw_all]
+            )  # [3(b), 10(j), N, N, N]
+            # out_m = dJ B[k,m,j] G[b,k] x_j^b
+            C = np.einsum("kmj,bk->mbj", self.Bref, ty["G"]) * ty["detJ"]
+            y = jnp.einsum("mbj,bj...->m...", C, xw)
+            acc = self.acc_stack1(acc, t, y)
         return acc.reshape(-1)
 
     def pressure_grad_rhs(self, pvec):
         """b[(i,a)] = int p d_a v_i -> packed P2 vector flat."""
         grid = pvec.reshape((self.N + 1,) * 3)
-        B = self.Bref
-        out = []
-        for a in range(3):
-            acc = self.zero_blocks(pvec.dtype)
-            for t in range(6):
-                ty = self.types[t]
-                dJ, G = ty["detJ"], ty["G"]
-                pw = self.windows1(grid, t)
-                for i in range(10):
-                    y = None
-                    for k in range(3):
-                        if G[a, k] == 0.0:
-                            continue
-                        hk = None
-                        for m in range(4):
-                            c = B[k, m, i]
-                            if c == 0.0:
-                                continue
-                            term = c * pw[m]
-                            hk = term if hk is None else hk + term
-                        if hk is None:
-                            continue
-                        term = G[a, k] * hk
-                        y = term if y is None else y + term
-                    if y is None:
-                        continue
-                    acc = self.acc_window2(acc, t, i, dJ * y)
-            out.append(self.flatten(acc))
-        return jnp.concatenate(out)
+        accs = [self.zero_blocks(pvec.dtype) for _ in range(3)]
+        for t in range(6):
+            ty = self.types[t]
+            pw = self.stack1(grid, t)  # [4, N, N, N]
+            # out_i^a = dJ G[a,k] B[k,m,i] p_m
+            C = np.einsum("ak,kmi->aim", ty["G"], self.Bref) * ty["detJ"]
+            y = jnp.einsum("aim,m...->ai...", C, pw)
+            for a in range(3):
+                accs[a] = self.acc_stack2(accs[a], t, y[a])
+        return jnp.concatenate([self.flatten(a) for a in accs])
 
     def grad_div_cell(self, Xf):
-        """Per-cell constant grad(div u): out[d][t] = [N,N,N]."""
-        xs = self.comps(Xf)
-        H = self.Href
-        out = [[None] * 6 for _ in range(3)]
+        """Per-cell constant grad(div u): out[t] = [3(d), N, N, N]."""
+        xw_all = [self.unflatten(xc) for xc in self.comps(Xf)]
+        out = []
         for t in range(6):
             ty = self.types[t]
             G = ty["G"]
-            xw = [self.windows2(xc, t) for xc in xs]
-            # w_lj = sum_b G[b,l] x_j^b
-            w = [[None] * 10 for _ in range(3)]
-            for l in range(3):
-                for j in range(10):
-                    g = None
-                    for b in range(3):
-                        if G[b, l] == 0.0:
-                            continue
-                        term = G[b, l] * xw[b][j]
-                        g = term if g is None else g + term
-                    w[l][j] = g
-            for d in range(3):
-                v = None
-                for k in range(3):
-                    if G[d, k] == 0.0:
-                        continue
-                    u = None
-                    for l in range(3):
-                        for j in range(10):
-                            c = H[j, k, l]
-                            if c == 0.0 or w[l][j] is None:
-                                continue
-                            term = c * w[l][j]
-                            u = term if u is None else u + term
-                    if u is None:
-                        continue
-                    term = G[d, k] * u
-                    v = term if v is None else v + term
-                out[d][t] = v
+            xw = jnp.stack(
+                [self.stack2_blocks(b, t) for b in xw_all]
+            )  # [3(b), 10(j), ...]
+            # v_d = G[d,k] Href[j,k,l] G[b,l] x_j^b
+            C = np.einsum("dk,jkl,bl->dbj", G, self.Href, G)
+            out.append(jnp.einsum("dbj,bj...->d...", C, xw))
         return out
 
     def grad_div_rhs(self, Xf):
         """b[m] = int grad(div u) . grad(q_m) -> P1 grid vector
         (rotational pressure term; ref volume factor 1/6)."""
         v = self.grad_div_cell(Xf)
-        dref = self.dref1
         N = self.N
         acc = jnp.zeros((N + 1,) * 3, dtype=Xf.dtype)
         for t in range(6):
             ty = self.types[t]
-            dJ, G = ty["detJ"], ty["G"]
-            gv = [None] * 3
-            for k in range(3):
-                g = None
-                for d in range(3):
-                    if G[d, k] == 0.0 or v[d][t] is None:
-                        continue
-                    term = G[d, k] * v[d][t]
-                    g = term if g is None else g + term
-                gv[k] = g
-            for m in range(4):
-                y = None
-                for k in range(3):
-                    c = dref[m, k]
-                    if c == 0.0 or gv[k] is None:
-                        continue
-                    term = c * gv[k]
-                    y = term if y is None else y + term
-                if y is None:
-                    continue
-                acc = self.acc_window1(acc, t, m, (dJ / 6.0) * y)
+            # loc_m = (dJ/6) dref[m,k] G[d,k] v_d
+            C = np.einsum("mk,dk->md", self.dref1, ty["G"]) * (
+                ty["detJ"] / 6.0
+            )
+            y = jnp.einsum("md,d...->m...", C, v[t])
+            acc = self.acc_stack1(acc, t, y)
         return acc.reshape(-1)
 
     def grad_phi_rhs(self, pvec, div_part=None, mu=0.0):
@@ -415,164 +366,72 @@ class BoxPack:
         packed P2 vector flat (grad(phi) per-cell constant for P1 phi;
         int_cell v_i = detJ * refint_i)."""
         grid = pvec.reshape((self.N + 1,) * 3)
-        dref = self.dref1
-        out = []
-        for a in range(3):
-            acc = self.zero_blocks(pvec.dtype)
-            for t in range(6):
-                ty = self.types[t]
-                dJ, G = ty["detJ"], ty["G"]
-                pw = self.windows1(grid, t)
-                ga = None
-                for k in range(3):
-                    if G[a, k] == 0.0:
-                        continue
-                    pk = None
-                    for m in range(4):
-                        c = dref[m, k]
-                        if c == 0.0:
-                            continue
-                        term = c * pw[m]
-                        pk = term if pk is None else pk + term
-                    term = G[a, k] * pk
-                    ga = term if ga is None else ga + term
-                if div_part is not None and div_part[a][t] is not None:
-                    ga = (0.0 if ga is None else ga) + mu * div_part[a][t]
-                if ga is None:
-                    continue
-                for i in range(10):
-                    c = self.refint[i]
-                    if c == 0.0:
-                        continue
-                    acc = self.acc_window2(acc, t, i, (c * dJ) * ga)
-            out.append(self.flatten(acc))
-        return jnp.concatenate(out)
+        accs = [self.zero_blocks(pvec.dtype) for _ in range(3)]
+        for t in range(6):
+            ty = self.types[t]
+            dJ = ty["detJ"]
+            pw = self.stack1(grid, t)
+            # ga_a = G[a,k] dref[m,k] p_m
+            C = np.einsum("ak,mk->am", ty["G"], self.dref1)
+            ga = jnp.einsum("am,m...->a...", C, pw)
+            if div_part is not None:
+                ga = ga + mu * div_part[t]
+            # out_i^a = refint_i dJ ga_a
+            y = jnp.einsum("i,a...->ai...", dJ * self.refint, ga)
+            for a in range(3):
+                accs[a] = self.acc_stack2(accs[a], t, y[a])
+        return jnp.concatenate([self.flatten(a) for a in accs])
 
     # -- lagged momentum operator ---------------------------------------------
     def conv_tables(self, Tf):
-        """Per-(type, qp) transport tables for the collapsed skew
-        convection: A[t][q][m] = sum_k TG_qk dphi[q,m,k],
-        TG_qk = sum_d T_d(q) G[d,k]. Computed ONCE per step (lagged
+        """Per-type transport tables for the collapsed skew convection:
+        A[t] = [nq, 10, N, N, N], A_qm = dphi[q,m,k] G[d,k] T_d(q),
+        T_d(q) = phi[q,l] Tw_d[l]. Computed ONCE per step (lagged
         transport frozen during the Krylov solve)."""
-        Ts = self.comps(Tf)
+        Tw_all = [self.unflatten(Tc) for Tc in self.comps(Tf)]
         A = []
         for t in range(6):
             ty = self.types[t]
-            G = ty["G"]
-            Tw = [self.windows2(Tc, t) for Tc in Ts]
-            At = []
-            for q in range(self.nq):
-                Td = []
-                for d in range(3):
-                    y = None
-                    for l in range(10):
-                        c = self.phi[q, l]
-                        term = c * Tw[d][l]
-                        y = term if y is None else y + term
-                    Td.append(y)
-                TG = []
-                for k in range(3):
-                    g = None
-                    for d in range(3):
-                        if G[d, k] == 0.0:
-                            continue
-                        term = G[d, k] * Td[d]
-                        g = term if g is None else g + term
-                    TG.append(g)
-                Aq = []
-                for m in range(10):
-                    y = None
-                    for k in range(3):
-                        c = self.dphi[q, m, k]
-                        if c == 0.0 or TG[k] is None:
-                            continue
-                        term = c * TG[k]
-                        y = term if y is None else y + term
-                    Aq.append(y)
-                At.append(Aq)
-            A.append(At)
+            Tw = jnp.stack(
+                [self.stack2_blocks(b, t) for b in Tw_all]
+            )  # [3(d), 10(l), ...]
+            # A_qm = (dphi[q,m,k] G[d,k]) (phi[q,l] T_l^d)
+            C = np.einsum("qmk,dk->qmd", self.dphi, ty["G"])
+            Td = jnp.einsum("ql,dl...->qd...", self.phi, Tw)
+            A.append(jnp.einsum("qmd,qd...->qm...", C, Td))
         return A
 
     def momentum_apply(self, A, Xf, s_mu, s_rho):
         """y = [M + s_mu*(stress) + s_rho*skew-conv(T)] x on the packed
-        vector flat. Scalar part per component + factored grad-transpose
-        stress coupling; convection via the collapsed quadrature identity
-        y_i += 0.5 s_rho dJ sum_q w_q (phi_qi <A_q, x> - A_qi <phi_q, x>)."""
-        xs = self.comps(Xf)
-        K = self.Kref
+        vector flat. Component-diagonal scalar part (mass + C:Kref stress
+        + collapsed-quadrature skew convection
+        y_i += 0.5 s_rho dJ sum_q w_q (phi_qi <A_q, x> - A_qi <phi_q, x>))
+        plus the factored grad-transpose stress coupling."""
+        xw_all_blocks = [self.unflatten(xc) for xc in self.comps(Xf)]
         accs = [self.zero_blocks(Xf.dtype) for _ in range(3)]
         for t in range(6):
             ty = self.types[t]
             dJ, G = ty["detJ"], ty["G"]
-            Ks = ty["Kscal"]
-            xw = [self.windows2(xc, t) for xc in xs]
-            At = A[t]
+            xw = jnp.stack(
+                [self.stack2_blocks(b, t) for b in xw_all_blocks]
+            )  # [3(a), 10(j), ...]
+            S = dJ * self.Mref + s_mu * ty["Kscal"]  # [10, 10] const
+            y = jnp.einsum("ij,aj...->ai...", S, xw)
+            # collapsed convection (component-diagonal)
+            At = A[t]  # [nq, 10, ...]
+            xA = jnp.einsum("qj...,aj...->qa...", At, xw)
+            xP = jnp.einsum("qj,aj...->qa...", self.phi, xw)
+            wphi = self.qw[:, None] * self.phi  # [nq, 10]
+            conv = jnp.einsum("qi,qa...->ai...", wphi, xA) - jnp.einsum(
+                "q,qi...,qa...->ai...", self.qw, At, xP
+            )
+            y = y + (0.5 * s_rho * dJ) * conv
+            # transpose stress coupling:
+            # out_i^a += s_mu dJ G[a,k] Kref[k,l,j,i] G[b,l] x_j^b
+            C = np.einsum("ak,klji,bl->aibj", G, self.Kref, G) * (
+                s_mu * dJ
+            )
+            y = y + jnp.einsum("aibj,bj...->ai...", C, xw)
             for a in range(3):
-                # collapsed convection: xA_q = sum_j A_qj x_j, xP_q = ...
-                conv_i = [None] * 10
-                for q in range(self.nq):
-                    xA = None
-                    xP = None
-                    for j in range(10):
-                        if At[q][j] is not None:
-                            term = At[q][j] * xw[a][j]
-                            xA = term if xA is None else xA + term
-                        c = self.phi[q, j]
-                        term = c * xw[a][j]
-                        xP = term if xP is None else xP + term
-                    wq = self.qw[q]
-                    for i in range(10):
-                        c1 = wq * self.phi[q, i]
-                        term = c1 * xA
-                        if At[q][i] is not None:
-                            term = term - wq * (At[q][i] * xP)
-                        conv_i[i] = (
-                            term if conv_i[i] is None else conv_i[i] + term
-                        )
-                for i in range(10):
-                    y = None
-                    for j in range(10):
-                        c = dJ * self.Mref[i, j] + s_mu * Ks[i, j]
-                        term = c * xw[a][j]
-                        y = term if y is None else y + term
-                    if conv_i[i] is not None:
-                        y = y + (0.5 * s_rho * dJ) * conv_i[i]
-                    accs[a] = self.acc_window2(accs[a], t, i, y)
-            # transpose stress coupling: w_lj = sum_b G[b,l] x_j^b;
-            # u_ki = sum_{l,j} Kref[k,l,j,i] w_lj;
-            # out_i^a += s_mu dJ sum_k G[a,k] u_ki
-            w = [[None] * 10 for _ in range(3)]
-            for l in range(3):
-                for j in range(10):
-                    g = None
-                    for b in range(3):
-                        if G[b, l] == 0.0:
-                            continue
-                        term = G[b, l] * xw[b][j]
-                        g = term if g is None else g + term
-                    w[l][j] = g
-            for i in range(10):
-                u = [None] * 3
-                for k in range(3):
-                    y = None
-                    for l in range(3):
-                        for j in range(10):
-                            c = K[k, l, j, i]
-                            if c == 0.0 or w[l][j] is None:
-                                continue
-                            term = c * w[l][j]
-                            y = term if y is None else y + term
-                    u[k] = y
-                for a in range(3):
-                    val = None
-                    for k in range(3):
-                        if G[a, k] == 0.0 or u[k] is None:
-                            continue
-                        term = G[a, k] * u[k]
-                        val = term if val is None else val + term
-                    if val is None:
-                        continue
-                    accs[a] = self.acc_window2(
-                        accs[a], t, i, (s_mu * dJ) * val
-                    )
+                accs[a] = self.acc_stack2(accs[a], t, y[a])
         return jnp.concatenate([self.flatten(a) for a in accs])

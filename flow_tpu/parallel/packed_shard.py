@@ -790,44 +790,68 @@ class ShardedPackedStepper:
         return self._step(self.SH, Us, Ps, jnp.asarray(dt))
 
     def run(self, Us, Ps, dt0, n_steps, dt_max=None, cfl_target=None):
-        key = (int(n_steps), dt_max is None, cfl_target is None)
+        """Fused scan time loop (CFL controller + telemetry). BDF2 when the
+        stepper was built with time_step_method='bdf2' (bootstraps from the
+        backward-Euler first step like patchfast)."""
+        bdf2 = self.base.bdf2
+        key = (int(n_steps), dt_max is None, cfl_target is None, bdf2)
         fn = self._run_cache.get(key)
         if fn is None:
             spec_sh = P(AXIS)
+
+            def _cfl_dt(st, U1, dt, dt_cap, cfl):
+                a, b = st.pp.comps(U1)
+                umax = lax.pmax(jnp.sqrt(jnp.max(a * a + b * b)), AXIS)
+                target_dt = cfl * st.hmax / jnp.maximum(umax, 1e-30)
+                return jnp.minimum(
+                    dt_cap,
+                    dt * jnp.minimum(2.0, 1.0 + 0.5 * (target_dt - dt) / dt),
+                )
+
+            def _tel(t, dt, stats):
+                return {
+                    "t": t,
+                    "dt": dt,
+                    "linear_iters": stats.linear_iters,
+                    "pressure_iters": stats.pressure_iters,
+                    "correction_iters": stats.correction_iters,
+                }
 
             def _run_local(SH, Uf, Pf, dt0, dt_cap, cfl):
                 SH = jax.tree.map(lambda a: a[0], SH)
                 st = self._make_local(SH)
                 Uf, Pf = Uf[0], Pf[0]
+                dt0 = jnp.asarray(dt0, dtype=Uf.dtype)
+                t0 = jnp.asarray(0.0, dtype=Uf.dtype)
+
+                if bdf2:
+
+                    def body(carry, _):
+                        Uf, Um1, Pf, dt, dtp, t = carry
+                        U1, P1, stats = st._step_impl_bdf2(
+                            Uf, Um1, Pf, dt, dtp
+                        )
+                        t = t + dt
+                        dt_new = _cfl_dt(st, U1, dt, dt_cap, cfl)
+                        return (U1, Uf, P1, dt_new, dt, t), _tel(
+                            t, dt, stats
+                        )
+
+                    (Uf, _, Pf, dt, _, _), tel = lax.scan(
+                        body, (Uf, Uf, Pf, dt0, dt0, t0), None,
+                        length=n_steps,
+                    )
+                    return Uf[None], Pf[None], dt, tel
 
                 def body(carry, _):
                     Uf, Pf, dt, t = carry
                     U1, P1, stats = st._step_impl(Uf, Pf, dt)
                     t = t + dt
-                    a, b = st.pp.comps(U1)
-                    umax = lax.pmax(
-                        jnp.sqrt(jnp.max(a * a + b * b)), AXIS
-                    )
-                    target_dt = cfl * st.hmax / jnp.maximum(umax, 1e-30)
-                    dt_new = jnp.minimum(
-                        dt_cap,
-                        dt * jnp.minimum(
-                            2.0, 1.0 + 0.5 * (target_dt - dt) / dt
-                        ),
-                    )
-                    out = {
-                        "t": t,
-                        "dt": dt,
-                        "linear_iters": stats.linear_iters,
-                        "pressure_iters": stats.pressure_iters,
-                        "correction_iters": stats.correction_iters,
-                    }
-                    return (U1, P1, dt_new, t), out
+                    dt_new = _cfl_dt(st, U1, dt, dt_cap, cfl)
+                    return (U1, P1, dt_new, t), _tel(t, dt, stats)
 
-                t0 = jnp.asarray(0.0, dtype=Uf.dtype)
                 (Uf, Pf, dt, _), tel = lax.scan(
-                    body, (Uf, Pf, jnp.asarray(dt0, dtype=Uf.dtype), t0),
-                    None, length=n_steps,
+                    body, (Uf, Pf, dt0, t0), None, length=n_steps
                 )
                 return Uf[None], Pf[None], dt, tel
 

@@ -64,6 +64,39 @@ def test_sharded_karman_dirichlet_pressure():
     _parity(sh, prob.V.zeros(), prob.Q.zeros(), 1e-3)
 
 
+def test_sharded_bdf2_run():
+    """BDF2 sharded scan loop vs the single-device BDF2 stepper (the
+    bench/physics integrator)."""
+    from flow_tpu.fem.spaces import FunctionSpace, VectorFunctionSpace
+    from flow_tpu.fem.bc import DirichletBC
+
+    ms = [unit_square_mesh(4, diagonal="left")]
+    for _ in range(2):
+        ms.append(refine_uniform(ms[-1]))
+    info = build_patch_info(ms)
+    mesh = ms[-1]
+    V = VectorFunctionSpace(mesh, 2)
+    Q = FunctionSpace(mesh, 1)
+
+    def lid(x):
+        return np.where(x[:, 1] > 1 - 1e-12, 1.0, 0.0)
+
+    u_bcs = [DirichletBC(V.sub(0), lid), DirichletBC(V.sub(1), 0.0)]
+    sh = ShardedPackedStepper(
+        V, Q, u_bcs, [], 1.0, 0.05, info, devices=jax.devices()[:8],
+        time_step_method="bdf2", **TIGHT
+    )
+    base = sh.base
+    Uf, Pf = base.zeros()
+    U3f, P3f, dtb, _, _ = base.run(Uf, Pf, 1e-3, n_steps=3)
+    Us, Ps = sh.to_sharded(V.zeros(), Q.zeros())
+    U3s, P3s, dts, tel = sh.run(Us, Ps, 1e-3, n_steps=3)
+    U3b, _ = base.from_packed_state(U3f, P3f)
+    U3g, _ = sh.from_sharded(U3s, P3s)
+    np.testing.assert_allclose(np.asarray(U3g), np.asarray(U3b), atol=1e-8)
+    assert abs(float(dtb) - float(dts)) < 1e-12
+
+
 def test_sharded_cavity_neumann():
     """Lid-driven square: pure-Neumann pressure (nullspace projection +
     psum-reduced coarse solve)."""
