@@ -58,8 +58,12 @@ def main():
     x_lu = op.solve_alpha_M_beta_F(alpha, beta, b, dt, solver="direct").vector
     ref = float(jnp.max(jnp.abs(x_lu)))
 
-    # reach into the solver internals for a controlled sweep
-    S_loc, rhs, mask = op._system(alpha, beta, b)
+    # reach into the solver internals for a controlled sweep (the same
+    # system assembly as solve_alpha_M_beta_F, heat.py:182-193)
+    S_loc = alpha * op.M_loc + beta * op.A_loc
+    rhs = b - beta * op.b_vec
+    mask, vals = op.mask, op.bc_vals
+    rhs = (1.0 - mask) * rhs + mask * vals
     free = 1.0 - mask
 
     def A(x):
