@@ -61,8 +61,7 @@ class BoxPack:
 
         assert getattr(mesh, "dim", 0) == 3 and hasattr(mesh, "grid_shape")
         gx, gy, gz = mesh.grid_shape
-        assert gx == gy == gz, "box pack: cubic grids (nx=ny=nz)"
-        self.N = N = gx - 1
+        self.Ns = (gx - 1, gy - 1, gz - 1)  # cells per axis (anisotropic ok)
         self.mesh = mesh
         if dtype is None:
             dtype = mesh.dtype
@@ -136,7 +135,7 @@ class BoxPack:
 
     # -- dof <-> layout maps (setup only) -------------------------------------
     def _build_maps(self, mesh):
-        N = self.N
+        Nx, Ny, Nz = self.Ns
         # parity blocks of the doubled grid, order p = (px, py, pz) lex
         self.block_dims = []
         sizes = []
@@ -144,9 +143,9 @@ class BoxPack:
             for py in (0, 1):
                 for pz in (0, 1):
                     d = (
-                        N + 1 - px,
-                        N + 1 - py,
-                        N + 1 - pz,
+                        Nx + 1 - px,
+                        Ny + 1 - py,
+                        Nz + 1 - pz,
                     )
                     self.block_dims.append(d)
                     sizes.append(d[0] * d[1] * d[2])
@@ -154,7 +153,7 @@ class BoxPack:
             np.int64
         )
         self.n2 = int(self.offsets[-1])
-        assert self.n2 == (2 * N + 1) ** 3
+        assert self.n2 == (2 * Nx + 1) * (2 * Ny + 1) * (2 * Nz + 1)
 
         # doubled-grid index of every P2 dof (vertices then edge midpoints)
         lo = mesh.points_np.min(axis=0)
@@ -165,7 +164,8 @@ class BoxPack:
         )
         allpts = np.concatenate([vpts, epts], axis=0)
         dgi = np.rint((allpts - lo) / step).astype(np.int64)  # [n2, 3]
-        assert dgi.min() >= 0 and dgi.max() <= 2 * N
+        assert dgi.min() >= 0
+        assert (dgi.max(axis=0) <= 2 * np.asarray(self.Ns)).all()
 
         par = dgi % 2
         base = dgi // 2
@@ -186,7 +186,8 @@ class BoxPack:
             self.slot_of_dof_j = jnp.asarray(self.slot_of_dof)
             self.dof_of_slot_j = jnp.asarray(self.dof_of_slot)
 
-        self.n1 = (N + 1) ** 3
+        self.n1 = (Nx + 1) * (Ny + 1) * (Nz + 1)
+        self.grid1 = (Nx + 1, Ny + 1, Nz + 1)
 
     # -- plane plumbing --------------------------------------------------------
     def unflatten(self, X):
@@ -213,31 +214,31 @@ class BoxPack:
         o = self.types[t]["off2"][l]
         p = (int(o[0] % 2) * 2 + int(o[1] % 2)) * 2 + int(o[2] % 2)
         b = o // 2
-        N = self.N
+        Nx, Ny, Nz = self.Ns
         return blocks[p][
-            b[0]: b[0] + N, b[1]: b[1] + N, b[2]: b[2] + N
+            b[0]: b[0] + Nx, b[1]: b[1] + Ny, b[2]: b[2] + Nz
         ]
 
     def acc_window2(self, blocks, t, l, val):
         o = self.types[t]["off2"][l]
         p = (int(o[0] % 2) * 2 + int(o[1] % 2)) * 2 + int(o[2] % 2)
         b = o // 2
-        N = self.N
+        Nx, Ny, Nz = self.Ns
         blocks[p] = blocks[p].at[
-            b[0]: b[0] + N, b[1]: b[1] + N, b[2]: b[2] + N
+            b[0]: b[0] + Nx, b[1]: b[1] + Ny, b[2]: b[2] + Nz
         ].add(val)
         return blocks
 
     def window1(self, grid, t, m):
         b = self.types[t]["off1"][m]
-        N = self.N
-        return grid[b[0]: b[0] + N, b[1]: b[1] + N, b[2]: b[2] + N]
+        Nx, Ny, Nz = self.Ns
+        return grid[b[0]: b[0] + Nx, b[1]: b[1] + Ny, b[2]: b[2] + Nz]
 
     def acc_window1(self, grid, t, m, val):
         b = self.types[t]["off1"][m]
-        N = self.N
+        Nx, Ny, Nz = self.Ns
         return grid.at[
-            b[0]: b[0] + N, b[1]: b[1] + N, b[2]: b[2] + N
+            b[0]: b[0] + Nx, b[1]: b[1] + Ny, b[2]: b[2] + Nz
         ].add(val)
 
     def zero_blocks(self, dtype):
@@ -302,9 +303,8 @@ class BoxPack:
 
     def div_rhs(self, Xf):
         """b[m] = int div(u) q_m -> P1 grid (standard dof order)."""
-        N = self.N
         xw_all = [self.unflatten(xc) for xc in self.comps(Xf)]
-        acc = jnp.zeros((N + 1,) * 3, dtype=Xf.dtype)
+        acc = jnp.zeros(self.grid1, dtype=Xf.dtype)
         for t in range(6):
             ty = self.types[t]
             xw = jnp.stack(
@@ -318,7 +318,7 @@ class BoxPack:
 
     def pressure_grad_rhs(self, pvec):
         """b[(i,a)] = int p d_a v_i -> packed P2 vector flat."""
-        grid = pvec.reshape((self.N + 1,) * 3)
+        grid = pvec.reshape(self.grid1)
         accs = [self.zero_blocks(pvec.dtype) for _ in range(3)]
         for t in range(6):
             ty = self.types[t]
@@ -349,8 +349,7 @@ class BoxPack:
         """b[m] = int grad(div u) . grad(q_m) -> P1 grid vector
         (rotational pressure term; ref volume factor 1/6)."""
         v = self.grad_div_cell(Xf)
-        N = self.N
-        acc = jnp.zeros((N + 1,) * 3, dtype=Xf.dtype)
+        acc = jnp.zeros(self.grid1, dtype=Xf.dtype)
         for t in range(6):
             ty = self.types[t]
             # loc_m = (dJ/6) dref[m,k] G[d,k] v_d
@@ -365,7 +364,7 @@ class BoxPack:
         """b[(i,a)] = int (grad(phi)_a [+ mu grad(div u*)_a]) v_i ->
         packed P2 vector flat (grad(phi) per-cell constant for P1 phi;
         int_cell v_i = detJ * refint_i)."""
-        grid = pvec.reshape((self.N + 1,) * 3)
+        grid = pvec.reshape(self.grid1)
         accs = [self.zero_blocks(pvec.dtype) for _ in range(3)]
         for t in range(6):
             ty = self.types[t]

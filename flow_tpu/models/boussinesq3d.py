@@ -43,12 +43,26 @@ def compute_boussinesq_3d(
     dt_max=1.0,
     heat_degree=2,
     n_refine=0,
+    backend=None,
 ):
     """Run the coupled 3-D simulation; returns (u1, p1, theta1).
 
     n_refine > 0 builds the box as coarse(n) + refine_uniform_tet^r — the
     scaled configuration (BASELINE configs[4]); the chain feeds the
-    on-device multigrid heat solve (flow_tpu.heat solver='mg')."""
+    on-device multigrid heat solve (flow_tpu.heat solver='mg').
+
+    backend="packed": route the NS step through the box-packed stepper
+    (navier_stokes/boxfast.py — constant-geometry window stencils; Picard
+    to the public Newton contract; nodal buoyancy) — requires n_refine=0
+    (the box grid itself) and heat_degree=2 (the buoyancy lives on V's
+    scalar P2 numbering). Equivalence pinned in
+    tests/test_boussinesq3d_packed.py."""
+    use_packed = backend in ("packed", "auto") and n_refine == 0
+    if backend == "packed":
+        assert n_refine == 0 and heat_degree == 2, (
+            "box-packed backend: n_refine=0 (the structured grid) and "
+            "P2 temperature"
+        )
     mesh = box_mesh((0.0, 0.0, 0.0), (X1, Y1, Z1), *n)
     mesh_hierarchy = [mesh]
     for _ in range(n_refine):
@@ -118,7 +132,6 @@ def compute_boussinesq_3d(
                 theta1 = parabolic.ImplicitEuler(op).step(theta0, t, dt)
 
             with Message("navier-stokes step"):
-                stepper = navier_stokes.Rotational()
                 rho_vals = jnp.asarray(
                     np.asarray(rho(np.asarray(theta_prev.vector))),
                     dtype=theta_prev.vector.dtype,
@@ -137,11 +150,18 @@ def compute_boussinesq_3d(
                     return jnp.stack([zeros, zeros, vals * g_const], axis=-1)
 
                 try:
-                    u1, p1 = stepper.step(
-                        dt, {0: u0}, p0, u_bcs, p_bcs,
-                        float(rho(room_temp)), mu,
-                        f={0: buoy, 1: buoy}, verbose=False, tol=1.0e-10,
-                    )
+                    if use_packed:
+                        u1, p1 = _packed_ns_step(
+                            V, P, u_bcs, float(rho(room_temp)), mu,
+                            dt, u0, p0, rho_theta, g_const,
+                        )
+                    else:
+                        u1, p1 = navier_stokes.Rotational().step(
+                            dt, {0: u0}, p0, u_bcs, p_bcs,
+                            float(rho(room_temp)), mu,
+                            f={0: buoy, 1: buoy}, verbose=False,
+                            tol=1.0e-10,
+                        )
                 except RuntimeError:
                     info("NS failed; dt %e -> %e" % (dt, 0.5 * dt))
                     dt *= 0.5
@@ -164,3 +184,46 @@ def compute_boussinesq_3d(
         t += dt
 
     return u1, p1, theta1
+
+
+def _packed_ns_step(V, P, u_bcs, rho_const, mu, dt, u0, p0, rho_theta,
+                    g_const):
+    """One Rotational projection step through the box-packed stepper with
+    the nodal buoyancy rho(theta) g e_z (public Newton contract via
+    Picard; RuntimeError semantics drive the caller's dt backoff)."""
+    from ..navier_stokes.boxfast import BoxPackedStepper
+
+    cache = getattr(V, "_box_b3d_cache", None)
+    key = (id(P), tuple(id(b) for b in u_bcs), rho_const, mu)
+    if cache is None or cache[0] != key:
+        st = BoxPackedStepper(
+            V, P, u_bcs, [], rho_const, mu,
+            newton_tol=1.0e-10, picard_maxiter=10, picard_tol=1.0e-10,
+            linear_rtol=1.0e-4, pressure_rtol=1.0e-10,
+            correction_rtol=1.0e-10,
+        )
+        V._box_b3d_cache = (key, st)
+    else:
+        st = cache[1]
+    f = jnp.stack(
+        [
+            jnp.zeros_like(rho_theta.vector),
+            jnp.zeros_like(rho_theta.vector),
+            rho_theta.vector * g_const,
+        ],
+        axis=-1,
+    )
+    Uf, Pf = st.to_packed_state(u0.vector, p0.vector)
+    Ff = st.pack_vec(f)
+    U1f, P1f, stats = st.step_api(Uf, Pf, dt, Ff)
+    nres = float(stats.newton_res)
+    if nres > 10.0 * 1.0e-10:
+        raise RuntimeError(
+            f"Newton solver did not converge (residual {nres:.3e})"
+        )
+    if not bool(stats.pressure_converged):
+        raise RuntimeError("Pressure Poisson solve did not converge")
+    if not bool(stats.correction_converged):
+        raise RuntimeError("Velocity correction solve did not converge")
+    U1, P1 = st.from_packed_state(U1f, P1f)
+    return Function(V, U1), Function(P, P1)

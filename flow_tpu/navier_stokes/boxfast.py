@@ -51,6 +51,8 @@ class BoxPackedStepper:
         momentum_solver="bicgstab",
         gmres_restart=32,
         mg_smoother_degree=3,
+        picard_maxiter=1,
+        picard_tol=0.0,
     ):
         from ..utils.hostsetup import setup_on_cpu
 
@@ -59,20 +61,25 @@ class BoxPackedStepper:
                 V, Q, u_bcs, p_bcs, rho, mu, time_step_method, newton_tol,
                 newton_rtol, linear_rtol, pressure_rtol, pressure_maxiter,
                 correction_rtol, cfl_target, dt_max, momentum_solver,
-                gmres_restart, mg_smoother_degree,
+                gmres_restart, mg_smoother_degree, picard_maxiter,
+                picard_tol,
             )
 
     def _build(
         self, V, Q, u_bcs, p_bcs, rho, mu, time_step_method, newton_tol,
         newton_rtol, linear_rtol, pressure_rtol, pressure_maxiter,
         correction_rtol, cfl_target, dt_max, momentum_solver, gmres_restart,
-        mg_smoother_degree,
+        mg_smoother_degree, picard_maxiter=1, picard_tol=0.0,
     ):
         import os as _os
 
         assert time_step_method in ("backward euler", "bdf2")
         assert not p_bcs, "box stepper: pure-Neumann pressure (cavity walls)"
         self.bdf2 = time_step_method == "bdf2"
+        # picard>1: the Newton-contract mode (see patchfast.py — the lagged
+        # residual at T=x IS the nonlinear residual)
+        self.picard_maxiter = int(picard_maxiter)
+        self.picard_tol = float(picard_tol)
         self.V_real, self.Q_real = V, Q
         mesh = V.mesh
         self.bp = bp = BoxPack(mesh)
@@ -142,6 +149,18 @@ class BoxPackedStepper:
             jnp.zeros(bp.n1, dtype=bp.dtype),
         )
 
+    def step_api(self, Uf, Pf, dt, Ff=None):
+        """One jitted step, optionally with a packed nodal body force
+        (the 3-D Boussinesq buoyancy route)."""
+        dt = jnp.asarray(dt, dtype=Uf.dtype)
+        if Ff is None:
+            return self.step(Uf, Pf, dt)
+        if not hasattr(self, "_step_f"):
+            self._step_f = jax.jit(
+                lambda U, P, d, F: self._step_impl(U, P, d, Ff=F)
+            )
+        return self._step_f(Uf, Pf, dt, Ff)
+
     # -- inner products (no replication -> plain sums) --------------------------
     @staticmethod
     def dotv(x, y):
@@ -195,28 +214,57 @@ class BoxPackedStepper:
         free = 1.0 - self.mask_u
         x0 = free * (Uf if transport is None else transport) \
             + self.mask_u * self.val_u
-
-        A_raw = self._mom_operator(x0, dt)
-
-        def A_bc(v):
-            return free * A_raw(v) + self.mask_u * v
-
         rhs = self._mom_rhs(Uf, Pf, dt, Ff=Ff)
-        r0 = free * (A_raw(x0) - rhs) + self.mask_u * (x0 - self.val_u)
-
         diag = self.mass_diag + (dt / rho) * (2.0 * mu) * self.stiff_diag
         diag = free * diag + self.mask_u
-        dx, sinfo = self._mom_krylov(
-            A_bc, -r0, lambda t: t / diag,
-            self.newton_rtol,
-            0.05 * self.newton_tol if self.newton_tol else 0.0,
-        )
-        Ui = x0 + dx
+
+        def residual_and_solve(x, rtol, atol):
+            A_raw = self._mom_operator(x, dt)
+
+            def A_bc(v):
+                return free * A_raw(v) + self.mask_u * v
+
+            r = free * (A_raw(x) - rhs) + self.mask_u * (x - self.val_u)
+            dx, sinfo = self._mom_krylov(
+                A_bc, -r, lambda t: t / diag, rtol, atol
+            )
+            return x + dx, sinfo
+
+        if self.picard_maxiter <= 1:
+            Ui, sinfo = residual_and_solve(
+                x0, self.newton_rtol,
+                0.05 * self.newton_tol if self.newton_tol else 0.0,
+            )
+            nres = sinfo.resnorm
+            n_nonlin = jnp.array(1)
+            lin_iters = sinfo.iters
+        else:
+            tol = self.picard_tol
+
+            def res_norm(x):
+                A_raw = self._mom_operator(x, dt)
+                r = free * (A_raw(x) - rhs) + self.mask_u * (x - self.val_u)
+                return jnp.sqrt(self.dotv(r, r))
+
+            def cond(c):
+                _, rn, k, _ = c
+                return (rn > tol) & (k < self.picard_maxiter)
+
+            def body(c):
+                x, rn, k, li = c
+                x1, sinfo = residual_and_solve(
+                    x, self.linear_rtol, 0.05 * tol
+                )
+                return (x1, res_norm(x1), k + 1, li + sinfo.iters)
+
+            Ui, nres, n_nonlin, lin_iters = jax.lax.while_loop(
+                cond, body, (x0, res_norm(x0), jnp.array(0), jnp.array(0))
+            )
 
         P1, pinfo = self._pressure_solve(Ui, Pf, dt)
         U1, cinfo = self._correction(Ui, P1, Pf, dt)
         return U1, P1, StepStats(
-            jnp.array(1), sinfo.resnorm, sinfo.iters, pinfo.iters,
+            n_nonlin, nres, lin_iters, pinfo.iters,
             cinfo.iters, pinfo.converged, cinfo.converged,
         )
 

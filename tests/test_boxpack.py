@@ -14,7 +14,9 @@ from flow_tpu.fem.boxpack import BoxPack
 
 @pytest.fixture(scope="module")
 def setup():
-    mesh = box_mesh((0, 0, 0), (1.0, 1.1, 0.9), 4, 4, 4)
+    # anisotropic in BOTH spacing and cell counts (the 3-D Boussinesq box
+    # is 0.1 x 0.1 x 0.2 with n=(8,8,16))
+    mesh = box_mesh((0, 0, 0), (1.0, 1.1, 0.9), 4, 5, 6)
     return mesh, BoxPack(mesh)
 
 
