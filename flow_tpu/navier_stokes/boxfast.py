@@ -170,8 +170,24 @@ class BoxPackedStepper:
 
     # -- momentum --------------------------------------------------------------
     def _mom_operator(self, Tf, dt):
+        import os as _os
+
         bp = self.bp
         s = dt / self.rho
+        if _os.environ.get("FLOW_BOX_NO_TABLES", "") == "1":
+            # table-free mode: re-expand the transport inside every matvec
+            # instead of holding the per-step [nq, 10, N, N, N] tables —
+            # more FLOPs, no persistent residents (the N>=96 compile-OOM
+            # fallback; see BENCH_NOTES r5 3-D ladder). Best-effort: XLA's
+            # loop-invariant code motion may re-hoist the tables out of the
+            # Krylov while_loop — verify against the HBM budget when used.
+            def A(xf):
+                A_tabs = bp.conv_tables(Tf)
+                return bp.momentum_apply(
+                    A_tabs, xf, s * self.mu, s * self.rho
+                )
+
+            return A
         A_tabs = bp.conv_tables(Tf)
 
         def A(xf):
