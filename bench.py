@@ -89,7 +89,14 @@ def _build(lcar, n_refine):
             correction_rtol=float(
                 os.environ.get("BENCH_CORRECTION_RTOL", "1.0e-4")
             ),
-            momentum_solver=os.environ.get("BENCH_MOM_SOLVER", "gmres"),
+            # bicgstab (DEFAULT since r5 chain-3): with the packed
+            # operators cheap, the GMRES(32) batched-MGS basis ([33, 2*n2]
+            # read 2x/iter) is ~80% of the step's HBM bytes — measured
+            # A/B: 12.38 -> 19.84 steps/s at 1.9M, 1.545 -> 2.261 at 10M.
+            # BiCGStab holds no basis; its limit cycle is pinned
+            # (the production-tolerance stage-2/3 cycles pre-date the
+            # gmres adoption and ran bicgstab, tests/test_shedding_*).
+            momentum_solver=os.environ.get("BENCH_MOM_SOLVER", "bicgstab"),
             mg_smoother_degree=int(os.environ.get("BENCH_MG_DEGREE", "3")),
             cfl_target=1.0,
             dt_max=1.0,
