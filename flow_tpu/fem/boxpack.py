@@ -397,7 +397,20 @@ class BoxPack:
             # A_qm = (dphi[q,m,k] G[d,k]) (phi[q,l] T_l^d)
             C = np.einsum("qmk,dk->qmd", self.dphi, ty["G"])
             Td = jnp.einsum("ql,dl...->qd...", self.phi, Tw)
-            A.append(jnp.einsum("qmd,qd...->qm...", C, Td))
+            # explicit d-sum, NOT an einsum: the dot_general lowering put
+            # the tiny (q, m) axes in the tiled minor dims —
+            # f32[27,10,96,96,96]{0,1,4,3,2} = 7.6x padding, 6.75G, the
+            # N=96 compile OOM (compiler allocation report, BENCH_NOTES
+            # r5). The broadcasted multiply keeps the spatial axes minor.
+            A.append(
+                sum(
+                    jnp.asarray(C[:, :, d], dtype=Td.dtype)[
+                        :, :, None, None, None
+                    ]
+                    * Td[:, d][:, None]
+                    for d in range(3)
+                )
+            )
         return A
 
     def momentum_apply(self, A, Xf, s_mu, s_rho):
